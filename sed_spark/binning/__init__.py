@@ -1,0 +1,27 @@
+from sed_spark.binning.core import (
+    BinnedData,
+    bin_dataframe,
+    bin_index_expr,
+    normalization_histogram_from_timed_dataframe,
+    normalization_histogram_from_timestamps,
+    sparse_histogram,
+)
+from sed_spark.binning.spec import (
+    BinAxis,
+    bin_centers_to_bin_edges,
+    bin_edges_to_bin_centers,
+    normalize_bins,
+)
+
+__all__ = [
+    "BinAxis",
+    "BinnedData",
+    "bin_dataframe",
+    "bin_index_expr",
+    "bin_centers_to_bin_edges",
+    "bin_edges_to_bin_centers",
+    "normalize_bins",
+    "normalization_histogram_from_timed_dataframe",
+    "normalization_histogram_from_timestamps",
+    "sparse_histogram",
+]

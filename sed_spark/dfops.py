@@ -1,0 +1,421 @@
+"""Generic DataFrame operations.
+
+Spark-first re-expression of the reference's generic ops
+(reference: src/sed/core/dfops.py). Everything here is either a pure Column
+expression (JVM-side, whole-stage-codegen friendly) or, where the semantics
+genuinely need driver-held arrays (as-of interpolation), an Arrow-batched
+pandas UDF over broadcast data. No row-at-a-time Python anywhere.
+
+Scale notes
+-----------
+* ``forward_fill`` / ``backward_fill`` are EXACT cross-partition fills (the
+  reference's iterated ``map_overlap`` is approximate, dfops.py:202-261).
+  They use a per-group window plus a tiny carry-over table joined by
+  broadcast, so no global single-partition sort is ever performed.
+* ``offset_by_other_columns`` computes all required column means in ONE
+  aggregate job and inlines them as literals, instead of one lazy scalar per
+  column (reference dfops.py:400-414).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+__all__ = [
+    "apply_filter",
+    "apply_jitter",
+    "drop_column",
+    "map_columns_2d",
+    "forward_fill",
+    "backward_fill",
+    "offset_by_other_columns",
+    "add_time_stamped_data",
+    "split_channel_bitwise",
+    "split_dld_time_from_sector_id",
+    "with_row_index",
+]
+
+
+# ---------------------------------------------------------------------------
+# filters / projections
+# ---------------------------------------------------------------------------
+
+def apply_filter(
+    df: DataFrame,
+    col: str,
+    lower_bound: float = -math.inf,
+    upper_bound: float = math.inf,
+    index_column: str | None = None,
+) -> DataFrame:
+    """Open-interval range filter ``lower < col < upper``.
+
+    Mirrors reference src/sed/core/dfops.py:92-121 (strict inequalities,
+    infinite defaults). ``col="index"`` filters on a row-index column; in the
+    Spark model the caller must name the total-order column carrying the row
+    index (``index_column``, e.g. ``event_id`` or a load-time row number),
+    since Spark has no implicit index.
+    """
+    if col == "index":
+        if index_column is None:
+            raise ValueError(
+                "col='index' requires index_column naming the row-index column",
+            )
+        col = index_column
+    cond = None
+    if lower_bound != -math.inf:
+        cond = F.col(col) > F.lit(lower_bound)
+    if upper_bound != math.inf:
+        upper = F.col(col) < F.lit(upper_bound)
+        cond = upper if cond is None else (cond & upper)
+    return df if cond is None else df.filter(cond)
+
+
+def drop_column(df: DataFrame, column_name: str | Sequence[str]) -> DataFrame:
+    """Drop one or more columns (reference src/sed/core/dfops.py:74-89)."""
+    cols = [column_name] if isinstance(column_name, str) else list(column_name)
+    return df.drop(*cols)
+
+
+def with_row_index(df: DataFrame, name: str = "row_index") -> DataFrame:
+    """Append a monotonically increasing 64-bit row id.
+
+    Not globally contiguous (Spark semantics) but strictly increasing with
+    row order within each file-partition — the Spark replacement for the
+    dask per-partition index the reference filters on.
+    """
+    return df.withColumn(name, F.monotonically_increasing_id())
+
+
+# ---------------------------------------------------------------------------
+# jitter
+# ---------------------------------------------------------------------------
+
+def apply_jitter(
+    df: DataFrame,
+    cols: str | Sequence[str],
+    cols_jittered: str | Sequence[str] | None = None,
+    amps: float | Sequence[float] = 0.5,
+    jitter_type: str = "uniform",
+    seed: int | None = None,
+) -> DataFrame:
+    """Add jitter noise to one or more columns.
+
+    Reference semantics (src/sed/core/dfops.py:17-71): ONE noise vector per
+    row shared across all listed columns; uniform noise covers [-amp, amp],
+    normal noise has stdev ``amp``; default amplitude 0.5 (half a digital
+    step). Implemented as a single ``rand``/``randn`` column reused by every
+    target column — stays inside whole-stage codegen, no UDF.
+
+    ``seed`` makes the draw reproducible per partition (Spark's ``rand`` is
+    deterministic given seed + partition layout).
+    """
+    if isinstance(cols, str):
+        cols = [cols]
+    if isinstance(cols_jittered, str):
+        cols_jittered = [cols_jittered]
+    if cols_jittered is None:
+        cols_jittered = [c + "_jittered" for c in cols]
+    if isinstance(amps, (int, float)):
+        amps = [float(amps)] * len(cols)
+    if jitter_type not in ("uniform", "normal"):
+        raise ValueError("jitter_type must be 'uniform' or 'normal'")
+
+    if jitter_type == "uniform":
+        noise = (F.rand(seed) if seed is not None else F.rand()) * 2.0 - 1.0
+    else:
+        noise = F.randn(seed) if seed is not None else F.randn()
+
+    tmp = "__sed_jitter_noise__"
+    out = df.withColumn(tmp, noise)
+    for c, cj, amp in zip(cols, cols_jittered, amps):
+        out = out.withColumn(cj, F.col(c) + F.lit(amp) * F.col(tmp))
+    return out.drop(tmp)
+
+
+# ---------------------------------------------------------------------------
+# generic 2D column map
+# ---------------------------------------------------------------------------
+
+def map_columns_2d(
+    df: DataFrame,
+    map_2d,
+    x_column: str,
+    y_column: str,
+    new_x_column: str | None = None,
+    new_y_column: str | None = None,
+    **kwds,
+) -> DataFrame:
+    """Apply a 2-in/2-out column mapping (reference src/sed/core/dfops.py:167-199).
+
+    ``map_2d`` takes two pyspark Columns (plus kwargs) and returns two
+    Columns. Stays fully declarative.
+    """
+    new_x_column = new_x_column or x_column
+    new_y_column = new_y_column or y_column
+    cx, cy = map_2d(F.col(x_column), F.col(y_column), **kwds)
+    return df.withColumns({new_x_column: cx, new_y_column: cy})
+
+
+# ---------------------------------------------------------------------------
+# cross-partition forward / backward fill
+# ---------------------------------------------------------------------------
+
+def _fill_within_group(
+    df: DataFrame,
+    columns: Sequence[str],
+    group_col: str,
+    order_col: str,
+    forward: bool,
+) -> DataFrame:
+    if forward:
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(F.col(order_col).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        exprs = {c: F.last(F.col(c), ignorenulls=True).over(w) for c in columns}
+    else:
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(F.col(order_col).asc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        exprs = {c: F.first(F.col(c), ignorenulls=True).over(w) for c in columns}
+    return df.withColumns(exprs)
+
+
+def _carry_table(
+    df: DataFrame,
+    columns: Sequence[str],
+    group_col: str,
+    order_col: str,
+    forward: bool,
+) -> pd.DataFrame:
+    """Per-group boundary values: for each group, the value of each column at
+    the last (forward) / first (backward) non-null row. One aggregate job."""
+    aggs = []
+    for c in columns:
+        ordv = F.when(F.col(c).isNotNull(), F.col(order_col))
+        agg = F.max_by(F.col(c), ordv) if forward else F.min_by(F.col(c), ordv)
+        aggs.append(agg.alias(c))
+    pdf = df.groupBy(group_col).agg(*aggs).toPandas()
+    return pdf.sort_values(group_col).reset_index(drop=True)
+
+
+def forward_fill(
+    df: DataFrame,
+    columns: Sequence[str],
+    order_col: str,
+    group_col: str = "file_id",
+) -> DataFrame:
+    """Exact forward fill across the whole table, scalable.
+
+    Replaces the reference's iterated ``map_overlap`` ffill
+    (src/sed/core/dfops.py:202-261), which is approximate when consecutive
+    partitions are all-NaN. Two phases:
+
+    1. window ``last(ignorenulls)`` within each ``group_col`` partition
+       (parallel, no global sort);
+    2. a tiny per-group carry table (one row per group) is collected,
+       forward-filled on the driver in group order, broadcast-joined back,
+       and coalesced in for rows before a group's first non-null.
+
+    ``group_col`` must sort in the same order as ``order_col`` ranges
+    (true for load-time ``file_id`` + per-file row order).
+    """
+    if isinstance(columns, str):
+        columns = [columns]
+    filled = _fill_within_group(df, columns, group_col, order_col, forward=True)
+
+    carry = _carry_table(df, columns, group_col, order_col, forward=True)
+    # carry for group g = last non-null boundary value among groups < g
+    for c in columns:
+        carry[c] = carry[c].shift(1).ffill()
+    spark = df.sparkSession
+    carry_cols = {c: f"__carry_{c}" for c in columns}
+    carry_sdf = spark.createDataFrame(
+        carry.rename(columns=carry_cols),
+        schema=None,
+    )
+    out = filled.join(F.broadcast(carry_sdf), on=group_col, how="left")
+    for c in columns:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(carry_cols[c])))
+    return out.drop(*carry_cols.values())
+
+
+def backward_fill(
+    df: DataFrame,
+    columns: Sequence[str],
+    order_col: str,
+    group_col: str = "file_id",
+) -> DataFrame:
+    """Exact backward fill; mirror of :func:`forward_fill`
+    (reference src/sed/core/dfops.py:264-321)."""
+    if isinstance(columns, str):
+        columns = [columns]
+    filled = _fill_within_group(df, columns, group_col, order_col, forward=False)
+
+    carry = _carry_table(df, columns, group_col, order_col, forward=False)
+    for c in columns:
+        carry[c] = carry[c].shift(-1).bfill()
+    spark = df.sparkSession
+    carry_cols = {c: f"__carry_{c}" for c in columns}
+    carry_sdf = spark.createDataFrame(carry.rename(columns=carry_cols))
+    out = filled.join(F.broadcast(carry_sdf), on=group_col, how="left")
+    for c in columns:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(carry_cols[c])))
+    return out.drop(*carry_cols.values())
+
+
+# ---------------------------------------------------------------------------
+# offsets
+# ---------------------------------------------------------------------------
+
+def offset_by_other_columns(
+    df: DataFrame,
+    target_column: str,
+    offset_columns: str | Sequence[str],
+    weights: float | Sequence[float],
+    reductions: str | Sequence[str] | None = None,
+    preserve_mean: bool | Sequence[bool] = False,
+    inplace: bool = True,
+    rename: str | None = None,
+) -> DataFrame:
+    """Offset a column by (weighted) other columns.
+
+    Reference semantics (src/sed/core/dfops.py:324-416):
+    ``reduction == "mean"`` adds ``w * mean(col)`` (a scalar); no reduction
+    adds ``w * col`` per row; ``preserve_mean`` subtracts ``w * mean(col)``
+    afterwards, i.e. centers the per-row offset.
+
+    All means are computed in one aggregate job and inlined as literals —
+    the broadcast-scalar join of SURVEY §2.3 collapsed to a constant fold.
+    """
+    if isinstance(offset_columns, str):
+        offset_columns = [offset_columns]
+    if isinstance(weights, (int, float)):
+        weights = [float(weights)]
+    if len(weights) != len(offset_columns):
+        raise ValueError("weights and offset_columns must have the same length")
+    if isinstance(reductions, str) or reductions is None:
+        reductions = [reductions] * len(offset_columns)
+    if any(r not in ("mean", None) for r in reductions):
+        raise NotImplementedError("only 'mean' reduction is supported")
+    if isinstance(preserve_mean, bool):
+        preserve_mean = [preserve_mean] * len(offset_columns)
+    if len(preserve_mean) != len(offset_columns):
+        raise ValueError("preserve_mean and offset_columns must have the same length")
+
+    need_mean = {
+        c
+        for c, r, p in zip(offset_columns, reductions, preserve_mean)
+        if r == "mean" or p
+    }
+    means: dict[str, float] = {}
+    if need_mean:
+        row = df.agg(*[F.mean(c).alias(c) for c in sorted(need_mean)]).collect()[0]
+        means = {c: row[c] for c in need_mean}
+
+    if not inplace:
+        rename = rename or target_column + "_offset"
+    else:
+        rename = target_column
+
+    expr: Column = F.col(target_column).cast(DoubleType())
+    for c, w, r in zip(offset_columns, weights, reductions):
+        if r == "mean":
+            expr = expr + F.lit(w * means[c])
+        else:
+            expr = expr + F.lit(w) * F.col(c)
+    for c, w, p in zip(offset_columns, weights, preserve_mean):
+        if p:
+            expr = expr - F.lit(w * means[c])
+    return df.withColumn(rename, expr)
+
+
+# ---------------------------------------------------------------------------
+# as-of interpolation join against a driver-held series
+# ---------------------------------------------------------------------------
+
+def add_time_stamped_data(
+    df: DataFrame,
+    time_stamps: np.ndarray,
+    data: np.ndarray,
+    dest_column: str,
+    time_stamp_column: str,
+) -> DataFrame:
+    """Interpolate an external (timestamp, value) series onto every event.
+
+    Reference semantics = ``np.interp`` per partition
+    (src/sed/core/dfops.py:124-164): piecewise-linear between bracketing
+    points, clamped to the endpoints outside the series range.
+
+    The series is assumed small (instrument log); it is closed over and
+    shipped with an Arrow-batched pandas UDF (Spark broadcasts the
+    serialized closure to executors once per job). For a series too large to
+    broadcast, express the same thing as a union + window as-of join.
+    """
+    ts = np.asarray(time_stamps, dtype=np.float64)
+    vals = np.asarray(data, dtype=np.float64)
+    if ts.shape != vals.shape:
+        raise ValueError("time_stamps and data must have the same length")
+
+    @F.pandas_udf(DoubleType())
+    def _interp(s: pd.Series) -> pd.Series:
+        return pd.Series(np.interp(s.to_numpy(dtype=np.float64), ts, vals))
+
+    return df.withColumn(dest_column, _interp(F.col(time_stamp_column)))
+
+
+# ---------------------------------------------------------------------------
+# bitwise channel split
+# ---------------------------------------------------------------------------
+
+def split_channel_bitwise(
+    df: DataFrame,
+    input_column: str,
+    output_columns: Sequence[str],
+    bit_mask: int,
+    overwrite: bool = False,
+    types: Sequence[str] | None = None,
+) -> DataFrame:
+    """Split an int channel into low ``bit_mask`` bits and the remainder.
+
+    Reference semantics (src/sed/loader/utils.py:101-145):
+    ``out0 = col % 2**bit_mask`` (int8 if mask < 8 else int16),
+    ``out1 = col >> bit_mask`` (int32). Pure bitwise Column exprs.
+    """
+    if len(output_columns) != 2:
+        raise ValueError("output_columns must have exactly 2 elements")
+    if types is None:
+        types = ["tinyint" if bit_mask < 8 else "smallint", "int"]
+    for c in output_columns:
+        if c in df.columns and not overwrite:
+            raise KeyError(f"column {c} already in dataframe (overwrite=False)")
+    low = F.col(input_column).bitwiseAND(F.lit((1 << bit_mask) - 1)).cast(types[0])
+    high = F.shiftright(F.col(input_column), bit_mask).cast(types[1])
+    return df.withColumns({output_columns[0]: low, output_columns[1]: high})
+
+
+def split_dld_time_from_sector_id(
+    df: DataFrame,
+    tof_column: str = "dldTimeSteps",
+    sector_id_column: str = "dldSectorID",
+    sector_id_reserved_bits: int = 3,
+) -> DataFrame:
+    """Unpack detector sector id from the low bits of the TOF channel
+    (reference src/sed/loader/utils.py:148-206, k=3)."""
+    return split_channel_bitwise(
+        df,
+        input_column=tof_column,
+        output_columns=[sector_id_column, tof_column],
+        bit_mask=sector_id_reserved_bits,
+        overwrite=True,
+    )

@@ -1,0 +1,65 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Centralizes the session config so tests, bench, and the driver entry all get
+the same tuning: AQE on (runtime shuffle-partition coalescing + skew-join
+handling), Arrow for any pandas interchange, parquet filter/aggregate
+pushdown. On a real cluster these same settings apply unchanged; only
+``master`` and memory sizing differ.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        try:
+            return int(cpus)
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "sed-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's default tuning.
+
+    At 100 TB scale the same logical plans run unchanged; shuffle sizing is
+    left to AQE (``spark.sql.adaptive.coalescePartitions``) so the static
+    ``shuffle_partitions`` only sets the initial upper bound.
+    """
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{default_parallelism()}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = max(default_parallelism(), 32)
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+        # driver-generated testdata carries TIMESTAMP(NANOS) parquet columns,
+        # which Spark has no native type for — surface them as int64 nanos
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.session.timeZone": "UTC",
+        "spark.ui.enabled": os.environ.get("SPARK_GRAFT_UI", "false"),
+        "spark.driver.maxResultSize": "4g",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

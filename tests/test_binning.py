@@ -1,0 +1,105 @@
+"""Binning engine vs numpy oracle.
+
+Mirrors the reference's kernel-vs-oracle strategy
+(reference tests/test_binning.py:80-175: numba kernel asserted against
+np.histogramdd)."""
+
+import numpy as np
+import pytest
+
+from sed_spark.binning import bin_dataframe, normalize_bins
+from sed_spark.binning.spec import bin_centers_to_bin_edges
+
+
+def shifted_ranges(bins, ranges):
+    out = []
+    for nb, (lo, hi) in zip(bins, ranges):
+        half = (hi - lo) / nb / 2
+        out.append((lo - half, hi - half))
+    return out
+
+
+def test_hist_1d_matches_numpy(events_df, events_pdf):
+    bins, ranges = [100], [(60_000.0, 120_000.0)]
+    res = bin_dataframe(events_df, bins=bins, axes=["t"], ranges=ranges)
+    ref, _ = np.histogramdd(
+        events_pdf[["t"]].to_numpy(), bins=bins, range=shifted_ranges(bins, ranges),
+    )
+    assert res.shape == (100,)
+    np.testing.assert_allclose(res.data, ref)
+
+
+def test_hist_2d_matches_numpy(events_df, events_pdf):
+    bins, ranges = [32, 48], [(0.0, 2048.0), (0.0, 2048.0)]
+    res = bin_dataframe(events_df, bins=bins, axes=["X", "Y"], ranges=ranges)
+    ref, _ = np.histogramdd(
+        events_pdf[["X", "Y"]].to_numpy(), bins=bins, range=shifted_ranges(bins, ranges),
+    )
+    np.testing.assert_allclose(res.data, ref)
+
+
+def test_hist_tuple_spec(events_df, events_pdf):
+    res = bin_dataframe(events_df, bins=[(2_000.0, 20_000.0, 50)], axes=["ADC"])
+    ref, _ = np.histogramdd(
+        events_pdf[["ADC"]].to_numpy(),
+        bins=[50],
+        range=shifted_ranges([50], [(2_000.0, 20_000.0)]),
+    )
+    np.testing.assert_allclose(res.data, ref)
+
+
+def test_hist_centers_spec(events_df, events_pdf):
+    centers = np.linspace(65_000, 115_000, 64)
+    res = bin_dataframe(events_df, bins=[centers], axes=["t"])
+    edges = bin_centers_to_bin_edges(centers)
+    ref, _ = np.histogramdd(events_pdf[["t"]].to_numpy(), bins=[edges])
+    np.testing.assert_allclose(res.data, ref)
+    np.testing.assert_allclose(res.coords["t"], centers)
+
+
+def test_last_edge_inclusive_and_out_of_range(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"v": [0.0, 0.5, 1.0, 1.0000001, -0.3, np.nan]})
+    df = spark.createDataFrame(pdf)
+    res = bin_dataframe(df, bins=[(0.0, 1.0, 2)], axes=["v"])
+    # shifted edges: [-0.25, 0.25, 0.75]; 0.0->bin0, 0.5->bin1;
+    # 1.0, 1.0000001, -0.3 outside; NaN dropped
+    assert res.data.sum() == 2
+    np.testing.assert_allclose(res.data, [1, 1])
+
+
+def test_exact_last_edge(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"v": [0.75]})
+    df = spark.createDataFrame(pdf)
+    res = bin_dataframe(df, bins=[(0.0, 1.0, 2)], axes=["v"])
+    # 0.75 is exactly the (shifted) last edge -> counted in last bin
+    np.testing.assert_allclose(res.data, [0, 1])
+
+
+def test_jitter_binning_total_preserved(events_df):
+    res = bin_dataframe(
+        events_df,
+        bins=[100],
+        axes=["t"],
+        ranges=[(50_000.0, 130_000.0)],
+        jitter=["t"],
+        jitter_seed=7,
+    )
+    # jitter of half a bin at interior bins keeps all rows in range
+    assert res.data.sum() == events_df.count()
+
+
+def test_normalize_bins_dict():
+    axes = normalize_bins({"t": (0.0, 10.0, 5), "X": (0.0, 1.0, 2)})
+    assert [a.name for a in axes] == ["t", "X"]
+    assert [a.nbins for a in axes] == [5, 2]
+
+
+def test_normalize_bins_errors():
+    with pytest.raises(ValueError):
+        normalize_bins(10, axes=["t"])  # no ranges
+    with pytest.raises(ValueError):
+        normalize_bins([10, 10], axes=["t"], ranges=[(0, 1), (0, 1)])

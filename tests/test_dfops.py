@@ -1,0 +1,137 @@
+"""Generic dfops vs pandas/numpy oracles
+(model: reference tests/test_dfops.py:29-457)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sed_spark import dfops
+
+
+def test_apply_filter_strict_bounds(spark):
+    pdf = pd.DataFrame({"v": [0.0, 1.0, 2.0, 3.0, 4.0]})
+    df = spark.createDataFrame(pdf)
+    out = dfops.apply_filter(df, "v", 1.0, 3.0).toPandas()
+    assert out["v"].tolist() == [2.0]  # strict inequalities
+
+
+def test_apply_filter_open_bounds(spark):
+    pdf = pd.DataFrame({"v": [0.0, 1.0, 2.0]})
+    df = spark.createDataFrame(pdf)
+    assert dfops.apply_filter(df, "v").count() == 3
+    assert dfops.apply_filter(df, "v", lower_bound=0.5).count() == 2
+
+
+def test_jitter_uniform_bounds_and_shared_noise(spark):
+    pdf = pd.DataFrame({"a": np.zeros(5000), "b": np.zeros(5000)})
+    df = spark.createDataFrame(pdf)
+    out = dfops.apply_jitter(df, ["a", "b"], amps=[0.5, 1.0], seed=1).toPandas()
+    ja, jb = out["a_jittered"], out["b_jittered"]
+    assert ja.abs().max() <= 0.5 and ja.abs().max() > 0.3
+    # same noise draw scaled by per-column amps -> exactly proportional
+    np.testing.assert_allclose(jb.to_numpy(), 2 * ja.to_numpy(), rtol=1e-12)
+
+
+def test_jitter_normal(spark):
+    pdf = pd.DataFrame({"a": np.zeros(20000)})
+    df = spark.createDataFrame(pdf)
+    out = dfops.apply_jitter(df, "a", amps=2.0, jitter_type="normal", seed=3).toPandas()
+    assert abs(out["a_jittered"].std() - 2.0) < 0.1
+
+
+@pytest.mark.parametrize("forward", [True, False])
+def test_fill_matches_pandas(spark, forward):
+    rng = np.random.default_rng(0)
+    n = 4000
+    vals = rng.uniform(size=n)
+    mask = rng.uniform(size=n) < 0.95  # sparse channel: 95% NaN
+    vals[mask] = np.nan
+    # group 2 entirely NaN -> exercises the cross-group carry
+    groups = np.repeat(np.arange(8), n // 8)
+    vals[groups == 2] = np.nan
+    pdf = pd.DataFrame({"v": vals, "file_id": groups, "order": np.arange(n)})
+    df = spark.createDataFrame(pdf).repartition(4, "file_id")
+    if forward:
+        out = dfops.forward_fill(df, ["v"], "order").toPandas()
+        expected = pdf.sort_values("order")["v"].ffill()
+    else:
+        out = dfops.backward_fill(df, ["v"], "order").toPandas()
+        expected = pdf.sort_values("order")["v"].bfill()
+    out = out.sort_values("order").reset_index(drop=True)
+    np.testing.assert_allclose(
+        out["v"].to_numpy(), expected.to_numpy(), equal_nan=True,
+    )
+
+
+def test_offset_by_other_columns(spark):
+    pdf = pd.DataFrame(
+        {"target": [1.0, 2.0, 3.0, 4.0], "off": [10.0, 20.0, 30.0, 40.0]},
+    )
+    df = spark.createDataFrame(pdf)
+    # plain weighted per-row offset
+    out = dfops.offset_by_other_columns(df, "target", "off", 2.0).toPandas()
+    np.testing.assert_allclose(out["target"], pdf["target"] + 2.0 * pdf["off"])
+    # mean reduction: scalar offset
+    out = dfops.offset_by_other_columns(
+        df, "target", "off", 1.0, reductions="mean",
+    ).toPandas()
+    np.testing.assert_allclose(out["target"], pdf["target"] + 25.0)
+    # preserve_mean: centered per-row offset
+    out = dfops.offset_by_other_columns(
+        df, "target", "off", 1.0, preserve_mean=True,
+    ).toPandas()
+    np.testing.assert_allclose(out["target"], pdf["target"] + pdf["off"] - 25.0)
+    # not inplace -> new column
+    out = dfops.offset_by_other_columns(df, "target", "off", 1.0, inplace=False)
+    assert "target_offset" in out.columns
+
+
+def test_add_time_stamped_data_matches_np_interp(spark):
+    series_ts = np.array([0.0, 10.0, 20.0, 30.0])
+    series_v = np.array([1.0, 2.0, 0.0, 4.0])
+    pdf = pd.DataFrame({"timeStamp": [-5.0, 0.0, 5.0, 12.0, 30.0, 99.0]})
+    df = spark.createDataFrame(pdf)
+    out = dfops.add_time_stamped_data(
+        df, series_ts, series_v, "temp", "timeStamp",
+    ).toPandas()
+    np.testing.assert_allclose(
+        out["temp"], np.interp(pdf["timeStamp"], series_ts, series_v),
+    )
+
+
+def test_split_channel_bitwise(spark):
+    pdf = pd.DataFrame({"ch": [0, 7, 8, 123456789]})
+    df = spark.createDataFrame(pdf)
+    out = dfops.split_channel_bitwise(df, "ch", ["low", "high"], 3).toPandas()
+    np.testing.assert_array_equal(out["low"], pdf["ch"] % 8)
+    np.testing.assert_array_equal(out["high"], pdf["ch"] // 8)
+    types = dict(dfops.split_channel_bitwise(df, "ch", ["l", "h"], 3).dtypes)
+    assert types["l"] == "tinyint" and types["h"] == "int"
+
+
+def test_split_dld_time_from_sector_id(spark):
+    pdf = pd.DataFrame({"dldTimeSteps": [8 * 1000 + 5, 8 * 2000 + 0]})
+    df = spark.createDataFrame(pdf)
+    out = dfops.split_dld_time_from_sector_id(df).toPandas()
+    assert out["dldSectorID"].tolist() == [5, 0]
+    assert out["dldTimeSteps"].tolist() == [1000, 2000]
+
+
+def test_drop_column(spark):
+    df = spark.createDataFrame(pd.DataFrame({"a": [1], "b": [2], "c": [3]}))
+    assert dfops.drop_column(df, "a").columns == ["b", "c"]
+    assert dfops.drop_column(df, ["a", "b"]).columns == ["c"]
+
+
+def test_map_columns_2d(spark):
+    df = spark.createDataFrame(pd.DataFrame({"x": [3.0], "y": [4.0]}))
+
+    def rot(x, y, angle=0.0):
+        return x * np.cos(angle) - y * np.sin(angle), x * np.sin(angle) + y * np.cos(angle)
+
+    out = dfops.map_columns_2d(
+        df, rot, "x", "y", new_x_column="u", new_y_column="v", angle=np.pi / 2,
+    ).toPandas()
+    np.testing.assert_allclose(out["u"], [-4.0], atol=1e-12)
+    np.testing.assert_allclose(out["v"], [3.0], atol=1e-12)
