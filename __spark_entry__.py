@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship workflow on sf0.001: load events, run the full
+sed-style calibration chain (jitter → energy correction → energy axis →
+delay axis), and return the sparse 2-D (energy × delay) histogram.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 plus the training-data extensions; see ``sed_spark/suite/``.
 """
 
 from __future__ import annotations
@@ -16,23 +17,54 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from sed_spark.binning import sparse_histogram
+    from sed_spark.calibrator import delay as delay_cal
+    from sed_spark.calibrator import energy as energy_cal
+    from sed_spark.dfops import apply_jitter
+    from sed_spark.suite.common import load
+
+    df = load(spark, "/root/testdata/sf0.001", "events")
+    df = df.select(
+        "event_id",
+        (F.col("value") * 1000.0 + 60000.0).alias("t"),
+        ((F.col("user_id") % 150).cast("double") * 13.0).alias("X"),
+        ((F.col("event_id") % 2048).cast("double")).alias("Y"),
+        (F.col("value") * 36.0 + 2000.0).alias("ADC"),
+    )
+    df = apply_jitter(df, ["X", "Y", "t", "ADC"],
+                      cols_jittered=["X", "Y", "t", "ADC"], seed=42)
+    df = energy_cal.apply_energy_correction(
+        df, correction_type="spherical", center=(1024.0, 1024.0),
+        amplitude=2.0, diameter=3000.0,
+    )
+    df = energy_cal.append_energy_axis(
+        df, calibration_type="poly", coeffs=[1e-14, -2e-9, 3e-4], E0=1.0,
+    )
+    df = delay_cal.append_delay_axis(
+        df, adc_range=(2000.0, 20000.0), delay_range=(-5.0, 5.0),
+    )
+    agg, norm, bin_names = sparse_histogram(
+        df, bins=[50, 40], axes=["energy", "delay"],
+        ranges=[(-500.0, 2000.0), (-5.0, 5.0)], count_alias="cnt",
+    )
+    return agg.select(
+        F.col(bin_names[0]).alias("bin_energy"),
+        F.col(bin_names[1]).alias("bin_delay"),
+        "cnt",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from sed_spark import suite
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return suite.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalent for each query."""
+    from sed_spark import suite
+
+    return suite.oracle_sql()

@@ -1,0 +1,199 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design notes
+------------------
+* Everything before the pair-join is per-row Column expressions (split /
+  transform / aggregate higher-order functions) — no shuffle, no UDF.
+* The candidate-pair joins shuffle on (band, signature) or shingle — the
+  standard LSH blocking that keeps the join linear-ish instead of O(n²).
+* For web-scale corpora pass ``max_doc_freq`` to drop ubiquitous shingles
+  before the inverted-index join (frequency blocking), which bounds the
+  worst-case join fanout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "shingle_expr",
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "jaccard_pairs",
+    "simhash16",
+]
+
+
+def shingle_expr(text_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a whitespace-tokenized text column.
+
+    Pure JVM expression: split → sequence → transform(concat_ws).
+    """
+    words = F.split(text_col, " ")
+    count = F.size(words) - (n - 1)
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(words, i + k + 1) for k in range(n)])
+
+    return F.when(
+        count > 0, F.transform(F.sequence(F.lit(0), count - 1), gram),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact content dedup: hash-groupBy on md5(text), keep the smallest id.
+
+    Returns (text_hash, keep_id, group_size); one shuffle on the hash.
+    """
+    return df.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: one min-hash per band.
+
+    Band b's hash of shingle g is ``md5("{b}|" + g)``; the band signature is
+    the lexicographic min over the document's shingles (min over a multiset
+    equals min over the set, so no distinct pass is needed). Explode +
+    single hash-aggregate; Catalyst does map-side partial mins.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(shingle_expr(F.col(text_col), shingle_n)).alias("g"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("g")))).alias(f"sig_{b}")
+        for b in range(n_bands)
+    ]
+    return grams.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+) -> DataFrame:
+    """LSH banding: documents sharing ANY band signature become a candidate
+    pair. Melt bands → self-equi-join on (band, sig) → distinct pairs.
+    The join shuffles on (band, sig) — each bucket is a near-duplicate
+    cluster, so fanout is bounded by cluster sizes, not n²."""
+    melted = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"sig_{b}").alias("sig"))
+                    for b in range(n_bands)
+                ],
+            ),
+        ).alias("bs"),
+    ).select(id_col, "bs.band", "bs.sig")
+    a, b = melted.alias("a"), melted.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.05,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """n-gram Jaccard near-duplicate pairs via an inverted-index join.
+
+    distinct (doc, shingle) → self-join on shingle (only docs sharing a
+    shingle pair up) → |A∩B| counts → Jaccard = c/(|A|+|B|-c). All-integer
+    arithmetic until the final exact double division.
+
+    ``max_doc_freq`` drops shingles occurring in more than that many
+    documents before the join — the frequency-blocking knob for corpora
+    where stop-phrases would otherwise dominate the shuffle.
+    """
+    dg = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingle_expr(F.col(text_col), shingle_n))).alias("g"),
+    )
+    if max_doc_freq is not None:
+        keep = dg.groupBy("g").agg(F.count(F.lit(1)).alias("df_"))
+        keep = keep.filter(F.col("df_") <= max_doc_freq).select("g")
+        dg = dg.join(F.broadcast(keep), "g")
+    cnt = dg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = dg.alias("a"), dg.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = cnt.select(F.col(id_col).alias("a_id"), F.col("n").alias("na"))
+    cb = cnt.select(F.col(id_col).alias("b_id"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        common.join(ca, "a_id")
+        .join(cb, "b_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "n_common", "jaccard")
+    )
+
+
+def simhash16(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """16-bit SimHash from md5 hex digits of shingles.
+
+    Each of the first 16 hex digits of ``md5(shingle)`` contributes its high
+    bit (digit ≥ 8) as +1/−1 to one simhash position; the sign of the column
+    sum sets the output bit. One explode + one hash-aggregate with 16
+    integer sums — all JVM-side.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(shingle_expr(F.col(text_col), shingle_n)).alias("g"),
+    ).withColumn("h", F.md5(F.col("g")))
+    aggs = []
+    for i in range(16):
+        digit = F.conv(F.substring(F.col("h"), i + 1, 1), 16, 10).cast("int")
+        aggs.append(
+            F.sum(F.when(digit >= 8, 1).otherwise(-1)).alias(f"s_{i}"),
+        )
+    sums = grams.groupBy(id_col).agg(*aggs)
+    bits = None
+    for i in range(16):
+        term = F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bits = term if bits is None else bits + term
+    return sums.select(F.col(id_col), bits.cast("bigint").alias("simhash"))

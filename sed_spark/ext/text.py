@@ -1,0 +1,100 @@
+"""Text analysis operators: quality scoring, language id, token counting,
+document fingerprinting. All pure Column expressions."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sed_spark.ext.dedup import shingle_expr
+
+__all__ = [
+    "n_words_expr",
+    "quality_features",
+    "lang_id",
+    "token_stats",
+    "fingerprint",
+]
+
+#: language-marker words for the n-gram language-id heuristic
+LANG_MARKERS = {
+    "en": r"\b(the|a|is|and|of)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|les|et|est|une)\b",
+    "es": r"\b(el|los|las|y|es)\b",
+}
+
+
+def n_words_expr(text: Column) -> Column:
+    """Whitespace token count via length arithmetic (portable, no regex)."""
+    return F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1
+
+
+def quality_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Length / word / stopword quality signals per document."""
+    t = F.col(text_col)
+    nw = n_words_expr(t)
+    nonspace = F.length(F.replace(t, F.lit(" "), F.lit("")))
+    stop = F.regexp_count(t, F.lit(LANG_MARKERS["en"]))
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        nw.alias("n_words"),
+        F.round(nonspace.cast("double") / nw, 6).alias("avg_word_len"),
+        F.round(stop.cast("double") / nw, 6).alias("stopword_ratio"),
+    )
+
+
+def lang_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Marker-word language id with a deterministic arg-max tie-break
+    (en > de > fr > es)."""
+    t = F.col(text_col)
+    scores = {
+        lang: F.regexp_count(t, F.lit(pat)) for lang, pat in LANG_MARKERS.items()
+    }
+    s = {k: F.col(f"s_{k}") for k in scores}
+    pred = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en",
+        )
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
+        .when(s["fr"] >= s["es"], "fr")
+        .otherwise("es")
+    )
+    out = df.select(
+        F.col(id_col),
+        *[c.alias(f"s_{lang}") for lang, c in scores.items()],
+    )
+    return out.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        n_words_expr(t).alias("ws_tokens"),
+        F.regexp_count(t, F.lit(r"[a-z]+|[0-9]|[^a-z0-9 ]")).alias("bpe_tokens"),
+    )
+
+
+def fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Document fingerprint: lexicographic-min md5 over distinct word
+    5-shingles (a 1-permutation MinHash) + distinct-shingle count."""
+    grams = F.array_distinct(shingle_expr(F.col(text_col), shingle_n))
+    return df.select(
+        F.col(id_col),
+        F.array_min(F.transform(grams, F.md5)).alias("fp"),
+        F.size(grams).alias("n_shingles"),
+    )

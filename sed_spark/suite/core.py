@@ -1,0 +1,597 @@
+"""sed-core operator queries (SURVEY.md §2.1-2.7) with DuckDB oracles.
+
+Every query exercises one engine operator on the driver-generated tables.
+The SQL oracles mirror the engine's expression trees exactly (same literals
+via ``fl()``, same operation order) so results hash-match at the bit level,
+except where noted (transcendentals → round 6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+from sed_spark import dfops
+from sed_spark.binning import normalize_bins, sparse_histogram
+from sed_spark.calibrator import delay as delay_cal
+from sed_spark.calibrator import energy as energy_cal
+from sed_spark.calibrator import momentum as momentum_cal
+from sed_spark.suite.common import fl, load
+
+QUERIES: dict[str, dict] = {}
+
+
+def q(name):
+    def deco(fn):
+        QUERIES[name] = {"spark": fn, "sql": None}
+        return fn
+
+    return deco
+
+
+def sql(name, text):
+    QUERIES[name]["sql"] = text
+
+
+# ---------------------------------------------------------------------------
+# N-D histograms (binning engine, §2.4)
+# ---------------------------------------------------------------------------
+
+HIST_SPECS = {
+    "hist_1d": ("events", [("value", 100, (0.0, 500.0))]),
+    "hist_2d": ("lineitem", [("l_quantity", 25, (0.0, 50.0)),
+                             ("l_discount", 10, (0.0, 0.1))]),
+    "hist_4d": ("lineitem", [("l_quantity", 20, (0.0, 50.0)),
+                             ("l_extendedprice", 20, (900.0, 105000.0)),
+                             ("l_discount", 10, (0.0, 0.1)),
+                             ("l_tax", 8, (0.0, 0.08))]),
+}
+
+
+def _hist_sql(table: str, axes) -> str:
+    """Oracle mirroring bin_index_expr: j = round((x-lo)*delta, 11),
+    last-edge-inclusive, strict in-range."""
+    bin_cols, valid = [], []
+    for ax in axes:
+        delta = 1.0 / ((ax.hi - ax.lo) / ax.nbins)
+        j = f"round(({ax.name} - {fl(ax.lo)}) * {fl(delta)}, 11)"
+        bin_cols.append(
+            f"CAST(CASE WHEN {j} = {fl(float(ax.nbins))} THEN {ax.nbins - 1} "
+            f"ELSE floor({j}) END AS INTEGER) AS bin_{ax.name}",
+        )
+        valid.append(f"{ax.name} IS NOT NULL AND {j} >= 0 AND {j} <= {fl(float(ax.nbins))}")
+    names = ", ".join(f"bin_{ax.name}" for ax in axes)
+    return (
+        f"SELECT {names}, COUNT(*) AS cnt FROM "
+        f"(SELECT {', '.join(bin_cols)} FROM {table} WHERE {' AND '.join(valid)}) "
+        f"GROUP BY {names}"
+    )
+
+
+def _make_hist(name, table, spec):
+    axes_names = [s[0] for s in spec]
+    bins = [s[1] for s in spec]
+    ranges = [s[2] for s in spec]
+
+    def fn(spark, sf_dir):
+        df = load(spark, sf_dir, table)
+        agg, norm, bin_names = sparse_histogram(
+            df, bins=bins, axes=axes_names, ranges=ranges, count_alias="cnt",
+        )
+        return agg.select(
+            *[F.col(b).alias(f"bin_{ax.name}") for b, ax in zip(bin_names, norm)],
+            "cnt",
+        )
+
+    QUERIES[name] = {
+        "spark": fn,
+        "sql": _hist_sql(table, normalize_bins(bins, axes_names, ranges)),
+    }
+
+
+for _name, (_table, _spec) in HIST_SPECS.items():
+    _make_hist(_name, _table, _spec)
+
+
+# explicit non-uniform bin edges (centers grammar) — exercises the
+# aggregate-count path of bin_index_expr
+_CENTERS = np.array([10.0, 30.0, 70.0, 150.0, 310.0, 470.0])
+
+
+@q("hist_edges")
+def hist_edges(spark, sf_dir):
+    df = load(spark, sf_dir, "events")
+    agg, norm, bin_names = sparse_histogram(
+        df, bins=[_CENTERS], axes=["value"], count_alias="cnt",
+    )
+    return agg.select(F.col(bin_names[0]).alias("bin_value"), "cnt")
+
+
+def _edges_sql():
+    from sed_spark.binning.spec import bin_centers_to_bin_edges
+
+    edges = bin_centers_to_bin_edges(_CENTERS)
+    inner = " + ".join(
+        f"(CASE WHEN value >= {fl(e)} THEN 1 ELSE 0 END)" for e in edges[1:-1]
+    )
+    return (
+        f"SELECT CAST({inner} AS INTEGER) AS bin_value, COUNT(*) AS cnt FROM events "
+        f"WHERE value IS NOT NULL AND value >= {fl(edges[0])} AND value <= {fl(edges[-1])} "
+        f"GROUP BY bin_value"
+    )
+
+
+sql("hist_edges", _edges_sql())
+
+
+# jitter: random — no oracle (driver records rows-only); asserts the engine's
+# jitter + binning path runs at scale
+@q("hist_1d_jitter")
+def hist_1d_jitter(spark, sf_dir):
+    df = load(spark, sf_dir, "events")
+    agg, norm, bin_names = sparse_histogram(
+        df, bins=[100], axes=["value"], ranges=[(0.0, 500.0)],
+        jitter=["value"], jitter_seed=42, count_alias="cnt",
+    )
+    return agg.select(F.col(bin_names[0]).alias("bin_value"), "cnt")
+
+
+# ---------------------------------------------------------------------------
+# filters (§2.2)
+# ---------------------------------------------------------------------------
+
+@q("range_filter")
+def range_filter(spark, sf_dir):
+    df = load(spark, sf_dir, "events")
+    return dfops.apply_filter(df, "value", 100.0, 400.0).select(
+        "event_id", "user_id", "value",
+    )
+
+
+sql("range_filter",
+    "SELECT event_id, user_id, value FROM events WHERE value > 100.0 AND value < 400.0")
+
+
+@q("index_filter")
+def index_filter(spark, sf_dir):
+    df = load(spark, sf_dir, "events")
+    return dfops.apply_filter(
+        df, "index", 2000.0, 7500.0, index_column="event_id",
+    ).select("event_id", "event_type", "value")
+
+
+sql("index_filter",
+    "SELECT event_id, event_type, value FROM events "
+    "WHERE event_id > 2000.0 AND event_id < 7500.0")
+
+
+# ---------------------------------------------------------------------------
+# calibration transforms (§2.7) — pure expression parity
+# ---------------------------------------------------------------------------
+
+_TOF = dict(d=1.0, t0=-0.001, binwidth=0.001, binning=1, E0=10.0)
+
+
+@q("tof2ev")
+def tof2ev(spark, sf_dir):
+    df = load(spark, sf_dir, "events").withColumnRenamed("value", "t")
+    out = energy_cal.append_energy_axis(
+        df, calibration_type="fit", energy_scale="kinetic", **_TOF,
+    )
+    return out.select("event_id", "energy")
+
+
+sql("tof2ev",
+    f"SELECT event_id, 2.84281e-12 * ({fl(_TOF['d'])} / tt) * ({fl(_TOF['d'])} / tt)"
+    f" + {fl(_TOF['E0'])} AS energy FROM "
+    f"(SELECT event_id, value * {fl(_TOF['binwidth'])} * {fl(float(_TOF['binning']))}"
+    f" - {fl(_TOF['t0'])} AS tt FROM events)")
+
+
+_POLY = [1e-14, -2e-9, 3e-4]
+
+
+@q("tof2evpoly")
+def tof2evpoly(spark, sf_dir):
+    df = load(spark, sf_dir, "events").withColumnRenamed("value", "t")
+    out = energy_cal.append_energy_axis(
+        df, calibration_type="poly", coeffs=_POLY, E0=5.0,
+    )
+    return out.select("event_id", "energy")
+
+
+sql("tof2evpoly",
+    f"SELECT event_id, (({fl(_POLY[0])} * value + {fl(_POLY[1])}) * value + "
+    f"{fl(_POLY[2])}) * value + 5.0 AS energy FROM events")
+
+
+@q("tof2ns")
+def tof2ns(spark, sf_dir):
+    df = load(spark, sf_dir, "events")
+    return df.select(
+        "event_id",
+        energy_cal.tof2ns_expr(F.col("value"), 4.125e-12, 2).alias("t_ns"),
+    )
+
+
+sql("tof2ns",
+    f"SELECT event_id, value * {fl(1e9)} * {fl(4.125e-12)} * {fl(2.0)} AS t_ns "
+    f"FROM events")
+
+
+# energy correction surfaces over synthesized detector coords X=4v, Y=3v
+_XY = "SELECT event_id, value AS t, value * 4.0 AS X, value * 3.0 AS Y FROM events"
+_CENTER = (1000.0, 750.0)
+
+
+def _with_xy(spark, sf_dir):
+    df = load(spark, sf_dir, "events")
+    return df.select(
+        "event_id",
+        F.col("value").alias("t"),
+        (F.col("value") * 4.0).alias("X"),
+        (F.col("value") * 3.0).alias("Y"),
+    )
+
+
+_R2 = (
+    f"(X - {fl(_CENTER[0])}) * (X - {fl(_CENTER[0])}) + "
+    f"(Y - {fl(_CENTER[1])}) * (Y - {fl(_CENTER[1])})"
+)
+
+
+@q("energy_correction_spherical")
+def energy_correction_spherical(spark, sf_dir):
+    out = energy_cal.apply_energy_correction(
+        _with_xy(spark, sf_dir), correction_type="spherical", center=_CENTER,
+        amplitude=2.0, diameter=4000.0, new_tof_column="tm",
+    )
+    return out.select("event_id", "tm")
+
+
+sql("energy_correction_spherical",
+    f"SELECT event_id, t + -((1.0 - sqrt(1.0 - ({_R2}) / {fl(4000.0 ** 2)})) * "
+    f"{fl(100.0 * 2.0)}) AS tm FROM ({_XY})")
+
+
+@q("energy_correction_lorentzian")
+def energy_correction_lorentzian(spark, sf_dir):
+    out = energy_cal.apply_energy_correction(
+        _with_xy(spark, sf_dir), correction_type="Lorentzian", center=_CENTER,
+        amplitude=2.0, gamma=700.0, new_tof_column="tm",
+    )
+    # duckdb's compiled a*b+c can FMA-contract (1-ulp divergence) -> round 6
+    return out.select("event_id", F.round(F.col("tm"), 6).alias("tm"))
+
+
+def _lorentzian_sql():
+    import math
+
+    pref = 100000.0 * 2.0 / (700.0 * math.pi)
+    g2 = 700.0**2
+    return (
+        f"SELECT event_id, round(t + {fl(pref)} * ({fl(g2)} / (({_R2}) + {fl(g2)})"
+        f" - 1.0), 6) AS tm FROM ({_XY})"
+    )
+
+
+sql("energy_correction_lorentzian", _lorentzian_sql())
+
+
+@q("energy_correction_gaussian")
+def energy_correction_gaussian(spark, sf_dir):
+    out = energy_cal.apply_energy_correction(
+        _with_xy(spark, sf_dir), correction_type="Gaussian", center=_CENTER,
+        amplitude=2.0, sigma=700.0, new_tof_column="tm",
+    )
+    # exp() is not cross-engine bit-stable -> round 6 on both sides
+    return out.select("event_id", F.round(F.col("tm"), 6).alias("tm"))
+
+
+def _gaussian_sql():
+    import math
+
+    pref = 20000.0 * 2.0 / math.sqrt(2 * math.pi * 700.0**2)
+    return (
+        f"SELECT event_id, round(t + {fl(pref)} * (exp(-({_R2}) / {fl(2 * 700.0 ** 2)})"
+        f" - 1.0), 6) AS tm FROM ({_XY})"
+    )
+
+
+sql("energy_correction_gaussian", _gaussian_sql())
+
+
+# ---------------------------------------------------------------------------
+# bitwise split + sector alignment (§2.3/§2.7)
+# ---------------------------------------------------------------------------
+
+_SECTOR_DELAYS = [0.0, -1.5, 2.25, 0.5, -0.75, 1.0, -2.0, 3.125]
+
+
+@q("sector_align")
+def sector_align(spark, sf_dir):
+    df = load(spark, sf_dir, "events")
+    df = df.select("event_id", F.col("event_id").alias("dldTimeSteps"))
+    df = dfops.split_dld_time_from_sector_id(df)
+    out = energy_cal.align_dld_sectors(df, _SECTOR_DELAYS)
+    return out.select(
+        "event_id",
+        F.col("dldSectorID").cast("int").alias("sector"),
+        F.col("dldTimeSteps").cast("double").alias("tof_aligned"),
+    )
+
+
+def _sector_sql():
+    arr = ", ".join(fl(d) for d in _SECTOR_DELAYS)
+    return (
+        "SELECT event_id, CAST(event_id % 8 AS INTEGER) AS sector, "
+        f"CAST(CAST(CAST(event_id // 8 AS INTEGER) AS DOUBLE) - "
+        f"list_extract([{arr}], CAST(event_id % 8 AS INTEGER) + 1) AS FLOAT)::DOUBLE "
+        "AS tof_aligned FROM events"
+    )
+
+
+sql("sector_align", _sector_sql())
+
+
+# ---------------------------------------------------------------------------
+# forward / backward fill (§2.5) — exact cross-partition fill
+# ---------------------------------------------------------------------------
+
+def _sparse_col_df(spark, sf_dir):
+    df = load(spark, sf_dir, "events")
+    return df.withColumn(
+        "v", F.when(F.col("event_type") == "click", F.col("value")),
+    ).withColumn("chunk", F.floor(F.col("event_id") / 1000).cast("int"))
+
+
+@q("ffill")
+def ffill(spark, sf_dir):
+    df = _sparse_col_df(spark, sf_dir)
+    out = dfops.forward_fill(df, ["v"], order_col="event_id", group_col="chunk")
+    return out.select("event_id", F.col("v").alias("v_filled"))
+
+
+sql("ffill",
+    "SELECT event_id, last_value(CASE WHEN event_type = 'click' THEN value END "
+    "IGNORE NULLS) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "CURRENT ROW) AS v_filled FROM events")
+
+
+@q("bfill")
+def bfill(spark, sf_dir):
+    df = _sparse_col_df(spark, sf_dir)
+    out = dfops.backward_fill(df, ["v"], order_col="event_id", group_col="chunk")
+    return out.select("event_id", F.col("v").alias("v_filled"))
+
+
+sql("bfill",
+    "SELECT event_id, first_value(CASE WHEN event_type = 'click' THEN value END "
+    "IGNORE NULLS) OVER (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND "
+    "UNBOUNDED FOLLOWING) AS v_filled FROM events")
+
+
+# ---------------------------------------------------------------------------
+# offsets (§2.7) — mean reduction + preserve_mean
+# ---------------------------------------------------------------------------
+
+@q("offset_mean")
+def offset_mean(spark, sf_dir):
+    df = load(spark, sf_dir, "lineitem")
+    out = dfops.offset_by_other_columns(
+        df, "l_extendedprice", ["l_quantity"], [0.5], reductions="mean",
+        inplace=False, rename="price_adj",
+    )
+    return out.select("l_orderkey", "l_linenumber", "price_adj")
+
+
+sql("offset_mean",
+    "SELECT l_orderkey, l_linenumber, l_extendedprice + "
+    "0.5 * (SELECT avg(l_quantity) FROM lineitem) AS price_adj FROM lineitem")
+
+
+@q("offset_preserve_mean")
+def offset_preserve_mean(spark, sf_dir):
+    df = load(spark, sf_dir, "lineitem")
+    out = dfops.offset_by_other_columns(
+        df, "l_extendedprice", ["l_quantity"], [0.01], preserve_mean=True,
+        inplace=False, rename="price_adj",
+    )
+    return out.select("l_orderkey", "l_linenumber", "price_adj")
+
+
+sql("offset_preserve_mean",
+    "SELECT l_orderkey, l_linenumber, (l_extendedprice + 0.01 * l_quantity) - "
+    "0.01 * (SELECT avg(l_quantity) FROM lineitem) AS price_adj FROM lineitem")
+
+
+# ---------------------------------------------------------------------------
+# delay calibration + momentum affine (§2.7)
+# ---------------------------------------------------------------------------
+
+@q("delay_calib")
+def delay_calib(spark, sf_dir):
+    df = load(spark, sf_dir, "events").withColumnRenamed("value", "ADC")
+    out = delay_cal.append_delay_axis(
+        df, adc_range=(0.0, 500.0), delay_range=(-5.0, 5.0),
+    )
+    return out.select("event_id", "delay")
+
+
+sql("delay_calib",
+    "SELECT event_id, -5.0 + (value - 0.0) * 10.0 / 500.0 AS delay FROM events")
+
+
+_KPARAMS = dict(
+    r_start=0.0, c_start=0.0, r_center=256.0, c_center=256.0,
+    r_conversion=0.0195, c_conversion=0.0195, r_step=2.0, c_step=2.0,
+)
+
+
+@q("k_affine")
+def k_affine(spark, sf_dir):
+    df = _with_xy(spark, sf_dir)
+    out = momentum_cal.append_k_axis(df, **_KPARAMS)
+    return out.select("event_id", "kx", "ky")
+
+
+def _k_sql():
+    p = _KPARAMS
+    rdet0 = p["r_start"] + p["r_step"] * p["r_center"]
+    cdet0 = p["c_start"] + p["c_step"] * p["c_center"]
+    return (
+        f"SELECT event_id, {fl(p['r_conversion'])} * ((X - {fl(rdet0)}) / "
+        f"{fl(p['r_step'])}) AS kx, {fl(p['c_conversion'])} * ((Y - {fl(cdet0)}) / "
+        f"{fl(p['c_step'])}) AS ky FROM ({_XY})"
+    )
+
+
+sql("k_affine", _k_sql())
+
+
+# ---------------------------------------------------------------------------
+# as-of interpolation join (§2.3) — np.interp parity
+# ---------------------------------------------------------------------------
+
+@q("interp_asof")
+def interp_asof(spark, sf_dir):
+    # time domain is MICROSECONDS (integer `ts DIV 1000`): duckdb holds these
+    # timestamps at µs precision, so the oracle can only see µs
+    df = load(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts DIV 1000"),
+    )
+    series = (
+        df.filter(F.col("event_type") == "signup")
+        .groupBy(F.col("ts_us").cast("double").alias("x"))
+        .agg(F.min("value").alias("y"))
+        .orderBy("x")
+        .toPandas()
+    )
+    out = dfops.add_time_stamped_data(
+        df.withColumn("ts_d", F.col("ts_us").cast("double")),
+        series["x"].to_numpy(),
+        series["y"].to_numpy(),
+        dest_column="interp_v",
+        time_stamp_column="ts_d",
+    )
+    return out.select("event_id", F.round("interp_v", 6).alias("interp_v"))
+
+
+sql("interp_asof", """
+WITH series AS (
+  SELECT CAST(epoch_us(ts) AS DOUBLE) AS x, min(value) AS y
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+ev AS (SELECT event_id, CAST(epoch_us(ts) AS DOUBLE) AS x FROM events),
+u AS (
+  SELECT x, FALSE AS is_ev, NULL::BIGINT AS event_id, x AS sx, y AS sy FROM series
+  UNION ALL
+  SELECT x, TRUE, event_id, NULL, NULL FROM ev
+),
+w AS (
+  SELECT event_id, x, is_ev,
+    last_value(sx IGNORE NULLS) OVER
+      (ORDER BY x, is_ev ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x0,
+    last_value(sy IGNORE NULLS) OVER
+      (ORDER BY x, is_ev ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y0,
+    first_value(sx IGNORE NULLS) OVER
+      (ORDER BY x, is_ev ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS x1,
+    first_value(sy IGNORE NULLS) OVER
+      (ORDER BY x, is_ev ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS y1
+  FROM u
+)
+SELECT event_id, round(CASE
+    WHEN x0 IS NULL THEN (SELECT y FROM series ORDER BY x LIMIT 1)
+    WHEN x1 IS NULL THEN y0
+    ELSE ((y1 - y0) / (x1 - x0)) * (x - x0) + y0
+  END, 6) AS interp_v
+FROM w WHERE is_ev
+""")
+
+
+# ---------------------------------------------------------------------------
+# dwell-time normalization histogram (§2.4) — lag + binned sum, exact int ns
+# ---------------------------------------------------------------------------
+
+_DWELL_AX = normalize_bins([10], ["value"], [(0.0, 500.0)])[0]
+
+
+@q("dwell_norm")
+def dwell_norm(spark, sf_dir):
+    from sed_spark.binning.core import bin_index_expr
+
+    df = load(spark, sf_dir, "events")
+    df = df.withColumn("ts_us", F.expr("ts DIV 1000"))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    dt = F.col("ts_us") - F.lag("ts_us").over(w)
+    idx, valid = bin_index_expr(_DWELL_AX, F.col("value"))
+    return (
+        df.withColumn("dt_us", dt)
+        .withColumn("bin_value", idx)
+        .filter(valid)
+        .groupBy("bin_value")
+        .agg(F.sum("dt_us").alias("dwell_us"))
+    )
+
+
+def _dwell_sql():
+    ax = _DWELL_AX
+    delta = 1.0 / ((ax.hi - ax.lo) / ax.nbins)
+    j = f"round((value - {fl(ax.lo)}) * {fl(delta)}, 11)"
+    return (
+        "WITH d AS (SELECT value, epoch_us(ts) - lag(epoch_us(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY event_id) AS dt_us FROM events) "
+        f"SELECT CAST(CASE WHEN {j} = {fl(float(ax.nbins))} THEN {ax.nbins - 1} "
+        f"ELSE floor({j}) END AS INTEGER) AS bin_value, "
+        "CAST(SUM(dt_us) AS BIGINT) AS dwell_us FROM d "
+        f"WHERE value IS NOT NULL AND {j} >= 0 AND {j} <= {fl(float(ax.nbins))} "
+        "GROUP BY bin_value"
+    )
+
+
+sql("dwell_norm", _dwell_sql())
+
+
+# ---------------------------------------------------------------------------
+# per-file aggregates (§2.4: elapsed time, count rate) keyed on user_id
+# ---------------------------------------------------------------------------
+
+@q("elapsed_time")
+def elapsed_time(spark, sf_dir):
+    df = load(spark, sf_dir, "events")
+    df = df.withColumn("ts_us", F.expr("ts DIV 1000"))
+    return df.groupBy("user_id").agg(
+        (F.max("ts_us") - F.min("ts_us")).alias("elapsed_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+sql("elapsed_time",
+    "SELECT user_id, CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS "
+    "elapsed_us, COUNT(*) AS n_events FROM events GROUP BY user_id")
+
+
+@q("count_rate")
+def count_rate(spark, sf_dir):
+    df = load(spark, sf_dir, "events")
+    df = df.withColumn("ts_us", F.expr("ts DIV 1000"))
+    agg = df.groupBy("user_id").agg(
+        (F.max("ts_us") - F.min("ts_us")).alias("elapsed_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "user_id",
+        (
+            F.col("n_events").cast("double")
+            / (F.col("elapsed_us").cast("double") / F.lit(1e6))
+        ).alias("rate_hz"),
+    )
+
+
+sql("count_rate",
+    "SELECT user_id, CAST(n_events AS DOUBLE) / (CAST(elapsed_us AS DOUBLE) / "
+    f"{fl(1e6)}) AS rate_hz FROM (SELECT user_id, CAST(max(epoch_us(ts)) - "
+    "min(epoch_us(ts)) AS BIGINT) AS elapsed_us, COUNT(*) AS n_events "
+    "FROM events GROUP BY user_id)")

@@ -1,0 +1,239 @@
+"""Training-data extension queries (dedup / similarity / text) with oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sed_spark.ext import dedup, multimodal, similarity, text
+from sed_spark.suite.common import load
+
+QUERIES: dict[str, dict] = {}
+
+# duckdb word-3-gram shingle builder (mirrors dedup.shingle_expr)
+def _grams_sql(n: int, table: str = "documents") -> str:
+    parts = ", ".join(f"w[i+{k}]" for k in range(n))
+    return (
+        f"SELECT doc_id, CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(generate_series(1, len(w) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) ELSE [] END AS grams FROM "
+        f"(SELECT doc_id, string_split(text, ' ') AS w FROM {table})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, COUNT(*) AS group_size
+FROM documents GROUP BY md5(text)
+"""
+
+
+def minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(load(spark, sf_dir, "documents"), n_bands=4)
+
+
+MINHASH_SQL = f"""
+WITH base AS ({_grams_sql(3)}),
+g AS (SELECT doc_id, unnest(grams) AS g FROM base)
+SELECT doc_id,
+  min(md5('0|' || g)) AS sig_0, min(md5('1|' || g)) AS sig_1,
+  min(md5('2|' || g)) AS sig_2, min(md5('3|' || g)) AS sig_3
+FROM g GROUP BY doc_id
+"""
+
+
+def lsh_pairs(spark, sf_dir):
+    sigs = dedup.minhash_signatures(load(spark, sf_dir, "documents"), n_bands=4)
+    return dedup.lsh_candidate_pairs(sigs, n_bands=4)
+
+
+LSH_PAIRS_SQL = f"""
+WITH base AS ({_grams_sql(3)}),
+g AS (SELECT doc_id, unnest(grams) AS g FROM base),
+sigs AS (
+  SELECT doc_id,
+    min(md5('0|' || g)) AS sig_0, min(md5('1|' || g)) AS sig_1,
+    min(md5('2|' || g)) AS sig_2, min(md5('3|' || g)) AS sig_3
+  FROM g GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, sig_0 AS sig FROM sigs UNION ALL
+  SELECT doc_id, 1, sig_1 FROM sigs UNION ALL
+  SELECT doc_id, 2, sig_2 FROM sigs UNION ALL
+  SELECT doc_id, 3, sig_3 FROM sigs
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+def jaccard_pairs(spark, sf_dir):
+    return dedup.jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.05,
+    )
+
+
+JACCARD_SQL = f"""
+WITH base AS ({_grams_sql(3)}),
+dg AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM base),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM dg GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+  FROM dg a JOIN dg b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id, n_common,
+  CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+FROM common
+JOIN cnt ca ON ca.doc_id = a_id
+JOIN cnt cb ON cb.doc_id = b_id
+WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.05
+"""
+
+
+def simhash(spark, sf_dir):
+    return dedup.simhash16(load(spark, sf_dir, "documents"))
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 >= 8 "
+        f"THEN 1 ELSE -1 END) AS s_{i}"
+        for i in range(16)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+    )
+    return (
+        f"WITH base AS ({_grams_sql(3)}), "
+        "g AS (SELECT doc_id, md5(unnest(grams)) AS h FROM base), "
+        f"s AS (SELECT doc_id, {sums} FROM g GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM s"
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def ann_cosine_topk(spark, sf_dir):
+    df = load(spark, sf_dir, "embeddings")
+    qvec = df.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.cosine_topk(df, qvec, k=10)
+
+
+ANN_SQL = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+    list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS dot,
+    list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS na,
+    list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS nq
+  FROM embeddings, q
+)
+SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 6) AS cos_sim
+FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def text_quality(spark, sf_dir):
+    return text.quality_features(load(spark, sf_dir, "documents"))
+
+
+TEXT_QUALITY_SQL = r"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  length(text) - length(replace(text, ' ', '')) + 1 AS n_words,
+  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+    (length(text) - length(replace(text, ' ', '')) + 1), 6) AS avg_word_len,
+  round(CAST(len(regexp_extract_all(text, '\b(the|a|is|and|of)\b')) AS DOUBLE) /
+    (length(text) - length(replace(text, ' ', '')) + 1), 6) AS stopword_ratio
+FROM documents
+"""
+
+
+def lang_id(spark, sf_dir):
+    return text.lang_id(load(spark, sf_dir, "documents"))
+
+
+LANG_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '\b(the|a|is|and|of)\b')) AS s_en,
+    len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS s_de,
+    len(regexp_extract_all(text, '\b(le|les|et|est|une)\b')) AS s_fr,
+    len(regexp_extract_all(text, '\b(el|los|las|y|es)\b')) AS s_es
+  FROM documents
+)
+SELECT doc_id, CASE
+  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+  WHEN s_fr >= s_es THEN 'fr'
+  ELSE 'es' END AS pred_lang
+FROM s
+"""
+
+
+def token_stats(spark, sf_dir):
+    return text.token_stats(load(spark, sf_dir, "documents"))
+
+
+TOKEN_SQL = r"""
+SELECT doc_id,
+  length(text) - length(replace(text, ' ', '')) + 1 AS ws_tokens,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS bpe_tokens
+FROM documents
+"""
+
+
+def doc_fingerprint(spark, sf_dir):
+    return text.fingerprint(load(spark, sf_dir, "documents"))
+
+
+FP_SQL = f"""
+WITH base AS ({_grams_sql(5)})
+SELECT doc_id,
+  list_min(list_transform(list_distinct(grams), g -> md5(g))) AS fp,
+  CAST(len(list_distinct(grams)) AS INTEGER) AS n_shingles
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (stubbed decode -> rows-only check, no oracle)
+# ---------------------------------------------------------------------------
+
+def multimodal_decode(spark, sf_dir):
+    df = multimodal.to_binary_payload(load(spark, sf_dir, "documents"))
+    return multimodal.decode_stub(df)
+
+
+QUERIES.update(
+    {
+        "dedup_exact": {"spark": dedup_exact, "sql": DEDUP_EXACT_SQL},
+        "minhash_signatures": {"spark": minhash_signatures, "sql": MINHASH_SQL},
+        "lsh_pairs": {"spark": lsh_pairs, "sql": LSH_PAIRS_SQL},
+        "jaccard_pairs": {"spark": jaccard_pairs, "sql": JACCARD_SQL},
+        "simhash": {"spark": simhash, "sql": _simhash_sql()},
+        "ann_cosine_topk": {"spark": ann_cosine_topk, "sql": ANN_SQL},
+        "text_quality": {"spark": text_quality, "sql": TEXT_QUALITY_SQL},
+        "lang_id": {"spark": lang_id, "sql": LANG_SQL},
+        "token_stats": {"spark": token_stats, "sql": TOKEN_SQL},
+        "doc_fingerprint": {"spark": doc_fingerprint, "sql": FP_SQL},
+        "multimodal_decode": {"spark": multimodal_decode, "sql": None},
+    },
+)

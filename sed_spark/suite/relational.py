@@ -1,0 +1,201 @@
+"""Relational coverage: aggregation / join / window / top-k queries.
+
+These show the engine is a full Spark SQL surface, not just the sed
+operator vocabulary. Cross-engine float determinism strategy:
+
+* sums of money columns go through exact DECIMAL casts (the per-row doubles
+  are bit-identical in both engines, the decimal cast recovers the exact
+  2/4/6-decimal value, and decimal sums are exact) then cast back to DOUBLE;
+* sums of small-integer-valued doubles (quantities) are exact in any order;
+* timestamps are TIMESTAMP_NTZ (naive) — compared against naive literals
+  and output as 'yyyy-MM-dd' strings, so the session timezone is irrelevant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from sed_spark.suite.common import load
+
+QUERIES: dict[str, dict] = {}
+
+_CUT = "2000-09-02 00:00:00"
+
+
+def _dec(col, p, s):
+    return F.col(col).cast(DecimalType(p, s))
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape on lineitem (scan → filter → hash agg)."""
+    df = load(spark, sf_dir, "lineitem")
+    disc_price = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast(DecimalType(18, 4))
+    charge = (
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+    ).cast(DecimalType(18, 6))
+    n = F.count(F.lit(1))
+    return (
+        df.filter(F.col("l_shipdate") <= F.lit(_CUT).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice", 18, 2)).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum("l_quantity") / n).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice", 18, 2)).cast("double") / n).alias("avg_price"),
+            (F.sum(_dec("l_discount", 18, 2)).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  SUM(l_quantity) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+    AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+    AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+  SUM(l_quantity) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_CUT}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_Q3_DATE = "1998-03-15 00:00:00"
+
+
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join (dim side broadcast) → agg → top-k."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING",
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_Q3_DATE).cast("timestamp_ntz"),
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp_ntz"),
+    )
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast(DecimalType(18, 4))
+    joined = li.join(
+        orders, li.l_orderkey == orders.o_orderkey, "inner",
+    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+    return (
+        joined.groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+    AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{_Q3_DATE}'
+  AND l_shipdate > TIMESTAMP '{_Q3_DATE}'
+GROUP BY o_orderkey, o_date
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def brand_agg(spark, sf_dir):
+    """Fact ⋈ broadcast-dim join + agg (the per-file scalar broadcast
+    pattern of SURVEY §2.3 generalized)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(_dec("p_retailprice", 18, 2)).cast("double").alias("sum_retail"),
+        )
+    )
+
+
+BRAND_SQL = """
+SELECT p_brand, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty,
+  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_retail
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def window_top3(spark, sf_dir):
+    """Ranking window: first 3 events per user (deterministic tie-break)."""
+    df = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+WINDOW_SQL = """
+SELECT user_id, event_id, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT user_id, event_id, row_number() OVER
+    (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+def region_rollup(spark, sf_dir):
+    """Multi-way dim-chain join: customer→nation→region counts."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal", 18, 2)).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+REGION_SQL = """
+SELECT r_name, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+QUERIES.update(
+    {
+        "q1_pricing_summary": {"spark": q1_pricing_summary, "sql": Q1_SQL},
+        "q3_shipping_priority": {"spark": q3_shipping_priority, "sql": Q3_SQL},
+        "brand_agg": {"spark": brand_agg, "sql": BRAND_SQL},
+        "window_top3": {"spark": window_top3, "sql": WINDOW_SQL},
+        "region_rollup": {"spark": region_rollup, "sql": REGION_SQL},
+    },
+)
