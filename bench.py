@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the round driver.
+
+Two parts:
+
+1. every suite query timed at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1),
+   materialized through the noop sink (measures compute, not collect);
+2. baseline-parity synthetic benchmarks mirroring the reference's
+   ``benchmarks/benchmark_sed.py`` workload: 1e8 rows × (X, Y, t, ADC)
+   uniform in the same physical ranges (seeded ``rand``), with
+   ``binning_1d``, ``binning_4d``, ``workflow_1d``, ``workflow_4d``
+   timed exactly like the reference (full lazy transform chain re-executed
+   per ``compute()``; dense result densified on the driver).
+
+Output: {"metric": "suite_total", "value": <sec>, "unit": "sec",
+         "queries": {...}, "sf": <sf>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count())
+    n_synth = int(float(os.environ.get("SPARK_GRAFT_BENCH_N", "1e8")))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from pyspark.sql import functions as F
+
+    from sed_spark import suite
+    from sed_spark.binning import bin_dataframe
+    from sed_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="sed-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) * 2,
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+            "spark.driver.maxResultSize": "8g",
+            "spark.log.level": "ERROR",
+        },
+    )
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn, n: int = 1) -> None:
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    # -- part 1: suite queries on parquet ---------------------------------
+    def run_noop(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    for name, spec in suite.REGISTRY.items():
+        try:
+            timed(f"q_{name}", lambda spec=spec: run_noop(spec["spark"](spark, sf_dir)))
+        except Exception as exc:  # a failing query must not kill the bench
+            timings[f"q_{name}"] = -1.0
+            print(f"bench: query {name} failed: {exc}", file=sys.stderr)
+
+    suite_total = round(sum(v for v in timings.values() if v > 0), 4)
+
+    # -- part 2: baseline-parity synthetic workload -----------------------
+    # mirrors reference benchmark_sed.py:24-34: uniform X/Y/t/ADC, seeded
+    ranges = {"X": (0.0, 2048.0), "Y": (0.0, 2048.0),
+              "t": (60000.0, 120000.0), "ADC": (2000.0, 20000.0)}
+    base = spark.range(0, n_synth, 1, int(cpus) * 4)
+    synth = base.select(
+        *[
+            (F.rand(seed=42 + i) * (hi - lo) + lo).alias(col)
+            for i, (col, (lo, hi)) in enumerate(ranges.items())
+        ],
+    ).persist()
+    synth.count()  # materialize like the reference's in-memory dask frame
+
+    timed(
+        "binning_1d",
+        lambda: bin_dataframe(synth, [1000], ["t"], [(60000.0, 120000.0)]),
+        repeats,
+    )
+    timed(
+        "binning_4d",
+        lambda: bin_dataframe(
+            synth, [100, 100, 100, 100], ["X", "Y", "t", "ADC"],
+            [(0.0, 2048.0), (0.0, 2048.0), (60000.0, 120000.0), (2000.0, 20000.0)],
+        ),
+        repeats,
+    )
+
+    # workflow chain (lazy — re-executed per compute, like the reference)
+    from sed_spark.calibrator import delay as delay_cal
+    from sed_spark.calibrator import energy as energy_cal
+    from sed_spark.calibrator import momentum as momentum_cal
+    from sed_spark.dfops import apply_jitter
+
+    import numpy as np
+
+    # synthetic smooth inverse deformation field (identity + ripple);
+    # scipy-free stand-in for the spline-warp estimate, same lookup cost
+    g = np.linspace(0, 2048, 256)
+    gx, gy = np.meshgrid(g, g, indexing="ij")
+    dfield = np.stack(
+        [
+            gx + 5.0 * np.sin(gy / 300.0),
+            gy + 5.0 * np.sin(gx / 300.0),
+        ],
+    ).astype(np.float64)
+
+    wf = apply_jitter(
+        synth, ["X", "Y", "t", "ADC"], cols_jittered=["X", "Y", "t", "ADC"], seed=1,
+    )
+    wf = momentum_cal.apply_dfield(
+        wf, dfield, new_x_column="Xm", new_y_column="Ym",
+        detector_ranges=((0.0, 2048.0), (0.0, 2048.0)),
+    )
+    wf = momentum_cal.append_k_axis(
+        wf, x_column="Xm", y_column="Ym",
+        r_start=0.0, c_start=0.0, r_center=1024.0, c_center=1024.0,
+        r_conversion=0.00195, c_conversion=0.00195, r_step=1.0, c_step=1.0,
+    )
+    wf = energy_cal.apply_energy_correction(
+        wf, correction_type="spherical", center=(1024.0, 1024.0),
+        amplitude=2.0, diameter=3000.0,
+    )
+    wf = energy_cal.append_energy_axis(
+        wf, calibration_type="poly", coeffs=[1.0 / 3000.0], E0=-30.0,
+    )
+    wf = delay_cal.append_delay_axis(
+        wf, adc_range=(2000.0, 20000.0), delay_range=(-500.0, 1500.0),
+    )
+
+    timed(
+        "workflow_1d",
+        lambda: bin_dataframe(wf, [1000], ["energy"], [(-10.0, 10.0)]),
+        repeats,
+    )
+    timed(
+        "workflow_4d",
+        lambda: bin_dataframe(
+            wf, [100, 100, 100, 100], ["kx", "ky", "energy", "delay"],
+            [(-2.0, 2.0), (-2.0, 2.0), (-10.0, 10.0), (-1000.0, 1000.0)],
+        ),
+        repeats,
+    )
+    synth.unpersist()
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total",
+                "value": suite_total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "synthetic_rows": n_synth,
+            },
+        ),
+    )
+
+
+if __name__ == "__main__":
+    main()
