@@ -13,11 +13,30 @@ and densified on the driver; for event data the number of OCCUPIED bins is
 bounded by the cube size, orders of magnitude below the event count, so the
 collect is small even at 100 TB input.
 
-Bin-index semantics replicate the reference kernel exactly
+Bin-index semantics replicate the reference kernel
 (src/sed/binning/numba_bin.py:53-61): ``j = round((x-lo)*1/width, 11)``
 truncated toward zero, last edge inclusive, rows outside [lo, hi] (and NaNs)
-dropped. Explicit (non-uniform) edges use left-closed bins with the last edge
+dropped. The 11-decimal rounding exists only to absorb float error at bin
+edges; we implement it as ``floor(j + 5e-12)`` — identical except at exact
+half-even decimal ties (measure zero) — because Spark's ``round(double, 11)``
+goes through BigDecimal and costs ~10x the rest of the expression combined.
+Explicit (non-uniform) edges use left-closed bins with the last edge
 inclusive (src/sed/binning/numba_bin.py:72-102).
+
+Physical strategy (``bin_dataframe``) is chosen by output-cube size:
+
+* small cube (≤ ``GROUPBY_CUBE_CELLS``): flat bin index → ``groupBy.count()``
+  — map-side partial aggregation collapses each task to ≤cube rows, the
+  shuffle is tiny, and the whole job stays in whole-stage codegen.
+* large cube: map-side partial aggregation in Tungsten buys nothing (the key
+  space exceeds rows-per-task, so the shuffle carries ~one row per input
+  row). Instead each task sort-deduplicates its flat indices with
+  ``np.unique`` (O(rows log rows), no cube-sized allocation), packs the
+  sparse (idx, count) pairs into per-chunk binary blobs, and a second stage
+  keyed on chunk id reduces them to dense sub-arrays — the driver collect is
+  exactly cube-sized and assembly is a memcpy. Both stages are Arrow-batched;
+  shuffle volume is bounded by Σ per-task occupancy, far below row count
+  whenever bins are coarser than the data.
 """
 
 from __future__ import annotations
@@ -68,7 +87,8 @@ class BinnedData:
         return self.coords[name]
 
     def sum(self) -> float:
-        return float(self.data.sum())
+        # float64 accumulation — float32 pairwise sums drift above ~1e7 counts
+        return float(self.data.sum(dtype=np.float64))
 
     def to_xarray(self):
         import xarray as xr  # optional dependency
@@ -92,13 +112,11 @@ def bin_index_expr(axis: BinAxis, col: Column | None = None) -> tuple[Column, Co
     c = (col if col is not None else F.col(axis.name)).cast("double")
     if axis.uniform:
         delta = 1.0 / ((axis.hi - axis.lo) / axis.nbins)
-        j = F.round((c - F.lit(axis.lo)) * F.lit(delta), 11)
-        valid = c.isNotNull() & (j >= 0) & (j <= axis.nbins)
-        idx = (
-            F.when(j == axis.nbins, F.lit(axis.nbins - 1))
-            .otherwise(F.floor(j))
-            .cast(IntegerType())
-        )
+        j = (c - F.lit(axis.lo)) * F.lit(delta) + F.lit(5e-12)
+        # reference validity is round(j,11) in [0, nbins]; with j already
+        # shifted by +5e-12 that is j in [0, nbins + 1e-11]
+        valid = c.isNotNull() & (j >= 0) & (j <= axis.nbins + 1e-11)
+        idx = F.least(F.floor(j), F.lit(axis.nbins - 1)).cast(IntegerType())
         return idx, valid
     # explicit edges: j such that edges[j] <= x < edges[j+1]; x == last edge
     # maps to the last bin. aggregate(edges, 0, acc + (x >= e)) counts edges
@@ -174,6 +192,147 @@ def sparse_histogram(
     return agg, norm, bin_names
 
 
+# below this many output cells, groupBy partial aggregation collapses each
+# task's rows to ≤cube entries and the whole job stays JVM-side; above it,
+# partial agg stops reducing and the chunked sparse-pair path wins
+GROUPBY_CUBE_CELLS = 2_000_000
+
+
+def _flat_valid_exprs(
+    df: DataFrame,
+    axes: list[BinAxis],
+    jitter: Sequence[str] | dict | None,
+    jitter_seed: int | None,
+) -> tuple[Column, Column]:
+    """Single flattened (row-major) bin index + combined validity."""
+    flat: Column | None = None
+    valid_all: Column | None = None
+    for i, ax in enumerate(axes):
+        src: Column = F.col(ax.name)
+        if jitter is not None:
+            jmap = {k: None for k in jitter} if not isinstance(jitter, dict) else jitter
+            if ax.name in jmap:
+                pars = jmap[ax.name] or {}
+                amp = pars.get("amplitude", 0.5)
+                mode = pars.get("mode", "uniform")
+                binsize = ax.width if ax.uniform else float(ax.edges[1] - ax.edges[0])
+                seed = None if jitter_seed is None else jitter_seed + i
+                if mode == "uniform":
+                    noise = (F.rand(seed) if seed is not None else F.rand()) * 2.0 - 1.0
+                else:
+                    noise = F.randn(seed) if seed is not None else F.randn()
+                src = src + F.lit(amp * binsize) * noise
+        idx, valid = bin_index_expr(ax, src)
+        idx = idx.cast("long")
+        flat = idx if flat is None else flat * F.lit(ax.nbins) + idx
+        valid_all = valid if valid_all is None else (valid_all & valid)
+    return flat, valid_all
+
+
+def _dense_via_groupby(proj: DataFrame, cube: int) -> np.ndarray:
+    """Small cube: JVM hash aggregate, sparse Arrow collect, flat scatter."""
+    agg = proj.groupBy("__idx").agg(F.count(F.lit(1)).alias("__cnt"))
+    dense = np.zeros(cube, dtype=np.uint64)
+    for batch in agg.toArrow().to_batches():
+        idx = batch.column(0).to_numpy(zero_copy_only=False)
+        cnt = batch.column(1).to_numpy(zero_copy_only=False)
+        dense[idx] = cnt  # groupBy keys are globally unique
+    return dense
+
+
+def _dense_via_chunks(proj: DataFrame, cube: int) -> np.ndarray:
+    """Large cube: per-task sort-unique → chunked blob shuffle → dense chunks.
+
+    Replaces the reference's per-partition Numba kernels + striped tree-sum
+    (src/sed/binning/binning.py:317-397) with two Arrow-batched map stages:
+    no task ever allocates the full cube, shuffle volume is the summed task
+    occupancy, and the driver receives exactly one dense sub-array per chunk.
+    """
+    import pyarrow as pa
+
+    parallelism = proj.sparkSession.sparkContext.defaultParallelism
+    # chunk span: small enough for cheap reduce-side accumulators, large
+    # enough that blob-per-chunk overhead stays negligible
+    nchunks = min(max(2 * parallelism, 64), max(1, cube // 65536))
+    span = (cube + nchunks - 1) // nchunks
+    # int32 indices halve both Arrow transfer and shuffle volume
+    idx_dtype = np.int32 if cube <= np.iinfo(np.int32).max else np.int64
+    if idx_dtype is np.int32:
+        proj = proj.select(F.col("__idx").cast("int").alias("__idx"))
+
+    def to_pairs(batches):
+        chunks = [b.column(0).to_numpy(zero_copy_only=False) for b in batches]
+        if not chunks:
+            return
+        idx = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+        if len(idx) == 0:
+            return
+        nz, cnt = np.unique(idx, return_counts=True)  # sorted ascending
+        nz = nz.astype(idx_dtype, copy=False)
+        cnt32 = cnt.astype(np.int32)
+        bounds = np.searchsorted(nz, np.arange(1, nchunks + 1) * span)
+        start = 0
+        chunk_ids, ivs, cvs = [], [], []
+        for c, stop in enumerate(bounds):
+            if stop > start:
+                chunk_ids.append(c)
+                ivs.append(nz[start:stop].tobytes())
+                cvs.append(cnt32[start:stop].tobytes())
+            start = stop
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(chunk_ids, pa.int32()),
+                pa.array(ivs, pa.large_binary()),
+                pa.array(cvs, pa.large_binary()),
+            ],
+            ["ch", "iv", "cv"],
+        )
+
+    def combine(batches):
+        acc: dict[int, np.ndarray] = {}
+        for b in batches:
+            chs = b.column(0).to_numpy(zero_copy_only=False)
+            ivs, cvs = b.column(1), b.column(2)
+            for k in range(len(chs)):
+                c = int(chs[k])
+                iv = np.frombuffer(ivs[k].as_py(), dtype=idx_dtype)
+                cv = np.frombuffer(cvs[k].as_py(), dtype=np.int32)
+                arr = acc.get(c)
+                if arr is None:
+                    arr = acc[c] = np.zeros(span, dtype=np.uint64)
+                arr[iv - c * span] += cv.astype(np.uint64)
+        for c, arr in acc.items():
+            # uint32 on the wire, like the reference's accumulator
+            # (numba_bin.py:43) — halves the driver collect
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([c], pa.int32()),
+                 pa.array([arr.astype(np.uint32).tobytes()], pa.large_binary())],
+                ["ch", "data"],
+            )
+
+    import os
+    import time as _time
+
+    debug = bool(os.environ.get("SED_SPARK_BIN_DEBUG"))
+    pairs = proj.select("__idx").mapInArrow(to_pairs, "ch int, iv binary, cv binary")
+    nred = min(nchunks, 2 * parallelism)
+    reduced = pairs.repartition(nred, "ch").mapInArrow(combine, "ch int, data binary")
+    t0 = _time.perf_counter()
+    tbl = reduced.toArrow()
+    t1 = _time.perf_counter()
+    dense = np.zeros(cube, dtype=np.uint32)
+    data_col = tbl.column("data")
+    for i, c in enumerate(tbl.column("ch").to_pylist()):
+        # zero-copy view into the Arrow buffer; copies once into `dense`
+        chunk = np.frombuffer(data_col[i].as_buffer(), dtype=np.uint32)
+        lo = c * span
+        dense[lo:lo + len(chunk)] = chunk
+    if debug:
+        print(f"[bin chunked] nchunks={nchunks} span={span} "
+              f"collect={t1 - t0:.2f}s assemble={_time.perf_counter() - t1:.2f}s")
+    return dense
+
+
 def bin_dataframe(
     df: DataFrame,
     bins,
@@ -182,25 +341,36 @@ def bin_dataframe(
     jitter=None,
     jitter_seed: int | None = None,
     dtype: str = "float32",
+    method: str = "auto",
 ) -> BinnedData:
     """N-dimensional histogram, densified to a :class:`BinnedData`.
 
     Spark equivalent of the reference's ``bin_dataframe``
     (src/sed/binning/binning.py:200-427). The final cast to float32 follows
-    binning.py:408,421.
+    binning.py:408,421. ``method`` is ``auto`` (cube-size heuristic),
+    ``groupby``, or ``chunked``.
     """
-    agg, norm, bin_names = sparse_histogram(
-        df, bins, axes, ranges, jitter=jitter, jitter_seed=jitter_seed,
-    )
+    norm = normalize_bins(bins, axes, ranges)
     shape = tuple(ax.nbins for ax in norm)
-    sparse = agg.toPandas()
-    dense = np.zeros(shape, dtype=np.uint64)
-    if len(sparse):
-        idx = tuple(sparse[n].to_numpy(dtype=np.int64) for n in bin_names)
-        dense[idx] = sparse["count"].to_numpy(dtype=np.uint64)
+    cube = int(np.prod(shape))
+    if cube * 4 > 2**33:
+        raise ValueError(
+            f"dense output of {cube} cells will not fit on the driver; "
+            "use sparse_histogram instead",
+        )
+    flat, valid = _flat_valid_exprs(df, norm, jitter, jitter_seed)
+    proj = df.filter(valid).select(flat.alias("__idx"))
+    if method == "auto":
+        method = "groupby" if cube <= GROUPBY_CUBE_CELLS else "chunked"
+    if method == "groupby":
+        dense = _dense_via_groupby(proj, cube)
+    elif method == "chunked":
+        dense = _dense_via_chunks(proj, cube)
+    else:
+        raise ValueError(f"unknown binning method {method!r}")
     coords = {ax.name: ax.bin_centers() for ax in norm}
     return BinnedData(
-        data=dense.astype(dtype),
+        data=dense.reshape(shape).astype(dtype),
         dims=[ax.name for ax in norm],
         coords=coords,
         attrs={"units": "counts"},

@@ -48,6 +48,9 @@ def get_spark(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # big Arrow batches amortize per-batch overhead in mapInArrow /
+        # pandas-UDF stages (histogram pair emission, dfield lookup)
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "500000",
         "spark.sql.parquet.filterPushdown": "true",
         # driver-generated testdata carries TIMESTAMP(NANOS) parquet columns,
         # which Spark has no native type for — surface them as int64 nanos

@@ -51,17 +51,20 @@ HIST_SPECS = {
 
 
 def _hist_sql(table: str, axes) -> str:
-    """Oracle mirroring bin_index_expr: j = round((x-lo)*delta, 11),
-    last-edge-inclusive, strict in-range."""
+    """Oracle mirroring bin_index_expr: j = (x-lo)*delta + 5e-12,
+    floor, last-edge-inclusive, strict in-range."""
     bin_cols, valid = [], []
     for ax in axes:
         delta = 1.0 / ((ax.hi - ax.lo) / ax.nbins)
-        j = f"round(({ax.name} - {fl(ax.lo)}) * {fl(delta)}, 11)"
+        j = f"(({ax.name} - {fl(ax.lo)}) * {fl(delta)} + 5e-12)"
         bin_cols.append(
-            f"CAST(CASE WHEN {j} = {fl(float(ax.nbins))} THEN {ax.nbins - 1} "
-            f"ELSE floor({j}) END AS INTEGER) AS bin_{ax.name}",
+            f"CAST(least(floor({j}), {fl(float(ax.nbins - 1))}) AS INTEGER) "
+            f"AS bin_{ax.name}",
         )
-        valid.append(f"{ax.name} IS NOT NULL AND {j} >= 0 AND {j} <= {fl(float(ax.nbins))}")
+        valid.append(
+            f"{ax.name} IS NOT NULL AND {j} >= 0 "
+            f"AND {j} <= {fl(ax.nbins + 1e-11)}",
+        )
     names = ", ".join(f"bin_{ax.name}" for ax in axes)
     return (
         f"SELECT {names}, COUNT(*) AS cnt FROM "
@@ -539,14 +542,14 @@ def dwell_norm(spark, sf_dir):
 def _dwell_sql():
     ax = _DWELL_AX
     delta = 1.0 / ((ax.hi - ax.lo) / ax.nbins)
-    j = f"round((value - {fl(ax.lo)}) * {fl(delta)}, 11)"
+    j = f"((value - {fl(ax.lo)}) * {fl(delta)} + 5e-12)"
     return (
         "WITH d AS (SELECT value, epoch_us(ts) - lag(epoch_us(ts)) OVER "
         "(PARTITION BY user_id ORDER BY event_id) AS dt_us FROM events) "
-        f"SELECT CAST(CASE WHEN {j} = {fl(float(ax.nbins))} THEN {ax.nbins - 1} "
-        f"ELSE floor({j}) END AS INTEGER) AS bin_value, "
+        f"SELECT CAST(least(floor({j}), {fl(float(ax.nbins - 1))}) AS INTEGER) "
+        "AS bin_value, "
         "CAST(SUM(dt_us) AS BIGINT) AS dwell_us FROM d "
-        f"WHERE value IS NOT NULL AND {j} >= 0 AND {j} <= {fl(float(ax.nbins))} "
+        f"WHERE value IS NOT NULL AND {j} >= 0 AND {j} <= {fl(ax.nbins + 1e-11)} "
         "GROUP BY bin_value"
     )
 

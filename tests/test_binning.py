@@ -79,6 +79,23 @@ def test_exact_last_edge(spark):
     np.testing.assert_allclose(res.data, [0, 1])
 
 
+def test_methods_agree_4d(events_df, events_pdf):
+    """groupby and chunked physical strategies produce identical cubes."""
+    bins = [12, 12, 12, 12]
+    ranges = [(0.0, 2048.0), (0.0, 2048.0), (60_000.0, 120_000.0),
+              (2_000.0, 20_000.0)]
+    axes = ["X", "Y", "t", "ADC"]
+    a = bin_dataframe(events_df, bins=bins, axes=axes, ranges=ranges,
+                      method="groupby")
+    b = bin_dataframe(events_df, bins=bins, axes=axes, ranges=ranges,
+                      method="chunked")
+    ref, _ = np.histogramdd(
+        events_pdf[axes].to_numpy(), bins=bins, range=shifted_ranges(bins, ranges),
+    )
+    np.testing.assert_array_equal(a.data, b.data)
+    np.testing.assert_allclose(a.data, ref)
+
+
 def test_jitter_binning_total_preserved(events_df):
     res = bin_dataframe(
         events_df,
