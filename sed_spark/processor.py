@@ -260,6 +260,13 @@ class SedProcessor:
         result.attrs["metadata"] = self._attributes.metadata
         return result
 
+    def save(self, result: BinnedData, faddr: str, **kwds) -> None:
+        """Extension-dispatched export of a computed result
+        (reference src/sed/core/processor.py:2480-2573)."""
+        from sed_spark import io as sio
+
+        sio.save(result, faddr, **kwds)
+
     def get_normalization_histogram(
         self,
         axis: str,
