@@ -9,11 +9,14 @@ from __future__ import annotations
 
 from typing import Callable
 
+from sed_spark.loader.flash import FlashLikeLoader
 from sed_spark.loader.generic import GenericLoader
 
 _REGISTRY: dict[str, Callable] = {
     "generic": GenericLoader,
     "parquet": GenericLoader,
+    "flash": FlashLikeLoader,
+    "sxp": FlashLikeLoader,
 }
 
 

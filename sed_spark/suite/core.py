@@ -377,6 +377,66 @@ sql("bfill",
 
 
 # ---------------------------------------------------------------------------
+# FEL channel alignment (§2.3) — the flash MultiIndex concat as joins,
+# plus the per-pulse electron counter (§2.5)
+# ---------------------------------------------------------------------------
+
+def _granularity_frames(spark, sf_dir):
+    """Synthesize per-electron / per-pulse / per-train tables from events:
+    trainId = event_id DIV 64, pulseId = (event_id DIV 8) % 8."""
+    ev = load(spark, sf_dir, "events")
+    electron = ev.select(
+        "event_id",
+        (F.col("event_id") / 64).cast("long").alias("trainId"),
+        ((F.col("event_id") / 8) % 8).cast("long").alias("pulseId"),
+        F.col("value").alias("dldPos"),
+    )
+    pulse = electron.groupBy("trainId", "pulseId").agg(
+        F.avg("dldPos").alias("bam"),
+    )
+    train = electron.groupBy("trainId").agg(
+        F.count(F.lit(1)).cast("double").alias("gmd"),
+    )
+    return electron, pulse, train
+
+
+@q("channel_align")
+def channel_align(spark, sf_dir):
+    from sed_spark.loader.flash import align_channels, assign_electron_id
+
+    electron, pulse, train = _granularity_frames(spark, sf_dir)
+    electron = assign_electron_id(electron, order_col="event_id")
+    out = align_channels(electron, pulse, train)
+    return out.select("event_id", "trainId", "pulseId", "electronId",
+                      "dldPos", "bam", "gmd")
+
+
+sql("channel_align", """
+WITH electron AS (
+  SELECT event_id,
+         CAST(event_id // 64 AS BIGINT) AS trainId,
+         CAST((event_id // 8) % 8 AS BIGINT) AS pulseId,
+         value AS dldPos
+  FROM events
+), e2 AS (
+  SELECT *, row_number() OVER (PARTITION BY trainId, pulseId
+                               ORDER BY event_id) - 1 AS electronId
+  FROM electron
+), pulse AS (
+  SELECT trainId, pulseId, avg(dldPos) AS bam FROM electron
+  GROUP BY trainId, pulseId
+), train AS (
+  SELECT trainId, CAST(COUNT(*) AS DOUBLE) AS gmd FROM electron GROUP BY trainId
+)
+SELECT e2.event_id, e2.trainId, e2.pulseId, e2.electronId, e2.dldPos,
+       pulse.bam, train.gmd
+FROM e2
+LEFT JOIN pulse USING (trainId, pulseId)
+LEFT JOIN train USING (trainId)
+""")
+
+
+# ---------------------------------------------------------------------------
 # offsets (§2.7) — mean reduction + preserve_mean
 # ---------------------------------------------------------------------------
 
