@@ -38,16 +38,27 @@ class SedProcessor:
     def __init__(
         self,
         spark: SparkSession | None = None,
-        config: dict[str, Any] | None = None,
-        loader: str = "generic",
+        config: dict[str, Any] | str | None = None,
+        loader: str | None = None,
         metadata: dict | None = None,
+        **config_kwds,
     ) -> None:
+        from sed_spark.config import parse_config
+
         self.spark = spark or get_spark()
-        self.config = config or {}
+        self.config = parse_config(config, **config_kwds)
         self._dataframe: DataFrame | None = None
         self._timed_dataframe: DataFrame | None = None
         self._attributes = MetaHandler(metadata)
-        self.loader = get_loader(loader, spark=self.spark)
+        loader_name = loader or self.config.get("core", {}).get("loader", "generic")
+        self.loader = get_loader(loader_name, spark=self.spark, config=self.config)
+
+    def _col(self, name: str) -> str:
+        """Resolve an ``@`` column alias against the session config
+        (reference src/sed/core/processor.py:1994-1996)."""
+        from sed_spark.config import resolve_column_alias
+
+        return resolve_column_alias(name, self.config)
 
     # -- loading -----------------------------------------------------------
     @property
@@ -105,6 +116,7 @@ class SedProcessor:
         upper_bound: float = math.inf,
     ) -> "SedProcessor":
         """(reference src/sed/core/processor.py:495-534)"""
+        col = self._col(col)
         self._apply_both(
             dfops.apply_filter,
             timed_ok_columns=[col],
@@ -121,14 +133,20 @@ class SedProcessor:
 
     def add_jitter(
         self,
-        cols: Sequence[str],
-        amps: float | Sequence[float] = 0.5,
+        cols: Sequence[str] | None = None,
+        amps: float | Sequence[float] | None = None,
         jitter_type: str = "uniform",
         seed: int | None = None,
     ) -> "SedProcessor":
-        """In-place jitter on the listed columns
+        """In-place jitter on the listed columns, defaulting to the config's
+        jitter_cols with @ aliases resolved
         (reference src/sed/core/processor.py:1974-2025)."""
-        cols = list(cols)
+        dfconf = self.config.get("dataframe", {})
+        if cols is None:
+            cols = dfconf.get("jitter_cols", [])
+        if amps is None:
+            amps = dfconf.get("jitter_amps", 0.5)
+        cols = [self._col(c) for c in cols]
         self._dataframe = dfops.apply_jitter(
             self._dataframe, cols, cols_jittered=cols, amps=amps,
             jitter_type=jitter_type, seed=seed,
