@@ -119,6 +119,16 @@ def main() -> None:
         ],
     ).astype(np.float64)
 
+    # inverse-dfield generation (driver-side, baseline inv_dfield=4.109s):
+    # fixed-point inversion of a smooth 2048x2048 deformation field
+    from sed_spark.calibrator.momentum_estimation import generate_inverse_dfield
+
+    g2 = np.arange(2048, dtype=np.float64)
+    gx2, gy2 = np.meshgrid(g2, g2, indexing="ij")
+    rdef = gx2 + 5.0 * np.sin(gy2 / 300.0)
+    cdef = gy2 + 5.0 * np.sin(gx2 / 300.0)
+    timed("inv_dfield", lambda: generate_inverse_dfield(rdef, cdef), repeats)
+
     wf = apply_jitter(
         synth, ["X", "Y", "t", "ADC"], cols_jittered=["X", "Y", "t", "ADC"], seed=1,
     )

@@ -1,0 +1,214 @@
+"""Driver-side momentum distortion estimation (SURVEY §2.8).
+
+The reference estimates the detector deformation field from symmetry
+landmarks with the ``symmetrize`` package (thin-plate splines) and inverts
+it with ``scipy.interpolate.griddata``
+(reference: src/sed/calibrator/momentum.py:419-826, 2143-2215). Neither
+dependency exists in this runtime, so the same math is implemented directly:
+
+* thin-plate-spline warping is a small dense linear solve (the classic
+  Bookstein formulation — public knowledge);
+* the inverse field is computed by damped fixed-point iteration on the
+  forward field (converges for the smooth, small-amplitude distortions this
+  calibration produces) instead of scattered-data regridding;
+* 2-D feature extraction is a local-maximum filter.
+
+Everything here consumes the small binned k-space slice on the driver; the
+distributed operator that APPLIES the field is
+:func:`sed_spark.calibrator.momentum.apply_dfield`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sed_spark.calibrator.momentum import bilinear_sample
+
+__all__ = [
+    "peakdetect2d",
+    "thin_plate_spline",
+    "spline_warp_field",
+    "coordinate_transform_field",
+    "generate_inverse_dfield",
+]
+
+
+def peakdetect2d(image: np.ndarray, radius: int = 5, threshold: float = 0.0,
+                 max_peaks: int = 64) -> np.ndarray:
+    """Local-maximum peak detection on a 2-D slice
+    (reference src/sed/calibrator/momentum.py:419-478 uses
+    ``symmetrize.pointops.peakdetect2d``). Returns (n, 2) array of (row,
+    col) positions sorted by descending intensity."""
+    img = np.asarray(image, dtype=np.float64)
+    h, w = img.shape
+    # dilate by shifting — a point is a peak if it equals the neighborhood max
+    padded = np.full((h + 2 * radius, w + 2 * radius), -np.inf)
+    padded[radius:radius + h, radius:radius + w] = img
+    neigh_max = np.full_like(img, -np.inf)
+    for dr in range(-radius, radius + 1):
+        for dc in range(-radius, radius + 1):
+            view = padded[radius + dr:radius + dr + h, radius + dc:radius + dc + w]
+            neigh_max = np.maximum(neigh_max, view)
+    is_peak = (img >= neigh_max) & (img > threshold)
+    rows, cols = np.nonzero(is_peak)
+    order = np.argsort(img[rows, cols])[::-1][:max_peaks]
+    return np.column_stack([rows[order], cols[order]]).astype(np.float64)
+
+
+def thin_plate_spline(
+    source: np.ndarray,
+    target: np.ndarray,
+    smoothing: float = 0.0,
+):
+    """Fit a 2-D thin-plate-spline mapping source→target landmarks.
+
+    Bookstein's TPS: f(p) = a0 + a·p + Σ wᵢ U(|p − srcᵢ|), U(r) = r² log r².
+    Returns a callable evaluating the warp at (n, 2) query points. This is
+    the same model the reference's ``symmetrize.tps`` applies
+    (momentum.py:627-826)."""
+    src = np.asarray(source, dtype=np.float64)
+    dst = np.asarray(target, dtype=np.float64)
+    n = len(src)
+    if n < 3:
+        raise ValueError("need at least 3 landmarks for a TPS fit")
+
+    def radial(d2):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = d2 * np.log(d2)
+        return np.nan_to_num(out, nan=0.0, neginf=0.0)
+
+    d2 = np.sum((src[:, None, :] - src[None, :, :]) ** 2, axis=-1)
+    kmat = radial(d2) + smoothing * np.eye(n)
+    pmat = np.hstack([np.ones((n, 1)), src])
+    lmat = np.zeros((n + 3, n + 3))
+    lmat[:n, :n] = kmat
+    lmat[:n, n:] = pmat
+    lmat[n:, :n] = pmat.T
+    rhs = np.zeros((n + 3, 2))
+    rhs[:n] = dst
+    params = np.linalg.solve(lmat, rhs)
+    w, a = params[:n], params[n:]
+
+    def warp(points: np.ndarray) -> np.ndarray:
+        pts = np.atleast_2d(np.asarray(points, dtype=np.float64))
+        d2q = np.sum((pts[:, None, :] - src[None, :, :]) ** 2, axis=-1)
+        return radial(d2q) @ w + a[0] + pts @ a[1:]
+
+    return warp
+
+
+def spline_warp_field(
+    features: np.ndarray,
+    targets: np.ndarray,
+    shape: tuple[int, int],
+    include_center: bool = True,
+    center: tuple[float, float] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dense (rdeform, cdeform) field warping ``features`` onto ``targets``
+    (reference spline_warp_estimate, momentum.py:627-826: symmetry landmark
+    positions → ideal symmetric positions).
+
+    Convention follows the reference: the returned field maps CORRECTED
+    coordinates to ORIGINAL ones (an inverse warp, ready for resampling),
+    i.e. deform[r, c] = tps(target→feature)(r, c).
+    """
+    src = np.asarray(targets, dtype=np.float64)
+    dst = np.asarray(features, dtype=np.float64)
+    if include_center and center is not None:
+        src = np.vstack([src, center])
+        dst = np.vstack([dst, center])
+    warp = thin_plate_spline(src, dst)
+    h, w = shape
+    rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    pts = np.column_stack([rr.ravel(), cc.ravel()])
+    mapped = warp(pts)
+    return mapped[:, 0].reshape(shape), mapped[:, 1].reshape(shape)
+
+
+def coordinate_transform_field(
+    shape: tuple[int, int],
+    transform_type: str,
+    rdeform_field: np.ndarray | None = None,
+    cdeform_field: np.ndarray | None = None,
+    **kwds,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Compose an affine pose adjustment (translation / scaling / rotation)
+    onto an existing deformation field
+    (reference coordinate_transform + pose_adjustment,
+    momentum.py:910-1287). Fields use the same inverse-warp convention as
+    :func:`spline_warp_field`."""
+    h, w = shape
+    rr, cc = np.meshgrid(np.arange(h, dtype=np.float64),
+                         np.arange(w, dtype=np.float64), indexing="ij")
+    if transform_type == "translation":
+        xtrans, ytrans = kwds.get("xtrans", 0.0), kwds.get("ytrans", 0.0)
+        rsrc, csrc = rr - xtrans, cc - ytrans
+    elif transform_type == "scaling":
+        xs, ys = kwds.get("xscale", 1.0), kwds.get("yscale", 1.0)
+        xc = kwds.get("xcenter", (h - 1) / 2)
+        yc = kwds.get("ycenter", (w - 1) / 2)
+        rsrc = xc + (rr - xc) / xs
+        csrc = yc + (cc - yc) / ys
+    elif transform_type == "rotation":
+        angle = np.radians(kwds.get("angle", 0.0))
+        xc = kwds.get("center", ((h - 1) / 2, (w - 1) / 2))[0]
+        yc = kwds.get("center", ((h - 1) / 2, (w - 1) / 2))[1]
+        cosa, sina = np.cos(angle), np.sin(angle)
+        rsrc = xc + (rr - xc) * cosa + (cc - yc) * sina
+        csrc = yc - (rr - xc) * sina + (cc - yc) * cosa
+    else:
+        raise ValueError(f"unknown transform_type {transform_type!r}")
+
+    if rdeform_field is None:
+        return rsrc, csrc
+    # compose: sample the existing field at the new source coordinates
+    return (
+        bilinear_sample(rdeform_field, rsrc.ravel(), csrc.ravel()).reshape(shape),
+        bilinear_sample(cdeform_field, rsrc.ravel(), csrc.ravel()).reshape(shape),
+    )
+
+
+def generate_inverse_dfield(
+    rdeform_field: np.ndarray,
+    cdeform_field: np.ndarray,
+    bin_ranges: list[tuple[float, float]] | None = None,
+    detector_ranges: list[tuple[float, float]] | None = None,
+    max_iter: int = 50,
+    tol: float = 1e-3,
+) -> np.ndarray:
+    """Invert a smooth deformation field by damped fixed-point iteration.
+
+    The reference scatters the forward field and regrids with
+    ``scipy.interpolate.griddata`` (momentum.py:2143-2215). For the smooth
+    small-amplitude fields this calibration produces, solving
+    ``F(p) = q`` per grid point with ``p ← p + (q − F(p))`` converges in a
+    handful of sweeps, is fully vectorized, and needs no scattered-data
+    machinery. Returns the (2, H, W) inverse field consumed by
+    ``apply_dfield``.
+    """
+    rdef = np.asarray(rdeform_field, dtype=np.float64)
+    cdef = np.asarray(cdeform_field, dtype=np.float64)
+    h, w = rdef.shape
+    rr, cc = np.meshgrid(np.arange(h, dtype=np.float64),
+                         np.arange(w, dtype=np.float64), indexing="ij")
+    # initial guess: identity
+    rp, cp = rr.copy(), cc.copy()
+    for _ in range(max_iter):
+        fr = bilinear_sample(rdef, rp.ravel(), cp.ravel()).reshape(h, w)
+        fc = bilinear_sample(cdef, rp.ravel(), cp.ravel()).reshape(h, w)
+        dr, dc = rr - fr, cc - fc
+        rp += dr
+        cp += dc
+        if max(np.abs(dr).max(), np.abs(dc).max()) < tol:
+            break
+    inverse = np.stack([rp, cp])
+    if bin_ranges and detector_ranges:
+        # rescale from bin index space to detector coordinates, like the
+        # reference's interp_ranges handling (momentum.py:2180-2204)
+        for axis, ((blo, bhi), (dlo, dhi)) in enumerate(
+            zip(bin_ranges, detector_ranges),
+        ):
+            n = inverse.shape[1 + axis]
+            scale = (bhi - blo) / n
+            inverse[axis] = inverse[axis] * scale + blo
+    return inverse
