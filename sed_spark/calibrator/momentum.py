@@ -72,15 +72,36 @@ def append_k_axis(
     return df.withColumns({kx_column: kx, ky_column: ky})
 
 
-def bilinear_sample(grid: np.ndarray, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+def bilinear_sample(
+    grid: np.ndarray,
+    rows: np.ndarray,
+    cols: np.ndarray,
+    mode: str = "constant",
+) -> np.ndarray:
     """Bilinear interpolation of ``grid`` at fractional (rows, cols).
 
-    Matches ``scipy.ndimage.map_coordinates(grid, [rows, cols], order=1,
-    mode='constant', cval=0)`` semantics — the reference's dfield lookup
-    (momentum.py:2119-2124) — without the scipy dependency: points outside
-    the grid sample 0 for the out-of-bounds corners.
+    ``mode="constant"`` matches ``scipy.ndimage.map_coordinates(grid,
+    [rows, cols], order=1, mode='constant', cval=0)`` semantics — the
+    reference's dfield lookup (momentum.py:2119-2124) — without the scipy
+    dependency: points outside the grid sample 0 for the out-of-bounds
+    corners. ``mode="nearest"`` clamps to the edge instead (used by the
+    field inversion, where cval=0 would make boundary iterates diverge).
     """
     h, w = grid.shape
+    if mode == "nearest":
+        rows = np.clip(rows, 0.0, h - 1.0)
+        cols = np.clip(cols, 0.0, w - 1.0)
+        r0 = np.minimum(np.floor(rows).astype(np.int64), h - 2)
+        c0 = np.minimum(np.floor(cols).astype(np.int64), w - 2)
+        fr = rows - r0
+        fc = cols - c0
+        v00 = grid[r0, c0]
+        v01 = grid[r0, c0 + 1]
+        v10 = grid[r0 + 1, c0]
+        v11 = grid[r0 + 1, c0 + 1]
+        top = v00 * (1 - fc) + v01 * fc
+        bot = v10 * (1 - fc) + v11 * fc
+        return top * (1 - fr) + bot * fr
     r0 = np.floor(rows).astype(np.int64)
     c0 = np.floor(cols).astype(np.int64)
     fr = rows - r0

@@ -168,6 +168,27 @@ def coordinate_transform_field(
     )
 
 
+def _upsample_regular(coarse: np.ndarray, stride: int, h: int, w: int) -> np.ndarray:
+    """Bilinear upsample of a stride-subsampled lattice to (h, w).
+
+    Separable interpolation with slice arithmetic — no gather indexing, so
+    it's several times faster than a generic bilinear lookup at the same
+    output size (this runs once per inversion on the full fine grid).
+    """
+    ch, cw = coarse.shape
+    ri = np.minimum(np.arange(h) / stride, ch - 1.0)
+    ci = np.minimum(np.arange(w) / stride, cw - 1.0)
+    r0 = np.minimum(ri.astype(np.int64), ch - 2)
+    c0 = np.minimum(ci.astype(np.int64), cw - 2)
+    fr = (ri - r0)[:, None]
+    fc = (ci - c0)[None, :]
+    rows_lo = coarse[r0]
+    rows_hi = coarse[r0 + 1]
+    top = rows_lo[:, c0] * (1 - fc) + rows_lo[:, c0 + 1] * fc
+    bot = rows_hi[:, c0] * (1 - fc) + rows_hi[:, c0 + 1] * fc
+    return top * (1 - fr) + bot * fr
+
+
 def generate_inverse_dfield(
     rdeform_field: np.ndarray,
     cdeform_field: np.ndarray,
@@ -191,16 +212,59 @@ def generate_inverse_dfield(
     h, w = rdef.shape
     rr, cc = np.meshgrid(np.arange(h, dtype=np.float64),
                          np.arange(w, dtype=np.float64), indexing="ij")
-    # initial guess: identity
-    rp, cp = rr.copy(), cc.copy()
-    for _ in range(max_iter):
-        fr = bilinear_sample(rdef, rp.ravel(), cp.ravel()).reshape(h, w)
-        fc = bilinear_sample(cdef, rp.ravel(), cp.ravel()).reshape(h, w)
-        dr, dc = rr - fr, cc - fc
-        rp += dr
-        cp += dc
-        if max(np.abs(dr).max(), np.abs(dc).max()) < tol:
-            break
+    # displacement amplitude: targets closer than this to an edge may have
+    # their inverse in (or routed through) the clamped extrapolation zone,
+    # where the fixed point creeps instead of contracting — and where the
+    # reference's griddata yields NaN anyway. They get best-effort values
+    # but don't gate convergence.
+    margin = float(max(np.abs(rdef - rr).max(), np.abs(cdef - cc).max())) + 1.0
+
+    def _solve(rd, cd, tr, tc, rp, cp, scale, iters):
+        # F evaluated with edge-clamped sampling: cval=0 would send
+        # boundary iterates across the grid and the residual would never
+        # shrink
+        hi_r = (rd.shape[0] - 1) * scale
+        hi_c = (rd.shape[1] - 1) * scale
+        gate = (
+            (tr >= margin) & (tr <= hi_r - margin)
+            & (tc >= margin) & (tc <= hi_c - margin)
+        )
+        if not gate.any():
+            gate = None
+        for _ in range(iters):
+            fr = bilinear_sample(rd, rp.ravel() / scale, cp.ravel() / scale,
+                                 mode="nearest").reshape(tr.shape)
+            fc = bilinear_sample(cd, rp.ravel() / scale, cp.ravel() / scale,
+                                 mode="nearest").reshape(tr.shape)
+            dr, dc = tr - fr, tc - fc
+            rp += dr
+            cp += dc
+            if gate is not None:
+                res = max(np.abs(dr[gate]).max(), np.abs(dc[gate]).max())
+            else:
+                res = max(np.abs(dr).max(), np.abs(dc).max())
+            if res < tol:
+                break
+        return rp, cp
+    stride = 8 if min(h, w) >= 512 else 1
+    if stride > 1:
+        # coarse-to-fine: solve on a stride-subsampled lattice first, then
+        # upsample that inverse as the fine initial guess — most of the
+        # Newton work happens on 1/64th of the points
+        rs, cs = rdef[::stride, ::stride], cdef[::stride, ::stride]
+        rrc, ccc = rr[::stride, ::stride], cc[::stride, ::stride]
+        rpc, cpc = _solve(rs, cs, rrc, ccc, rrc.copy(), ccc.copy(),
+                          float(stride), max_iter)
+        # edge-lattice values are clamp-creep junk; the true inverse never
+        # displaces more than the field amplitude, so clip the guess there
+        # — keeps the fine level at 2-3 Newton sweeps instead of ~10
+        np.clip(rpc, rrc - margin, rrc + margin, out=rpc)
+        np.clip(cpc, ccc - margin, ccc + margin, out=cpc)
+        rp = _upsample_regular(rpc, stride, h, w)
+        cp = _upsample_regular(cpc, stride, h, w)
+    else:
+        rp, cp = rr.copy(), cc.copy()
+    rp, cp = _solve(rdef, cdef, rr, cc, rp, cp, 1.0, max_iter)
     inverse = np.stack([rp, cp])
     if bin_ranges and detector_ranges:
         # rescale from bin index space to detector coordinates, like the

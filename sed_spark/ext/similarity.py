@@ -14,7 +14,18 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dot_expr", "norm2_expr", "cosine_expr", "cosine_topk", "hyperplane_lsh_buckets"]
+__all__ = [
+    "dot_expr",
+    "norm2_expr",
+    "cosine_expr",
+    "cosine_topk",
+    "hyperplane_lsh_buckets",
+    "deterministic_planes",
+    "lsh_band_buckets",
+    "embedding_near_dup",
+    "ivf_assign",
+    "ivf_topk",
+]
 
 
 def _sum(arr: Column) -> Column:
@@ -81,3 +92,147 @@ def hyperplane_lsh_buckets(
         )
         bucket = bit if bucket is None else bucket + bit
     return df.select(F.col(id_col), F.col(vec_col), bucket.cast("int").alias("bucket"))
+
+
+def deterministic_planes(n_planes: int, dim: int, seed: int = 7):
+    """Seeded random hyperplanes, shared verbatim between the Spark
+    expression tree and the DuckDB oracle SQL (both get the same Python
+    float literals, so bucket bits agree bit-for-bit)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_band_buckets(
+    df: DataFrame,
+    planes: Sequence[Sequence[float]],
+    n_bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded hyperplane LSH: split ``planes`` into ``n_bands`` groups and
+    emit one (id, vec, band, bucket) row per band (OR-construction — a pair
+    is a candidate if ANY band's sign bits fully agree). Built as an inline
+    array of structs + ``posexplode``-style explode, so index build is one
+    JVM-side pass with no shuffle."""
+    per = len(planes) // n_bands
+    entries = []
+    for b in range(n_bands):
+        bucket = None
+        for i, p in enumerate(planes[b * per:(b + 1) * per]):
+            arr = F.array(*[F.lit(float(v)) for v in p])
+            bit = F.when(dot_expr(F.col(vec_col), arr) >= 0, F.lit(1 << i)).otherwise(
+                F.lit(0),
+            )
+            bucket = bit if bucket is None else bucket + bit
+        entries.append(F.struct(F.lit(b).alias("band"), bucket.cast("int").alias("bucket")))
+    return (
+        df.select(F.col(id_col), F.col(vec_col), F.explode(F.array(*entries)).alias("bb"))
+        .select(id_col, vec_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    planes: Sequence[Sequence[float]] | None = None,
+    n_bands: int = 4,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded LSH.
+
+    Scale path for near-dedup over embeddings: candidate generation is a
+    bucket **equi-join** (shuffle on (band, bucket), ~N·bands rows) instead
+    of the O(N²) cross join; only candidates pay the exact-cosine verify.
+    At 100 TB the band/bucket key is well-distributed by construction
+    (random hyperplane signs), so the join does not skew.
+    """
+    if planes is None:
+        planes = deterministic_planes(16, 64)
+    b = lsh_band_buckets(df, planes, n_bands, id_col=id_col, vec_col=vec_col)
+    left = b.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "band", "bucket",
+    )
+    right = b.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "band", "bucket",
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_vec", "b_vec")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    sim = F.round(cosine_expr(F.col("a_vec"), F.col("b_vec")), round_decimals)
+    return (
+        cand.select("a_id", "b_id", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """IVF coarse quantization: bucket = argmax cosine over the centroid
+    list, computed ROW-LOCALLY (an array of centroid similarities +
+    ``array_position(array_max)``) — the index build is a zero-shuffle
+    single pass, and ties break to the lowest centroid id.
+
+    ``centroids`` would come from k-means (``pyspark.ml.clustering.KMeans``)
+    in production; any small literal list works — it rides in the expression
+    tree, no broadcast join needed.
+    """
+    sims = F.array(
+        *[
+            F.round(
+                cosine_expr(F.col(vec_col), F.array(*[F.lit(float(v)) for v in c])),
+                round_decimals,
+            )
+            for c in centroids
+        ],
+    )
+    bucket = F.array_position(sims, F.array_max(sims)).cast("int")
+    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """IVF-probed ANN: score only the vectors sharing the query's coarse
+    bucket (nprobe=1). At scale, write the assigned table partitioned by
+    ``bucket`` so the probe is a partition-pruned scan of N/len(centroids)
+    rows instead of the full table."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    # same argmax-of-rounded-cosine rule as ivf_assign (first max wins)
+    sims = np.round(
+        cents @ q / (np.sqrt((cents * cents).sum(axis=1)) * np.sqrt(q @ q)),
+        round_decimals,
+    )
+    qbucket = int(np.argmax(sims)) + 1
+
+    assigned = ivf_assign(
+        df, centroids, id_col=id_col, vec_col=vec_col, round_decimals=round_decimals,
+    )
+    qarr = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = F.round(cosine_expr(F.col(vec_col), qarr), round_decimals)
+    return (
+        assigned.filter(F.col("bucket") == qbucket)
+        .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -146,6 +146,113 @@ FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
+_NEARDUP_PLANES = similarity.deterministic_planes(16, 64)
+_NEARDUP_BANDS = 4
+
+
+def embedding_near_dup(spark, sf_dir):
+    return similarity.embedding_near_dup(
+        load(spark, sf_dir, "embeddings"),
+        planes=_NEARDUP_PLANES,
+        n_bands=_NEARDUP_BANDS,
+        threshold=0.4,
+    )
+
+
+def _near_dup_sql() -> str:
+    """Mirror of embedding_near_dup: same plane literals, same band/bucket
+    construction, same rounded-cosine threshold."""
+    from sed_spark.suite.common import fl
+
+    per = len(_NEARDUP_PLANES) // _NEARDUP_BANDS
+
+    def dot(vec_sql: str, plane: list[float]) -> str:
+        lits = ", ".join(fl(v) for v in plane)
+        return (
+            f"list_sum(list_transform(generate_series(1, 64), "
+            f"j -> CAST({vec_sql}[j] AS DOUBLE) * ([{lits}])[j]))"
+        )
+
+    band_selects = []
+    for b in range(_NEARDUP_BANDS):
+        bits = " + ".join(
+            f"(CASE WHEN {dot('embedding', _NEARDUP_PLANES[b * per + i])} >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(per)
+        )
+        band_selects.append(
+            f"SELECT vec_id, embedding, {b} AS band, CAST({bits} AS INTEGER) AS bucket "
+            f"FROM embeddings",
+        )
+    bands = " UNION ALL ".join(band_selects)
+    cos = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "j -> CAST(ea.embedding[j] AS DOUBLE) * CAST(eb.embedding[j] AS DOUBLE))) "
+        "/ (sqrt(list_sum(list_transform(generate_series(1, 64), "
+        "j -> CAST(ea.embedding[j] AS DOUBLE) * CAST(ea.embedding[j] AS DOUBLE)))) "
+        "* sqrt(list_sum(list_transform(generate_series(1, 64), "
+        "j -> CAST(eb.embedding[j] AS DOUBLE) * CAST(eb.embedding[j] AS DOUBLE)))))"
+    )
+    return f"""
+WITH bands AS ({bands}),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, round({cos}, 6) AS cos_sim
+FROM pairs
+JOIN embeddings ea ON ea.vec_id = a_id
+JOIN embeddings eb ON eb.vec_id = b_id
+WHERE round({cos}, 6) >= 0.4
+"""
+
+
+_IVF_CENTROIDS = similarity.deterministic_planes(8, 64, seed=21)
+
+
+def ann_ivf_topk(spark, sf_dir):
+    df = load(spark, sf_dir, "embeddings")
+    qvec = df.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.ivf_topk(df, _IVF_CENTROIDS, qvec, k=10)
+
+
+def _ivf_sql() -> str:
+    from sed_spark.suite.common import fl
+
+    def cos_lit(vec_sql: str, cent: list[float]) -> str:
+        lits = ", ".join(fl(v) for v in cent)
+        return (
+            f"round(list_sum(list_transform(generate_series(1, 64), "
+            f"j -> CAST({vec_sql}[j] AS DOUBLE) * ([{lits}])[j])) "
+            f"/ (sqrt(list_sum(list_transform(generate_series(1, 64), "
+            f"j -> CAST({vec_sql}[j] AS DOUBLE) * CAST({vec_sql}[j] AS DOUBLE)))) "
+            f"* sqrt({fl(sum(v * v for v in cent))})), 6)"
+        )
+
+    arr = "[" + ", ".join(cos_lit("embedding", c) for c in _IVF_CENTROIDS) + "]"
+    qcos = (
+        "round(list_sum(list_transform(generate_series(1, 64), "
+        "j -> CAST(a.embedding[j] AS DOUBLE) * CAST(q.embedding[j] AS DOUBLE))) "
+        "/ (sqrt(list_sum(list_transform(generate_series(1, 64), "
+        "j -> CAST(a.embedding[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE)))) "
+        "* sqrt(list_sum(list_transform(generate_series(1, 64), "
+        "j -> CAST(q.embedding[j] AS DOUBLE) * CAST(q.embedding[j] AS DOUBLE)))))"
+        ", 6)"
+    )
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding, list_position(arr, list_max(arr)) AS bucket
+  FROM (SELECT vec_id, embedding, {arr} AS arr FROM embeddings)
+),
+q AS (SELECT embedding, bucket FROM assigned WHERE vec_id = 0)
+SELECT a.vec_id, {qcos} AS cos_sim
+FROM assigned a, q
+WHERE a.bucket = q.bucket
+ORDER BY cos_sim DESC, a.vec_id LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -230,6 +337,8 @@ QUERIES.update(
         "jaccard_pairs": {"spark": jaccard_pairs, "sql": JACCARD_SQL},
         "simhash": {"spark": simhash, "sql": _simhash_sql()},
         "ann_cosine_topk": {"spark": ann_cosine_topk, "sql": ANN_SQL},
+        "embedding_near_dup": {"spark": embedding_near_dup, "sql": _near_dup_sql()},
+        "ann_ivf_topk": {"spark": ann_ivf_topk, "sql": _ivf_sql()},
         "text_quality": {"spark": text_quality, "sql": TEXT_QUALITY_SQL},
         "lang_id": {"spark": lang_id, "sql": LANG_SQL},
         "token_stats": {"spark": token_stats, "sql": TOKEN_SQL},

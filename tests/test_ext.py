@@ -1,0 +1,88 @@
+"""Unit tests for the training-data extension operators (ext/)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sed_spark.ext import similarity
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    """60 random 16-dim vectors plus two planted near-duplicate pairs."""
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((60, 16)).astype(np.float32)
+    vecs[50] = vecs[10] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    vecs[51] = vecs[20] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(60), "embedding": [list(map(float, v)) for v in vecs]})
+    return spark.createDataFrame(pdf), vecs
+
+
+def _np_cos(a, b):
+    a, b = np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_cosine_topk_matches_numpy(emb_df):
+    df, vecs = emb_df
+    q = [float(v) for v in vecs[10]]
+    got = similarity.cosine_topk(df, q, k=5).collect()
+    sims = np.round([_np_cos(v, q) for v in vecs], 6)
+    order = np.lexsort((np.arange(60), -sims))[:5]
+    assert [r.vec_id for r in got] == [int(i) for i in order]
+    assert got[0].vec_id == 10  # self-match first
+    assert got[1].vec_id == 50  # planted near-dup second
+
+
+def test_embedding_near_dup_finds_planted_pairs(emb_df):
+    df, _ = emb_df
+    planes = similarity.deterministic_planes(16, 16, seed=5)
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in similarity.embedding_near_dup(
+            df, planes=planes, n_bands=8, threshold=0.9,
+        ).collect()
+    }
+    # near-identical vectors agree on every hyperplane sign, so banded LSH
+    # cannot miss them, and nothing else is remotely that similar
+    assert pairs == {(10, 50), (20, 51)}
+
+
+def test_lsh_band_buckets_shape(emb_df):
+    df, _ = emb_df
+    planes = similarity.deterministic_planes(16, 16, seed=5)
+    b = similarity.lsh_band_buckets(df, planes, n_bands=4)
+    rows = b.collect()
+    assert len(rows) == 60 * 4
+    assert all(0 <= r.bucket < 16 for r in rows)
+    # identical vectors land in identical buckets per band
+    by_id = {(r.vec_id, r.band): r.bucket for r in rows}
+    assert all(by_id[(10, band)] == by_id[(50, band)] for band in range(4))
+
+
+def test_ivf_assign_matches_numpy_argmax(emb_df):
+    df, vecs = emb_df
+    cents = similarity.deterministic_planes(4, 16, seed=9)
+    got = {r.vec_id: r.bucket for r in similarity.ivf_assign(df, cents).collect()}
+    c = np.asarray(cents)
+    sims = np.round(
+        (vecs.astype(np.float64) @ c.T)
+        / (np.linalg.norm(vecs.astype(np.float64), axis=1, keepdims=True)
+           * np.linalg.norm(c, axis=1)),
+        6,
+    )
+    want = sims.argmax(axis=1) + 1
+    assert got == {i: int(want[i]) for i in range(60)}
+
+
+def test_ivf_topk_subset_of_bucket(emb_df):
+    df, vecs = emb_df
+    cents = similarity.deterministic_planes(4, 16, seed=9)
+    q = [float(v) for v in vecs[10]]
+    got = similarity.ivf_topk(df, cents, q, k=5)
+    rows = got.collect()
+    assert 0 < len(rows) <= 5
+    assert rows[0].vec_id == 10  # query vector is in its own probe bucket
+    buckets = {r.vec_id: r.bucket for r in similarity.ivf_assign(df, cents).collect()}
+    assert len({buckets[r.vec_id] for r in rows}) == 1  # single probed bucket
