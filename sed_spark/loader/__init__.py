@@ -11,12 +11,14 @@ from typing import Callable
 
 from sed_spark.loader.flash import FlashLikeLoader
 from sed_spark.loader.generic import GenericLoader
+from sed_spark.loader.mpes import MpesLoader
 
 _REGISTRY: dict[str, Callable] = {
     "generic": GenericLoader,
     "parquet": GenericLoader,
     "flash": FlashLikeLoader,
     "sxp": FlashLikeLoader,
+    "mpes": MpesLoader,
 }
 
 

@@ -1,0 +1,205 @@
+"""mpes-style loader: HDF5 per-channel datasets → events table, with
+per-event timestamp synthesis from millisecond markers.
+
+Reference shape (src/sed/loader/mpes/loader.py):
+
+* one HDF5 file per scan; one dataset per channel, all cast float32 unless
+  configured otherwise (386-389);
+* ``msMarkers`` dataset: events-per-millisecond counts used to synthesize a
+  per-event epoch timestamp by interpolating the event index against the
+  marker cumulative sum (392-431);
+* a "timed" table with one row per ms interval (182-292);
+* per-file attributes broadcast onto every row (163-169).
+
+Spark-first re-expression: the HDF5 read is a **driver-side conversion to
+parquet staging** (gated on ``h5py``, absent in this runtime), after which
+everything is ordinary parquet scanning with a ``file_id`` column. Timestamp
+synthesis is a vectorized Arrow-batched transform over (file_id,
+row-in-file) against small broadcast marker arrays — the same
+``np.interp`` the reference runs per partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sed_spark.loader.generic import GenericLoader, natural_sort
+
+try:  # pragma: no cover - h5py not in this runtime
+    import h5py  # type: ignore
+
+    HAS_H5PY = True
+except Exception:  # pragma: no cover
+    HAS_H5PY = False
+
+__all__ = [
+    "MpesLoader",
+    "synthesize_timestamps",
+    "timed_dataframe_from_markers",
+    "count_rate_from_markers",
+]
+
+
+def synthesize_timestamps(
+    df: DataFrame,
+    ms_markers: Mapping[int, np.ndarray],
+    start_times: Mapping[int, float],
+    file_id_column: str = "file_id",
+    index_column: str = "row_index",
+    timestamp_column: str = "timeStamp",
+) -> DataFrame:
+    """Append per-event epoch timestamps interpolated from ms markers.
+
+    ``ms_markers[f]`` holds events-per-millisecond counts for file ``f``
+    (the reference's ``msMarkers`` dataset); an event whose within-file row
+    index falls between cumulative markers ``k`` and ``k+1`` acquired during
+    millisecond ``k``, so ``ts = start + interp(row, cumsum(markers),
+    arange(n_ms)) * 1e-3`` — exactly the reference's
+    ``np.interp``-based synthesis (mpes/loader.py:392-431).
+
+    Distributed shape: the marker arrays are small (one float per ms of
+    acquisition) and ride to the executors via closure broadcast; the
+    transform is a vectorized Arrow-batched function of two columns, no
+    shuffle. Scale note: at 1000 files × minutes each this is a few MB of
+    broadcast state — negligible against the event table.
+    """
+    interp_tables = {
+        int(f): (
+            np.concatenate([[0.0], np.cumsum(np.asarray(m, dtype=np.float64))]),
+            float(start_times[f]),
+        )
+        for f, m in ms_markers.items()
+    }
+
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _synth(file_ids: pd.Series, idx: pd.Series) -> pd.Series:
+        out = np.full(len(idx), np.nan)
+        fids = file_ids.to_numpy()
+        rows = idx.to_numpy(dtype=np.float64)
+        for f in np.unique(fids):
+            table = interp_tables.get(int(f))
+            if table is None:
+                continue
+            cum, start = table
+            sel = fids == f
+            ms = np.interp(rows[sel], cum, np.arange(len(cum), dtype=np.float64))
+            out[sel] = start + ms * 1e-3
+        return pd.Series(out)
+
+    return df.withColumn(
+        timestamp_column, _synth(F.col(file_id_column), F.col(index_column)),
+    )
+
+
+def timed_dataframe_from_markers(
+    spark: SparkSession,
+    ms_markers: Mapping[int, np.ndarray],
+    start_times: Mapping[int, float],
+    timestamp_column: str = "timeStamp",
+) -> DataFrame:
+    """One row per millisecond of acquisition — the reference's timed table
+    (mpes/loader.py:182-292). Built driver-side (markers are tiny) and
+    parallelized; downstream transforms treat it exactly like the event
+    table."""
+    frames = []
+    for f, markers in ms_markers.items():
+        n = len(np.asarray(markers))
+        frames.append(
+            pd.DataFrame(
+                {
+                    "file_id": np.full(n, int(f), dtype=np.int32),
+                    "ms_index": np.arange(n, dtype=np.int64),
+                    timestamp_column: float(start_times[f])
+                    + np.arange(n, dtype=np.float64) * 1e-3,
+                    "events_in_ms": np.asarray(markers, dtype=np.float64),
+                },
+            ),
+        )
+    pdf = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        columns=["file_id", "ms_index", timestamp_column, "events_in_ms"],
+    )
+    return spark.createDataFrame(pdf)
+
+
+def count_rate_from_markers(
+    ms_markers: Mapping[int, np.ndarray],
+    rolling_ms: int = 1000,
+) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+    """Per-file (time_s, events/s) count-rate series from ms markers
+    (reference mpes/loader.py:533-556): rolling sum over ``rolling_ms``
+    milliseconds. Driver-side — the markers are already tiny."""
+    out = {}
+    for f, m in ms_markers.items():
+        m = np.asarray(m, dtype=np.float64)
+        if len(m) == 0:
+            out[int(f)] = (np.array([]), np.array([]))
+            continue
+        kernel = np.ones(min(rolling_ms, len(m)))
+        rate = np.convolve(m, kernel, mode="valid") / (len(kernel) * 1e-3)
+        t = (np.arange(len(rate)) + len(kernel)) * 1e-3
+        out[int(f)] = (t, rate)
+    return out
+
+
+class MpesLoader(GenericLoader):
+    """HDF5 (one dataset per channel) → parquet staging → Spark scan.
+
+    The HDF5 decode is driver-side and gated on ``h5py`` (not available in
+    this runtime — conversion raises, everything downstream is tested via
+    parquet fixtures). Columns are cast float32 like the reference
+    (mpes/loader.py:386-389) unless ``channel_dtypes`` overrides.
+    """
+
+    supported_file_types = ("parquet", "h5", "hdf5")
+
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        config: dict | None = None,
+        **kwds,
+    ):
+        super().__init__(spark=spark, **kwds)
+        self.config = config or {}
+
+    def read_dataframe(
+        self,
+        files: Sequence[str] | None = None,
+        folder: str | None = None,
+        ftype: str = "parquet",
+        **kwds,
+    ) -> tuple[DataFrame, dict]:
+        if ftype in ("h5", "hdf5"):
+            if not HAS_H5PY:
+                raise NotImplementedError(
+                    "HDF5 decode needs h5py, which is not available in this "
+                    "runtime; stage the files to parquet and load with "
+                    "ftype='parquet'",
+                )
+            files = natural_sort(list(files or []))
+            staged = [self._stage_h5(f) for f in files]  # pragma: no cover
+            return super().read_dataframe(files=staged, ftype="parquet", **kwds)
+        return super().read_dataframe(files=files, folder=folder, ftype=ftype, **kwds)
+
+    def _stage_h5(self, path: str) -> str:  # pragma: no cover - needs h5py
+        """One HDF5 file → one staged parquet: stack channel datasets as
+        float32 columns (reference hdf5_to_dataframe,
+        mpes/loader.py:56-179)."""
+        channels = self.config.get("channels", {})
+        dtypes = self.config.get("channel_dtypes", {})
+        with h5py.File(path, "r") as h5:
+            cols = {
+                name: np.asarray(h5[spec["dataset_key"]]).astype(
+                    dtypes.get(name, "float32"),
+                )
+                for name, spec in channels.items()
+            }
+        out = path.rsplit(".", 1)[0] + ".parquet"
+        pd.DataFrame(cols).to_parquet(out)
+        return out

@@ -658,3 +658,26 @@ sql("count_rate",
     f"{fl(1e6)}) AS rate_hz FROM (SELECT user_id, CAST(max(epoch_us(ts)) - "
     "min(epoch_us(ts)) AS BIGINT) AS elapsed_us, COUNT(*) AS n_events "
     "FROM events GROUP BY user_id)")
+
+
+@q("file_stats")
+def file_stats(spark, sf_dir):
+    """get_stats / get_parquet_metadata equivalent (SURVEY §2.1): per-file
+    row count + column min/max over the file_id dimension the loader
+    materializes (reference src/sed/loader/utils.py:209-266)."""
+    from sed_spark.loader.generic import GenericLoader
+    from sed_spark.loader.stats import file_stats_df
+
+    df, _ = GenericLoader(spark).read_dataframe(
+        files=[f"{sf_dir}/lineitem.parquet"],
+    )
+    return file_stats_df(df, ["l_quantity", "l_extendedprice", "l_shipdate"])
+
+
+sql("file_stats",
+    "SELECT 0 AS file_id, COUNT(*) AS num_rows, "
+    "min(l_quantity) AS l_quantity_min, max(l_quantity) AS l_quantity_max, "
+    "min(l_extendedprice) AS l_extendedprice_min, "
+    "max(l_extendedprice) AS l_extendedprice_max, "
+    "min(l_shipdate) AS l_shipdate_min, max(l_shipdate) AS l_shipdate_max "
+    "FROM lineitem")
