@@ -138,16 +138,64 @@ def bin_index_expr(axis: BinAxis, col: Column | None = None) -> tuple[Column, Co
     return idx, valid
 
 
-def _bin_columns(
+def bin_index_nullable(axis: BinAxis, col: Column | None = None) -> Column:
+    """Nullable bin index: null where the value is NaN/null/out-of-range.
+
+    Folding validity INTO the index expression (instead of a separate
+    ``filter``) is what keeps the physical plan evaluating each axis source
+    exactly once: a pre-aggregation ``Filter`` gets pushed through the axis
+    projection by Catalyst (predicate pushdown has no expression-cost check),
+    re-inlining the full axis expression tree once per conjunct — and
+    ``FilterExec`` does no cross-conjunct subexpression elimination, so a
+    3-conjunct validity check re-evaluates an expensive tree (e.g. the
+    dfield join blend) 3× per row. Measured 71 s → ~3 s on the 1e8-row 4-D
+    momentum workflow. Within a single Project, whole-stage codegen CSE
+    handles the duplicate ``j`` references below.
+    """
+    c = (col if col is not None else F.col(axis.name)).cast("double")
+    if axis.uniform:
+        delta = 1.0 / ((axis.hi - axis.lo) / axis.nbins)
+        j = (c - F.lit(axis.lo)) * F.lit(delta) + F.lit(5e-12)
+        # null c -> null j -> null condition -> null result (dropped later);
+        # NaN compares greater than any double in Spark, so NaN j fails the
+        # upper bound — same exclusion as the reference kernel
+        return F.when(
+            (j >= 0) & (j <= axis.nbins + 1e-11),
+            F.least(F.floor(j), F.lit(axis.nbins - 1)),
+        ).cast(IntegerType())
+    edges = axis.edges
+    arr = F.array(*[F.lit(float(e)) for e in edges[1:-1]])
+    idx = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, e: acc + F.when(c >= e, 1).otherwise(0),
+    )
+    return F.when(
+        (c >= float(edges[0])) & (c <= float(edges[-1])), idx,
+    ).cast(IntegerType())
+
+
+def _axis_source_projection(
     df: DataFrame,
     axes: list[BinAxis],
-    jitter: Sequence[str] | dict | None = None,
-    jitter_seed: int | None = None,
+    jitter: Sequence[str] | dict | None,
+    jitter_seed: int | None,
+    keep_cols: Sequence[str] = (),
 ) -> tuple[DataFrame, list[str]]:
-    """Project the bin-index columns (with optional per-axis jitter)."""
-    cols: dict[str, Column] = {}
+    """Materialize each (optionally jittered) axis source as ONE projected
+    column before any bin arithmetic references it.
+
+    The bin-index expression references its source several times; keeping
+    sources as distinct projected aliases lets ``CollapseProject``'s
+    expression-cost check (SPARK-36718) refuse to re-inline an expensive
+    producer (e.g. the dfield broadcast-join blend feeding kx/ky) into the
+    multi-reference consumer, while cheap plain-column sources still
+    collapse to a single Project. The companion half of the fix is
+    :func:`bin_index_nullable` — no pre-aggregation filter exists for
+    predicate pushdown to duplicate expressions into.
+    """
+    sels: list[Column] = [F.col(c) for c in keep_cols]
     names: list[str] = []
-    valid_all: Column | None = None
     for i, ax in enumerate(axes):
         src: Column = F.col(ax.name)
         if jitter is not None:
@@ -164,13 +212,38 @@ def _bin_columns(
                 else:
                     noise = F.randn(seed) if seed is not None else F.randn()
                 src = src + F.lit(amp * binsize) * noise
-        idx, valid = bin_index_expr(ax, src)
+        name = f"__src_{i}"
+        sels.append(src.alias(name))
+        names.append(name)
+    return df.select(*sels), names
+
+
+def _bin_columns(
+    df: DataFrame,
+    axes: list[BinAxis],
+    jitter: Sequence[str] | dict | None = None,
+    jitter_seed: int | None = None,
+    keep_cols: Sequence[str] | None = None,
+) -> tuple[DataFrame, list[str]]:
+    """Project the bin-index columns (with optional per-axis jitter)."""
+    if keep_cols is None:
+        keep_cols = [c for c in df.columns if c not in {ax.name for ax in axes}]
+    srcdf, snames = _axis_source_projection(df, axes, jitter, jitter_seed, keep_cols)
+    cols: dict[str, Column] = {}
+    names: list[str] = []
+    for ax, sname in zip(axes, snames):
         bname = f"__bin_{ax.name}"
-        cols[bname] = idx
+        cols[bname] = bin_index_nullable(ax, F.col(sname))
         names.append(bname)
-        valid_all = valid if valid_all is None else (valid_all & valid)
-    out = df.withColumns(cols).filter(valid_all)
-    return out, names
+    # validity is folded into the nullable indices; the single isNotNull
+    # conjunct per axis references each axis tree once (vs 3x for a range
+    # filter) — see bin_index_nullable
+    out = srcdf.withColumns(cols).drop(*snames)
+    cond = None
+    for b in names:
+        c = F.col(b).isNotNull()
+        cond = c if cond is None else (cond & c)
+    return out.filter(cond), names
 
 
 def sparse_histogram(
@@ -203,35 +276,20 @@ def sparse_histogram(
 CHUNKED_MIN_CUBE = 512_000_000
 
 
-def _flat_valid_exprs(
-    df: DataFrame,
+def _flat_idx_expr(
     axes: list[BinAxis],
-    jitter: Sequence[str] | dict | None,
-    jitter_seed: int | None,
-) -> tuple[Column, Column]:
-    """Single flattened (row-major) bin index + combined validity."""
+    source_names: Sequence[str],
+) -> Column:
+    """Single flattened (row-major) bin index with validity null-folded:
+    any axis out of range nulls its index, null propagates through the
+    arithmetic, and the caller coalesces to a -1 sentinel — the whole N-D
+    bin computation is ONE Project with no filter anywhere before the
+    aggregation (see :func:`bin_index_nullable` for why that matters)."""
     flat: Column | None = None
-    valid_all: Column | None = None
-    for i, ax in enumerate(axes):
-        src: Column = F.col(ax.name)
-        if jitter is not None:
-            jmap = {k: None for k in jitter} if not isinstance(jitter, dict) else jitter
-            if ax.name in jmap:
-                pars = jmap[ax.name] or {}
-                amp = pars.get("amplitude", 0.5)
-                mode = pars.get("mode", "uniform")
-                binsize = ax.width if ax.uniform else float(ax.edges[1] - ax.edges[0])
-                seed = None if jitter_seed is None else jitter_seed + i
-                if mode == "uniform":
-                    noise = (F.rand(seed) if seed is not None else F.rand()) * 2.0 - 1.0
-                else:
-                    noise = F.randn(seed) if seed is not None else F.randn()
-                src = src + F.lit(amp * binsize) * noise
-        idx, valid = bin_index_expr(ax, src)
-        idx = idx.cast("long")
+    for ax, sname in zip(axes, source_names):
+        idx = bin_index_nullable(ax, F.col(sname)).cast("long")
         flat = idx if flat is None else flat * F.lit(ax.nbins) + idx
-        valid_all = valid if valid_all is None else (valid_all & valid)
-    return flat, valid_all
+    return flat
 
 
 def _dense_via_groupby(proj: DataFrame, cube: int) -> np.ndarray:
@@ -249,7 +307,8 @@ def _dense_via_groupby(proj: DataFrame, cube: int) -> np.ndarray:
     for batch in agg.toArrow().to_batches():
         idx = batch.column(0).to_numpy(zero_copy_only=False)
         cnt = batch.column(1).to_numpy(zero_copy_only=False)
-        dense[idx] = cnt  # groupBy keys are globally unique
+        ok = idx >= 0  # -1 sentinel group = out-of-range rows
+        dense[idx[ok]] = cnt[ok]  # groupBy keys are globally unique
     return dense
 
 
@@ -278,6 +337,7 @@ def _dense_via_chunks(proj: DataFrame, cube: int) -> np.ndarray:
         if not chunks:
             return
         idx = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+        idx = idx[idx >= 0]  # drop the -1 out-of-range sentinel
         if len(idx) == 0:
             return
         nz, cnt = np.unique(idx, return_counts=True)  # sorted ascending
@@ -371,8 +431,9 @@ def bin_dataframe(
             f"dense output of {cube} cells will not fit on the driver; "
             "use sparse_histogram instead",
         )
-    flat, valid = _flat_valid_exprs(df, norm, jitter, jitter_seed)
-    proj = df.filter(valid).select(flat.alias("__idx"))
+    srcdf, snames = _axis_source_projection(df, norm, jitter, jitter_seed)
+    flat = _flat_idx_expr(norm, snames)
+    proj = srcdf.select(F.coalesce(flat, F.lit(-1).cast("long")).alias("__idx"))
     if method == "auto":
         method = "groupby" if cube <= CHUNKED_MIN_CUBE else "chunked"
     if method == "groupby":

@@ -172,6 +172,48 @@ def test_apply_dfield_identity_and_shift(spark):
     np.testing.assert_allclose(out["Ym"], pdf["Y"] - 20.0, rtol=1e-9)
 
 
+def test_apply_dfield_join_matches_udf_and_numpy(spark):
+    from sed_spark.calibrator.momentum import bilinear_sample
+
+    h, w = 33, 47
+    rng = np.random.default_rng(4)
+    fx = rng.uniform(0, 2048, (h, w))
+    fy = rng.uniform(0, 2048, (h, w))
+    dfield = np.stack([fx, fy])
+    # include out-of-range and exactly-on-edge points
+    pdf = pd.DataFrame(
+        {
+            "X": np.concatenate(
+                [rng.uniform(-100, 2200, 400), [0.0, 2048.0, -1e-9, 2048.0 + 1e-9]],
+            ),
+            "Y": np.concatenate(
+                [rng.uniform(-100, 2200, 400), [2048.0, 0.0, -5.0, 2060.0]],
+            ),
+        },
+    )
+    pdf["id"] = np.arange(len(pdf))
+    df = spark.createDataFrame(pdf)
+    ranges = ((0.0, 2048.0), (0.0, 2048.0))
+    out_join = (
+        momentum_cal.apply_dfield(df, dfield, detector_ranges=ranges, method="join")
+        .orderBy("id").toPandas()
+    )
+    out_udf = (
+        momentum_cal.apply_dfield(df, dfield, detector_ranges=ranges, method="udf")
+        .orderBy("id").toPandas()
+    )
+    rows = (pdf["X"].to_numpy() - 0.0) * ((h - 1) / 2048.0)
+    cols = (pdf["Y"].to_numpy() - 0.0) * ((w - 1) / 2048.0)
+    want_x = bilinear_sample(fx, rows, cols)
+    want_y = bilinear_sample(fy, rows, cols)
+    for out in (out_join, out_udf):
+        np.testing.assert_allclose(out["Xm"], want_x, rtol=0, atol=1e-9)
+        np.testing.assert_allclose(out["Ym"], want_y, rtol=0, atol=1e-9)
+    # the two physical strategies agree bit-for-bit
+    np.testing.assert_array_equal(out_join["Xm"].to_numpy(), out_udf["Xm"].to_numpy())
+    np.testing.assert_array_equal(out_join["Ym"].to_numpy(), out_udf["Ym"].to_numpy())
+
+
 def test_energy_add_offsets(spark):
     pdf = pd.DataFrame({"energy": [1.0, 2.0, 3.0], "bam": [0.1, 0.2, 0.3]})
     df = spark.createDataFrame(pdf)
