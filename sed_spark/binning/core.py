@@ -372,7 +372,10 @@ def _dense_via_chunks(proj: DataFrame, cube: int) -> np.ndarray:
                 cv = np.frombuffer(cvs[k].as_py(), dtype=np.int32)
                 arr = acc.get(c)
                 if arr is None:
-                    arr = acc[c] = np.zeros(span, dtype=np.uint64)
+                    # the last chunk covers cube - c*span < span cells
+                    arr = acc[c] = np.zeros(
+                        min(span, cube - c * span), dtype=np.uint64,
+                    )
                 arr[iv - c * span] += cv.astype(np.uint64)
         for c, arr in acc.items():
             # uint32 on the wire, like the reference's accumulator
@@ -399,7 +402,8 @@ def _dense_via_chunks(proj: DataFrame, cube: int) -> np.ndarray:
         # zero-copy view into the Arrow buffer; copies once into `dense`
         chunk = np.frombuffer(data_col[i].as_buffer(), dtype=np.uint32)
         lo = c * span
-        dense[lo:lo + len(chunk)] = chunk
+        n = min(len(chunk), cube - lo)  # defensive trim for the last chunk
+        dense[lo:lo + n] = chunk[:n]
     if debug:
         print(f"[bin chunked] nchunks={nchunks} span={span} "
               f"collect={t1 - t0:.2f}s assemble={_time.perf_counter() - t1:.2f}s")

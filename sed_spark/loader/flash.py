@@ -187,7 +187,13 @@ class FlashLikeLoader:
                 c for c, spec in channels.items()
                 if spec.get("format") == "per_electron"
             ]
-            schema_check(electron, expected, extra_ok=electron.columns)
+            # only the index/bookkeeping columns are legitimately extra —
+            # anything else in the staged parquet is schema drift
+            schema_check(
+                electron,
+                expected,
+                extra_ok=("trainId", "pulseId", "electronId", "file_id"),
+            )
 
         df = align_channels(
             electron,

@@ -96,6 +96,19 @@ def test_methods_agree_4d(events_df, events_pdf):
     np.testing.assert_allclose(a.data, ref)
 
 
+def test_chunked_non_divisible_cube(events_df, events_pdf):
+    """51^3 = 132651 cells -> nchunks=2, span=66326, last chunk is one cell
+    short of span: the combine/assembly path must trim, not broadcast-error."""
+    bins = [51, 51, 51]
+    ranges = [(0.0, 2048.0), (0.0, 2048.0), (60_000.0, 120_000.0)]
+    axes = ["X", "Y", "t"]
+    a = bin_dataframe(events_df, bins=bins, axes=axes, ranges=ranges,
+                      method="groupby")
+    b = bin_dataframe(events_df, bins=bins, axes=axes, ranges=ranges,
+                      method="chunked")
+    np.testing.assert_array_equal(a.data, b.data)
+
+
 def test_jitter_binning_total_preserved(events_df):
     res = bin_dataframe(
         events_df,
