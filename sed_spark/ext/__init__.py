@@ -9,3 +9,24 @@ fingerprinting), and multimodal binary-column plumbing.
 All hot paths are JVM-side Column expressions (higher-order array
 functions); only the multimodal decode stub uses ``mapInPandas``.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+__all__ = ["scale_out"]
+
+
+def scale_out(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Round-robin repartition ONLY when the scan under-parallelizes.
+
+    CPU-heavy per-row operators (shingle md5, hyperplane dot products) are
+    compute-bound, not scan-bound: a single unsplittable parquet row group
+    would otherwise serialize them onto one core. At cluster scale the input
+    split count exceeds ``defaultParallelism`` and this is a no-op — the
+    shuffle is only paid when the data is too small for it to matter.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

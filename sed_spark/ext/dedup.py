@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "shingle_expr",
+    "shingles_from_words",
+    "exploded_shingles",
     "exact_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",
@@ -26,12 +28,17 @@ __all__ = [
 ]
 
 
-def shingle_expr(text_col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles of a whitespace-tokenized text column.
+def shingles_from_words(words: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED words array column.
 
-    Pure JVM expression: split → sequence → transform(concat_ws).
+    ``words`` is referenced n+1 times (n ``element_at`` per gram + ``size``);
+    it MUST be a plain attribute, not an inline ``split`` — otherwise the
+    split re-evaluates once per reference *per sequence element* inside the
+    ``transform`` lambda (no CSE across lambda bodies), which is quadratic
+    per row. Use :func:`exploded_shingles` / a projected ``split`` alias;
+    CollapseProject's expression-cost check (SPARK-36718) then refuses to
+    re-inline the expensive producer.
     """
-    words = F.split(text_col, " ")
     count = F.size(words) - (n - 1)
 
     def gram(i: Column) -> Column:
@@ -40,6 +47,41 @@ def shingle_expr(text_col: Column, n: int = 3) -> Column:
     return F.when(
         count > 0, F.transform(F.sequence(F.lit(0), count - 1), gram),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def shingle_expr(text_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a whitespace-tokenized text column.
+
+    Convenience form for one-shot use on SMALL data: inlines the split into
+    every gram reference. Hot paths must project the split first and call
+    :func:`shingles_from_words` (see its docstring for why).
+    """
+    return shingles_from_words(F.split(text_col, " "), n)
+
+
+def exploded_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    distinct: bool = False,
+    out_col: str = "g",
+) -> DataFrame:
+    """(id, shingle) rows with the split materialized exactly once per row.
+
+    Two stacked projections: ``split`` aliased in the inner one, the gram
+    ``transform`` referencing the alias in the outer one — the per-row cost
+    is O(len + n·n_grams) instead of O(n·n_grams·len).
+    """
+    from sed_spark.ext import scale_out
+
+    words = scale_out(df).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__words"),
+    )
+    grams = shingles_from_words(F.col("__words"), n)
+    if distinct:
+        grams = F.array_distinct(grams)
+    return words.select(F.col(id_col), F.explode(grams).alias(out_col))
 
 
 def exact_dedup(
@@ -71,9 +113,7 @@ def minhash_signatures(
     equals min over the set, so no distinct pass is needed). Explode +
     single hash-aggregate; Catalyst does map-side partial mins.
     """
-    grams = df.select(
-        F.col(id_col), F.explode(shingle_expr(F.col(text_col), shingle_n)).alias("g"),
-    )
+    grams = exploded_shingles(df, id_col, text_col, shingle_n)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("g")))).alias(f"sig_{b}")
         for b in range(n_bands)
@@ -122,7 +162,7 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.05,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 100,
 ) -> DataFrame:
     """n-gram Jaccard near-duplicate pairs via an inverted-index join.
 
@@ -131,13 +171,17 @@ def jaccard_pairs(
     arithmetic until the final exact double division.
 
     ``max_doc_freq`` drops shingles occurring in more than that many
-    documents before the join — the frequency-blocking knob for corpora
-    where stop-phrases would otherwise dominate the shuffle.
+    documents before the join — frequency blocking, ON BY DEFAULT, because
+    one stop-phrase shingle shared by k docs fans the self-join out to
+    k²/2 rows (the classic inverted-index scale-killer). The recall
+    tradeoff: a true near-dup pair is missed only if ALL its shared
+    shingles are ubiquitous (> ``max_doc_freq`` docs), which for real
+    near-duplicates (many shared low-frequency shingles) is negligible;
+    dropped shingles also shrink both |A| and |B|, so the Jaccard of
+    surviving pairs is computed on the filtered shingle sets. Pass
+    ``None`` to disable (exact semantics, unbounded fanout).
     """
-    dg = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingle_expr(F.col(text_col), shingle_n))).alias("g"),
-    )
+    dg = exploded_shingles(df, id_col, text_col, shingle_n, distinct=True)
     if max_doc_freq is not None:
         keep = dg.groupBy("g").agg(F.count(F.lit(1)).alias("df_"))
         keep = keep.filter(F.col("df_") <= max_doc_freq).select("g")
@@ -182,9 +226,9 @@ def simhash16(
     sum sets the output bit. One explode + one hash-aggregate with 16
     integer sums — all JVM-side.
     """
-    grams = df.select(
-        F.col(id_col), F.explode(shingle_expr(F.col(text_col), shingle_n)).alias("g"),
-    ).withColumn("h", F.md5(F.col("g")))
+    grams = exploded_shingles(df, id_col, text_col, shingle_n).withColumn(
+        "h", F.md5(F.col("g")),
+    )
     aggs = []
     for i in range(16):
         digit = F.conv(F.substring(F.col("h"), i + 1, 1), 16, 10).cast("int")

@@ -61,6 +61,9 @@ def cosine_topk(
     top-k (Spark's TakeOrderedAndProject — per-partition heaps then a
     driver merge, not a full sort).
     """
+    from sed_spark.ext import scale_out
+
+    df = scale_out(df)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     sim = cosine_expr(F.col(vec_col), q)
     if round_decimals is not None:
@@ -116,6 +119,9 @@ def lsh_band_buckets(
     is a candidate if ANY band's sign bits fully agree). Built as an inline
     array of structs + ``posexplode``-style explode, so index build is one
     JVM-side pass with no shuffle."""
+    from sed_spark.ext import scale_out
+
+    df = scale_out(df)
     per = len(planes) // n_bands
     entries = []
     for b in range(n_bands):
@@ -188,6 +194,9 @@ def ivf_assign(
     in production; any small literal list works — it rides in the expression
     tree, no broadcast join needed.
     """
+    from sed_spark.ext import scale_out
+
+    df = scale_out(df)
     sims = F.array(
         *[
             F.round(

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from sed_spark.ext.dedup import shingle_expr
+from sed_spark.ext.dedup import shingles_from_words
 
 __all__ = [
     "n_words_expr",
@@ -91,10 +91,25 @@ def fingerprint(
     shingle_n: int = 5,
 ) -> DataFrame:
     """Document fingerprint: lexicographic-min md5 over distinct word
-    5-shingles (a 1-permutation MinHash) + distinct-shingle count."""
-    grams = F.array_distinct(shingle_expr(F.col(text_col), shingle_n))
-    return df.select(
+    5-shingles (a 1-permutation MinHash) + distinct-shingle count.
+
+    ``__words`` and ``__grams`` are materialized in stacked projections so
+    neither the split nor the gram transform is re-evaluated per reference
+    (CollapseProject keeps multi-referenced expensive aliases un-inlined,
+    SPARK-36718); inlining them was a measured 25x slowdown."""
+    from sed_spark.ext import scale_out
+
+    words = scale_out(df).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__words"),
+    )
+    grams = words.select(
         F.col(id_col),
-        F.array_min(F.transform(grams, F.md5)).alias("fp"),
-        F.size(grams).alias("n_shingles"),
+        F.array_distinct(
+            shingles_from_words(F.col("__words"), shingle_n),
+        ).alias("__grams"),
+    )
+    return grams.select(
+        F.col(id_col),
+        F.array_min(F.transform(F.col("__grams"), F.md5)).alias("fp"),
+        F.size("__grams").alias("n_shingles"),
     )

@@ -76,13 +76,17 @@ FROM bands a JOIN bands b
 
 def jaccard_pairs(spark, sf_dir):
     return dedup.jaccard_pairs(
-        load(spark, sf_dir, "documents"), threshold=0.05,
+        load(spark, sf_dir, "documents"), threshold=0.05, max_doc_freq=100,
     )
 
 
+# mirrors dedup.jaccard_pairs with default frequency blocking: shingles in
+# more than 100 documents are dropped BEFORE the join and the per-doc counts
 JACCARD_SQL = f"""
 WITH base AS ({_grams_sql(3)}),
-dg AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM base),
+dg0 AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM base),
+keep AS (SELECT g FROM dg0 GROUP BY g HAVING COUNT(*) <= 100),
+dg AS (SELECT dg0.doc_id, dg0.g FROM dg0 JOIN keep USING (g)),
 cnt AS (SELECT doc_id, COUNT(*) AS n FROM dg GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
@@ -321,12 +325,49 @@ FROM base
 
 
 # ---------------------------------------------------------------------------
-# multimodal plumbing (stubbed decode -> rows-only check, no oracle)
+# multimodal plumbing — the decode stub is deterministic (sha256 of the
+# payload), so the whole path has a DuckDB oracle: metadata AND the feature
+# vector, exploded to scalar columns the driver can canonicalize (an
+# array<float> column breaks its pandas sort, CORRECTNESS_r01).
 # ---------------------------------------------------------------------------
 
 def multimodal_decode(spark, sf_dir):
     df = multimodal.to_binary_payload(load(spark, sf_dir, "documents"))
-    return multimodal.decode_stub(df)
+    feats = multimodal.decode_stub(df)
+    return feats.select(
+        "doc_id", "n_bytes", "width", "height",
+        *[F.col("feature")[i].cast("double").alias(f"f{i}") for i in range(8)],
+    )
+
+
+def _multimodal_sql() -> str:
+    """sha256-hex reconstruction of _fake_decode: byte j from hex digits,
+    uint32 little-endian words, float32 cast, exact /2^32."""
+
+    def hb(j: int) -> str:  # byte j (0-indexed) of the hex digest
+        return (
+            f"(16*(strpos('0123456789abcdef', substr(h,{2 * j + 1},1))-1)"
+            f" + strpos('0123456789abcdef', substr(h,{2 * j + 2},1))-1)"
+        )
+
+    def u32(k: int) -> str:  # little-endian uint32 word k
+        return (
+            f"({hb(4 * k)} + 256*{hb(4 * k + 1)} + 65536*{hb(4 * k + 2)}"
+            f" + 16777216*{hb(4 * k + 3)})"
+        )
+
+    feats = ", ".join(
+        f"CAST(CAST({u32(k)} AS FLOAT) AS DOUBLE) / 4294967296.0 AS f{k}"
+        for k in range(8)
+    )
+    return f"""
+WITH s AS (SELECT doc_id, strlen(text) AS n_bytes, sha256(text) AS h FROM documents)
+SELECT doc_id, CAST(n_bytes AS INTEGER) AS n_bytes,
+  CAST(1 + ({hb(0)} % 64) AS INTEGER) AS width,
+  CAST(1 + ({hb(1)} % 64) AS INTEGER) AS height,
+  {feats}
+FROM s
+"""
 
 
 QUERIES.update(
@@ -343,6 +384,6 @@ QUERIES.update(
         "lang_id": {"spark": lang_id, "sql": LANG_SQL},
         "token_stats": {"spark": token_stats, "sql": TOKEN_SQL},
         "doc_fingerprint": {"spark": doc_fingerprint, "sql": FP_SQL},
-        "multimodal_decode": {"spark": multimodal_decode, "sql": None},
+        "multimodal_decode": {"spark": multimodal_decode, "sql": _multimodal_sql()},
     },
 )

@@ -114,6 +114,10 @@ def test_flash_like_loader_end_to_end(spark, granularity):
     loader = FlashLikeLoader(spark=spark, config={
         "channels": {"dldPos": {"format": "per_electron"}},
     })
-    df, meta = loader.read_dataframe(electron=electron, pulse=pulse, train=train)
+    # "order" is a fixture-only helper column; the tightened schema_check
+    # correctly rejects it as staged-schema drift
+    df, meta = loader.read_dataframe(
+        electron=electron.drop("order"), pulse=pulse, train=train,
+    )
     assert df.count() == 5
     assert set(df.columns) >= {"trainId", "pulseId", "dldPos", "bam", "gmd"}
