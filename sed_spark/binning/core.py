@@ -312,6 +312,58 @@ def _dense_via_groupby(proj: DataFrame, cube: int) -> np.ndarray:
     return dense
 
 
+def _dense_via_taskblob(proj: DataFrame, cube: int) -> np.ndarray:
+    """High-occupancy cube: per-task sort-unique → ONE packed blob per task
+    → direct Arrow collect → driver scatter-add. NO shuffle stage at all.
+
+    When occupancy approaches the cube size (rows ≳ cells), the groupby
+    path degrades: map-side partial aggregation stops reducing anything
+    (most groups are near-unique per task), so the full row set shuffles,
+    the final hash aggregate builds a ~cube-sized table, and the sparse
+    collect still transfers ~occupancy × 12 B. Here each task instead
+    reduces its own rows with ``np.unique`` (indices are then unique
+    *within* a task), packs (idx, cnt) as two binary columns in a single
+    record batch, and the driver adds each task's pairs into the dense
+    cube with one vectorized scatter per task — correct because
+    within-task uniqueness means no collisions inside a single scatter.
+    Driver traffic is the summed per-task occupancy (bounded by
+    min(rows, tasks × cube)); for the 1e8-row 100⁴ bench this is ~6× less
+    wall time than the groupby path.
+    """
+    import pyarrow as pa
+
+    idx_dtype = np.int32 if cube <= np.iinfo(np.int32).max else np.int64
+    if idx_dtype is np.int32:
+        proj = proj.select(F.col("__idx").cast("int").alias("__idx"))
+
+    def to_pairs(batches):
+        chunks = [b.column(0).to_numpy(zero_copy_only=False) for b in batches]
+        if not chunks:
+            return
+        idx = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+        idx = idx[idx >= 0]  # drop the -1 out-of-range sentinel
+        if len(idx) == 0:
+            return
+        nz, cnt = np.unique(idx, return_counts=True)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([nz.astype(idx_dtype, copy=False).tobytes()],
+                         pa.large_binary()),
+                pa.array([cnt.astype(np.uint32).tobytes()], pa.large_binary()),
+            ],
+            ["iv", "cv"],
+        )
+
+    dense = np.zeros(cube, dtype=np.uint32)
+    tbl = proj.select("__idx").mapInArrow(to_pairs, "iv binary, cv binary").toArrow()
+    iv_col, cv_col = tbl.column("iv"), tbl.column("cv")
+    for k in range(len(iv_col)):
+        iv = np.frombuffer(iv_col[k].as_buffer(), dtype=idx_dtype)
+        cv = np.frombuffer(cv_col[k].as_buffer(), dtype=np.uint32)
+        dense[iv] += cv  # iv unique within one task's blob — no collisions
+    return dense
+
+
 def _dense_via_chunks(proj: DataFrame, cube: int) -> np.ndarray:
     """Large cube: per-task sort-unique → chunked blob shuffle → dense chunks.
 
@@ -444,6 +496,8 @@ def bin_dataframe(
         dense = _dense_via_groupby(proj, cube)
     elif method == "chunked":
         dense = _dense_via_chunks(proj, cube)
+    elif method == "taskblob":
+        dense = _dense_via_taskblob(proj, cube)
     else:
         raise ValueError(f"unknown binning method {method!r}")
     coords = {ax.name: ax.bin_centers() for ax in norm}

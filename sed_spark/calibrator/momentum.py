@@ -242,8 +242,16 @@ def apply_dfield(
         raise ValueError("dfield must have shape (2, H, W)")
     (xmin, xmax), (ymin, ymax) = detector_ranges
     h, w = dfield.shape[1], dfield.shape[2]
-    x_scale = (h - 1) / (xmax - xmin)
-    y_scale = (w - 1) / (ymax - ymin)
+    # grid node i sits at detector coordinate lo + i*span/n (the field is in
+    # forward-bin index space, reference r_axis_steps = span/n); with the
+    # standard 2048-node field on (0, 2048) this reduces to index == raw x,
+    # exactly the reference's map_coordinates(dfield, (x, y)) raw indexing
+    # (momentum.py:2131-2139). generate_inverse_dfield rescales its VALUES
+    # to detector units with the same span/n convention, so no output
+    # scaling is applied here (the reference's trailing ``* r_axis_steps``
+    # is 1.0 in its self-consistent configuration).
+    x_scale = h / (xmax - xmin)
+    y_scale = w / (ymax - ymin)
     fx, fy = dfield[0], dfield[1]
 
     if method == "auto":

@@ -5,9 +5,9 @@ Reference shape (src/sed/loader/mpes/loader.py):
 
 * one HDF5 file per scan; one dataset per channel, all cast float32 unless
   configured otherwise (386-389);
-* ``msMarkers`` dataset: events-per-millisecond counts used to synthesize a
-  per-event epoch timestamp by interpolating the event index against the
-  marker cumulative sum (392-431);
+* ``msMarkers`` dataset: cumulative event indices at each full millisecond,
+  used to synthesize stepwise per-event epoch timestamps (392-431 — linear
+  interpolation is explicitly disabled there);
 * a "timed" table with one row per ms interval (182-292);
 * per-file attributes broadcast onto every row (163-169).
 
@@ -15,8 +15,8 @@ Spark-first re-expression: the HDF5 read is a **driver-side conversion to
 parquet staging** (gated on ``h5py``, absent in this runtime), after which
 everything is ordinary parquet scanning with a ``file_id`` column. Timestamp
 synthesis is a vectorized Arrow-batched transform over (file_id,
-row-in-file) against small broadcast marker arrays — the same
-``np.interp`` the reference runs per partition.
+row-in-file) against small broadcast marker arrays — the same stepwise
+assignment the reference runs per file.
 """
 
 from __future__ import annotations
@@ -53,14 +53,19 @@ def synthesize_timestamps(
     index_column: str = "row_index",
     timestamp_column: str = "timeStamp",
 ) -> DataFrame:
-    """Append per-event epoch timestamps interpolated from ms markers.
+    """Append per-event epoch timestamps from ms markers (step semantics).
 
     ``ms_markers[f]`` holds events-per-millisecond counts for file ``f``
-    (the reference's ``msMarkers`` dataset); an event whose within-file row
-    index falls between cumulative markers ``k`` and ``k+1`` acquired during
-    millisecond ``k``, so ``ts = start + interp(row, cumsum(markers),
-    arange(n_ms)) * 1e-3`` — exactly the reference's
-    ``np.interp``-based synthesis (mpes/loader.py:392-431).
+    (the reference's ``msMarkers`` dataset stores the cumulative form); an
+    event whose within-file row index falls between cumulative markers
+    ``k`` and ``k+1`` was acquired during millisecond ``k`` and gets the
+    STEPWISE timestamp ``start + (k+1)·1e-3`` — the reference explicitly
+    disables linear interpolation between markers ("external signals are
+    anyway not better synchronized than 1 ms", mpes/loader.py:417-427).
+    With ``cum = [0, cumsum(counts)]`` that is
+    ``start + (searchsorted(cum, row, side='right') - 1) * 1e-3``, which
+    reproduces the reference's fill ranges including duplicate markers
+    (empty milliseconds) and the before-first / after-last fills.
 
     Distributed shape: the marker arrays are small (one float per ms of
     acquisition) and ride to the executors via closure broadcast; the
@@ -89,7 +94,8 @@ def synthesize_timestamps(
                 continue
             cum, start = table
             sel = fids == f
-            ms = np.interp(rows[sel], cum, np.arange(len(cum), dtype=np.float64))
+            # row >= 0 and cum[0] == 0, so the searchsorted result is >= 1
+            ms = np.searchsorted(cum, rows[sel], side="right") - 1.0
             out[sel] = start + ms * 1e-3
         return pd.Series(out)
 

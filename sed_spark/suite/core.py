@@ -515,6 +515,95 @@ sql("k_affine", _k_sql())
 
 
 # ---------------------------------------------------------------------------
+# apply_dfield (§2.7) — bilinear inverse-deformation-field lookup, the one
+# non-affine transform (reference calibrator/momentum.py:2104-2140). Both
+# physical strategies (broadcast-join corner table / Arrow pandas UDF) are
+# oracle-checked against the same pure-SQL floor/frac + 4-gather bilinear
+# blend on the flattened grid (SURVEY §4.3).
+# ---------------------------------------------------------------------------
+
+# 4x4 deterministic grid over detector ranges (0,2048)x(0,1536): events map
+# to index space [0, ~3.9]x[0, ~3.9], so interior cells, the zero-padded
+# top/right edge, and fractional blends are all exercised.
+_DF_RANGES = ((0.0, 2048.0), (0.0, 1536.0))
+_DF_H = _DF_W = 4
+
+
+def _dfield_grids():
+    i = np.arange(_DF_H, dtype=np.float64)[:, None]
+    j = np.arange(_DF_W, dtype=np.float64)[None, :]
+    fx = 100.0 + 7.0 * i + 3.0 * j + 0.5
+    fy = 200.0 + 2.0 * i + 5.0 * j + 0.25
+    return np.broadcast_to(fx, (_DF_H, _DF_W)), np.broadcast_to(fy, (_DF_H, _DF_W))
+
+
+def _dfield_warp(spark, sf_dir, method):
+    fx, fy = _dfield_grids()
+    out = momentum_cal.apply_dfield(
+        _with_xy(spark, sf_dir),
+        np.stack([fx, fy]),
+        x_column="X", y_column="Y", new_x_column="Xm", new_y_column="Ym",
+        detector_ranges=_DF_RANGES, method=method,
+    )
+    return out.select("event_id", "Xm", "Ym")
+
+
+@q("dfield_warp_join")
+def dfield_warp_join(spark, sf_dir):
+    return _dfield_warp(spark, sf_dir, "join")
+
+
+@q("dfield_warp_udf")
+def dfield_warp_udf(spark, sf_dir):
+    return _dfield_warp(spark, sf_dir, "udf")
+
+
+def _dfield_sql():
+    fx, fy = _dfield_grids()
+    (xmin, xmax), (ymin, ymax) = _DF_RANGES
+    xs = _DF_H / (xmax - xmin)
+    ys = _DF_W / (ymax - ymin)
+    lits = {
+        "fx": "[" + ", ".join(fl(v) for v in np.asarray(fx).ravel()) + "]",
+        "fy": "[" + ", ".join(fl(v) for v in np.asarray(fy).ravel()) + "]",
+    }
+
+    def corner(p, dr, dc):
+        # grid[r0+dr, c0+dc] with constant-0 outside, 1-based list_extract
+        idx = f"(CAST(r0 AS BIGINT) + {dr}) * {_DF_W} + (CAST(c0 AS BIGINT) + {dc}) + 1"
+        ok = (
+            f"r0 + {dr} >= 0 AND r0 + {dr} <= {_DF_H - 1} "
+            f"AND c0 + {dc} >= 0 AND c0 + {dc} <= {_DF_W - 1}"
+        )
+        return f"CASE WHEN {ok} THEN list_extract({lits[p]}, {idx}) ELSE 0.0 END"
+
+    def blend(p):
+        top = f"({corner(p, 0, 0)} * (1.0 - fc) + {corner(p, 0, 1)} * fc)"
+        bot = f"({corner(p, 1, 0)} * (1.0 - fc) + {corner(p, 1, 1)} * fc)"
+        return f"({top} * (1.0 - fr) + {bot} * fr)"
+
+    return f"""
+WITH xy AS ({_XY}),
+rc AS (
+  SELECT event_id,
+         (X - {fl(xmin)}) * {fl(xs)} AS rows_,
+         (Y - {fl(ymin)}) * {fl(ys)} AS cols_
+  FROM xy
+),
+frac AS (
+  SELECT event_id, floor(rows_) AS r0, floor(cols_) AS c0,
+         rows_ - floor(rows_) AS fr, cols_ - floor(cols_) AS fc
+  FROM rc
+)
+SELECT event_id, {blend("fx")} AS Xm, {blend("fy")} AS Ym FROM frac
+"""
+
+
+sql("dfield_warp_join", _dfield_sql())
+sql("dfield_warp_udf", _dfield_sql())
+
+
+# ---------------------------------------------------------------------------
 # as-of interpolation join (§2.3) — np.interp parity
 # ---------------------------------------------------------------------------
 

@@ -151,16 +151,20 @@ def test_momentum_affine(spark):
 
 
 def test_apply_dfield_identity_and_shift(spark):
-    # identity deformation field: dfield[0][i,j]=x(i), dfield[1][i,j]=y(j)
+    # identity deformation field under the span/h node convention: grid
+    # node i sits at detector coordinate lo + i*span/h
     h = w = 65
-    xs = np.linspace(0, 2048, h)
-    ys = np.linspace(0, 2048, w)
+    xs = np.arange(h) * (2048.0 / h)
+    ys = np.arange(w) * (2048.0 / w)
     fx = np.tile(xs[:, None], (1, w))
     fy = np.tile(ys[None, :], (h, 1))
     dfield = np.stack([fx + 10.0, fy - 20.0])  # constant shift
     rng = np.random.default_rng(9)
+    # stay below node h-1 (detector 2048*(h-1)/h): beyond it the constant-0
+    # padding decays the sample, same as the reference's cval=0 edge
+    hi = 2048.0 * (h - 1) / h
     pdf = pd.DataFrame(
-        {"X": rng.uniform(0, 2048, 500), "Y": rng.uniform(0, 2048, 500)},
+        {"X": rng.uniform(0, hi, 500), "Y": rng.uniform(0, hi, 500)},
     )
     df = spark.createDataFrame(pdf)
     out = (
@@ -202,8 +206,8 @@ def test_apply_dfield_join_matches_udf_and_numpy(spark):
         momentum_cal.apply_dfield(df, dfield, detector_ranges=ranges, method="udf")
         .orderBy("id").toPandas()
     )
-    rows = (pdf["X"].to_numpy() - 0.0) * ((h - 1) / 2048.0)
-    cols = (pdf["Y"].to_numpy() - 0.0) * ((w - 1) / 2048.0)
+    rows = (pdf["X"].to_numpy() - 0.0) * (h / 2048.0)
+    cols = (pdf["Y"].to_numpy() - 0.0) * (w / 2048.0)
     want_x = bilinear_sample(fx, rows, cols)
     want_y = bilinear_sample(fy, rows, cols)
     for out in (out_join, out_udf):

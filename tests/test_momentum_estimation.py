@@ -93,9 +93,54 @@ def test_estimated_field_through_apply_dfield(spark):
     inv = generate_inverse_dfield(rdef, cdef)
     pdf = pd.DataFrame({"X": [10.0, 30.0], "Y": [20.0, 40.0]})
     df = spark.createDataFrame(pdf)
+    # span/h node convention: an h-node index-space field covers (0, h)
     out = apply_dfield(
-        df, inv, detector_ranges=((0.0, float(h - 1)), (0.0, float(w - 1))),
+        df, inv, detector_ranges=((0.0, float(h)), (0.0, float(w))),
     ).toPandas().sort_values("X")
     # inverse of a +1.5/-2.5 shift is -1.5/+2.5
     np.testing.assert_allclose(out["Xm"], [8.5, 28.5], atol=1e-6)
     np.testing.assert_allclose(out["Ym"], [22.5, 42.5], atol=1e-6)
+
+
+def test_inverse_dfield_round_trip_scaled_ranges(spark):
+    """Round trip with detector span != grid node count (span/h = 20).
+
+    The forward field lives in bin-index space (32 nodes); the inverse is
+    rescaled to detector units over bin_ranges (0, 640). apply_dfield with
+    the same ranges must map a warped detector coordinate back to its
+    pre-warp position — this pins the span/h convention on BOTH the
+    coordinate map (apply_dfield) and the value rescale
+    (generate_inverse_dfield); an n-vs-n-1 fencepost on either side shows
+    up as a systematic drift of span/h ≈ 20 px/row across the grid.
+    """
+    import pandas as pd
+
+    h = w = 32
+    span = 640.0
+    step = span / h
+    rr, cc = np.meshgrid(np.arange(h, dtype=float), np.arange(w, dtype=float),
+                         indexing="ij")
+    rdef = rr + 2.0 * np.sin(cc / 5.0)
+    cdef = cc + 1.5 * np.cos(rr / 4.0)
+    ranges = [(0.0, span), (0.0, span)]
+    inv = generate_inverse_dfield(rdef, cdef, bin_ranges=ranges,
+                                  detector_ranges=ranges)
+
+    # interior detector-space probe points, off the node lattice
+    rng = np.random.default_rng(11)
+    xd = rng.uniform(8 * step, (h - 8) * step, 200)
+    yd = rng.uniform(8 * step, (w - 8) * step, 200)
+    pdf = pd.DataFrame({"X": xd, "Y": yd, "id": np.arange(200)})
+    df = spark.createDataFrame(pdf)
+    for method in ("join", "udf"):
+        out = apply_dfield(
+            df, inv, detector_ranges=ranges, method=method,
+        ).orderBy("id").toPandas()
+        # p (detector) -> index space -> forward field -> detector: must
+        # land back on the probe point
+        p_idx_r = out["Xm"].to_numpy() / step
+        p_idx_c = out["Ym"].to_numpy() / step
+        fr = bilinear_sample(rdef, p_idx_r, p_idx_c, mode="nearest") * step
+        fc = bilinear_sample(cdef, p_idx_r, p_idx_c, mode="nearest") * step
+        np.testing.assert_allclose(fr, xd, atol=0.5)
+        np.testing.assert_allclose(fc, yd, atol=0.5)

@@ -42,9 +42,15 @@ def test_synthesize_timestamps_matches_numpy(spark, marker_setup):
         .toPandas()
     )
     for f, m in markers.items():
-        cum = np.concatenate([[0.0], np.cumsum(m)])
-        idx = np.arange(int(m.sum()), dtype=np.float64)
-        want = starts[f] + np.interp(idx, cum, np.arange(len(cum))) * 1e-3
+        # oracle = the reference's stepwise fill loop verbatim
+        # (mpes/loader.py:417-427), on the cumulative marker form
+        n = int(m.sum())
+        ms_marker = np.cumsum(m).astype(int)
+        want = np.zeros(n)
+        want[0:ms_marker[0]] = starts[f]
+        for i in range(len(ms_marker) - 1):
+            want[ms_marker[i]:ms_marker[i + 1]] = starts[f] + (i + 1) / 1000
+        want[ms_marker[-1]:n] = starts[f] + len(ms_marker) / 1000
         sel = got[got.file_id == f].sort_values("row_index")
         np.testing.assert_allclose(sel["timeStamp"].to_numpy(), want, rtol=0, atol=1e-12)
     # monotone within each file, and bounded by the acquisition span

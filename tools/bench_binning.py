@@ -46,24 +46,39 @@ def main() -> None:
     ).persist()
     synth.count()
 
-    ref = None
+    def run4d(m):
+        return bin_dataframe(
+            synth, [100, 100, 100, 100], ["X", "Y", "t", "ADC"],
+            [(0.0, 2048.0), (0.0, 2048.0), (60000.0, 120000.0),
+             (2000.0, 20000.0)],
+            method=m,
+        )
+
+    # warmup: 1-D like the driver bench, plus one tiny run per method so
+    # Python workers / codegen are spawned before anything is timed
+    bin_dataframe(synth, [1000], ["t"], [(60000.0, 120000.0)])
+    small = synth.limit(100000)
     for m in methods:
-        for rep in range(2):
+        bin_dataframe(small, [10, 10, 10, 10], ["X", "Y", "t", "ADC"],
+                      [(0.0, 2048.0), (0.0, 2048.0), (60000.0, 120000.0),
+                       (2000.0, 20000.0)], method=m)
+
+    results: dict[str, list[float]] = {m: [] for m in methods}
+    data: dict[str, np.ndarray] = {}
+    for rep in range(3):
+        for m in methods:
             t0 = time.perf_counter()
-            res = bin_dataframe(
-                synth, [100, 100, 100, 100], ["X", "Y", "t", "ADC"],
-                [(0.0, 2048.0), (0.0, 2048.0), (60000.0, 120000.0),
-                 (2000.0, 20000.0)],
-                method=m,
-            )
+            res = run4d(m)
             dt = time.perf_counter() - t0
-            tot = res.sum()
-            print(f"{m} rep{rep}: {dt:.2f}s sum={tot:.0f}", flush=True)
-        if ref is None:
-            ref = res.data
-        else:
-            same = bool(np.array_equal(ref, res.data))
-            print(f"{m} matches groupby: {same}", flush=True)
+            results[m].append(dt)
+            data[m] = res.data
+            print(f"{m} rep{rep}: {dt:.2f}s sum={res.sum():.0f}", flush=True)
+    for m in methods:
+        ts = sorted(results[m])
+        print(f"{m}: min={ts[0]:.2f} med={ts[len(ts) // 2]:.2f}", flush=True)
+        if m != methods[0]:
+            same = bool(np.array_equal(data[methods[0]], data[m]))
+            print(f"{m} matches {methods[0]}: {same}", flush=True)
 
     synth.unpersist()
 
