@@ -437,6 +437,85 @@ LEFT JOIN train USING (trainId)
 
 
 # ---------------------------------------------------------------------------
+# SXP ragged-record segmentation (§2.1, reference loader/sxp/loader.py:
+# 259-352) — the Spark side chops per-record hit ARRAYS with pure Column
+# expressions (boundaries at int32 diff < -1, trainId = base + segment,
+# pulse = mib % num_pulses - offset, electron counter); the oracle derives
+# the identical result through a WINDOW-function formulation over the
+# un-nested rows — two independent formulations of the same semantics.
+# ---------------------------------------------------------------------------
+
+@q("sxp_segment")
+def sxp_segment(spark, sf_dir):
+    from sed_spark.loader.sxp import segment_trains
+
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("event_id") % 64).alias("rec"),
+        F.floor(F.col("event_id") / 64).cast("long").alias("pos"),
+        F.col("value"),
+    )
+    hits = ev.select(
+        "rec",
+        F.struct(
+            F.col("pos"),
+            (F.col("pos") % 23).cast("double").alias("mib"),
+            F.col("value").alias("x"),
+        ).alias("h"),
+    )
+    records = (
+        hits.groupBy("rec")
+        .agg(F.array_sort(F.collect_list("h")).alias("hs"))
+        .select(
+            (F.col("rec") * 1000).cast("long").alias("trainId"),
+            F.col("hs").getField("mib").alias("pulseId"),
+            F.col("hs").getField("x").alias("x"),
+        )
+    )
+    out = segment_trains(records, electron_channels=["x"],
+                         num_pulses=7, ubid_offset=2)
+    return out.select(
+        "trainId", "pulseId",
+        F.col("electronId").cast("long").alias("electronId"), "x",
+    )
+
+
+sql("sxp_segment", """
+WITH h AS (
+  SELECT CAST(event_id % 64 AS BIGINT) AS rec,
+         CAST((event_id // 64) % 23 AS BIGINT) AS mib,
+         CAST(event_id // 64 AS BIGINT) AS pos,
+         value AS x
+  FROM events
+),
+d AS (
+  SELECT rec, pos, mib, x,
+         CASE WHEN lead(mib) OVER w - mib < -1 THEN 1 ELSE 0 END AS is_end
+  FROM h WINDOW w AS (PARTITION BY rec ORDER BY pos)
+),
+k AS (
+  SELECT rec, pos, mib, x, is_end,
+         COALESCE(SUM(is_end) OVER (PARTITION BY rec ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nk,
+         SUM(is_end) OVER (PARTITION BY rec) AS total
+  FROM d
+),
+e AS (
+  SELECT CAST(rec * 1000 + nk AS BIGINT) AS trainId,
+         CAST((mib % 7) - 2 AS BIGINT) AS pulseId,
+         pos, x
+  FROM k
+  WHERE is_end = 0 AND nk < total
+)
+SELECT trainId, pulseId,
+       CAST(row_number() OVER (PARTITION BY trainId, pulseId ORDER BY pos) - 1
+            AS BIGINT) AS electronId,
+       x
+FROM e
+WHERE pulseId NOT BETWEEN -2 AND -1
+""")
+
+
+# ---------------------------------------------------------------------------
 # offsets (§2.7) — mean reduction + preserve_mean
 # ---------------------------------------------------------------------------
 
