@@ -566,6 +566,85 @@ sql("delay_calib",
     "SELECT event_id, -5.0 + (value - 0.0) * 10.0 / 500.0 AS delay FROM events")
 
 
+@q("delay_offset_flip")
+def delay_offset_flip(spark, sf_dir):
+    """Delay add_offsets: per-row column offset with preserve_mean, then
+    constant, then axis flip (reference src/sed/calibrator/delay.py:235-402
+    — the flip is applied last)."""
+    df = load(spark, sf_dir, "events").withColumnRenamed("value", "ADC")
+    # small-int offset column: its double sum is exact, so Spark's and the
+    # oracle's avg agree to the bit (a raw user_id sum can exceed 2^53)
+    df = df.withColumn("bam", (F.col("user_id") % 100).cast("double"))
+    out = delay_cal.append_delay_axis(
+        df, adc_range=(0.0, 500.0), delay_range=(-5.0, 5.0),
+    )
+    out = delay_cal.add_offsets(
+        out, columns="bam", weights=0.01, preserve_mean=True,
+        constant=1.5, flip_delay_axis=True,
+    )
+    return out.select("event_id", "delay")
+
+
+sql("delay_offset_flip", """
+SELECT event_id,
+       -((((-5.0 + (value - 0.0) * 10.0 / 500.0)
+           + 0.01 * CAST(user_id % 100 AS DOUBLE))
+          - 0.01 * (SELECT avg(CAST(user_id % 100 AS DOUBLE)) FROM events))
+         + 1.5) AS delay
+FROM events
+""")
+
+
+@q("energy_correction_lorentzian_asym")
+def energy_correction_lorentzian_asym(spark, sf_dir):
+    out = energy_cal.apply_energy_correction(
+        _with_xy(spark, sf_dir), correction_type="Lorentzian_asymmetric",
+        center=_CENTER, amplitude=2.0, gamma=700.0, gamma2=500.0,
+        amplitude2=1.5, new_tof_column="tm",
+    )
+    return out.select("event_id", F.round(F.col("tm"), 6).alias("tm"))
+
+
+def _lorentzian_asym_sql():
+    import math
+
+    pref_y = 100000.0 * 2.0 / (700.0 * math.pi)
+    pref_x = 100000.0 * 1.5 / (500.0 * math.pi)
+    dx = f"(X - {fl(_CENTER[0])})"
+    dy = f"(Y - {fl(_CENTER[1])})"
+    return (
+        f"SELECT event_id, round(t + ({fl(pref_y)} * ({fl(700.0 ** 2)} / "
+        f"({dy} * {dy} + {fl(700.0 ** 2)}) - 1.0) + {fl(pref_x)} * "
+        f"({fl(500.0 ** 2)} / ({dx} * {dx} + {fl(500.0 ** 2)}) - 1.0)), 6) "
+        f"AS tm FROM ({_XY})"
+    )
+
+
+sql("energy_correction_lorentzian_asym", _lorentzian_asym_sql())
+
+
+@q("map2d_affine")
+def map2d_affine(spark, sf_dir):
+    """map_columns_2d with a 2-in/2-out rotation-style map
+    (reference src/sed/core/dfops.py:167-199)."""
+    def rot(x, y):
+        return (
+            F.lit(0.8) * x - F.lit(0.6) * y,
+            F.lit(0.6) * x + F.lit(0.8) * y,
+        )
+
+    out = dfops.map_columns_2d(
+        _with_xy(spark, sf_dir), rot, "X", "Y",
+        new_x_column="Xr", new_y_column="Yr",
+    )
+    return out.select("event_id", "Xr", "Yr")
+
+
+sql("map2d_affine",
+    f"SELECT event_id, 0.8 * X - 0.6 * Y AS Xr, 0.6 * X + 0.8 * Y AS Yr "
+    f"FROM ({_XY})")
+
+
 _KPARAMS = dict(
     r_start=0.0, c_start=0.0, r_center=256.0, c_center=256.0,
     r_conversion=0.0195, c_conversion=0.0195, r_step=2.0, c_step=2.0,

@@ -80,20 +80,21 @@ def test_exact_last_edge(spark):
 
 
 def test_methods_agree_4d(events_df, events_pdf):
-    """groupby and chunked physical strategies produce identical cubes."""
+    """All four physical strategies produce identical cubes."""
     bins = [12, 12, 12, 12]
     ranges = [(0.0, 2048.0), (0.0, 2048.0), (60_000.0, 120_000.0),
               (2_000.0, 20_000.0)]
     axes = ["X", "Y", "t", "ADC"]
     a = bin_dataframe(events_df, bins=bins, axes=axes, ranges=ranges,
                       method="groupby")
-    b = bin_dataframe(events_df, bins=bins, axes=axes, ranges=ranges,
-                      method="chunked")
     ref, _ = np.histogramdd(
         events_pdf[axes].to_numpy(), bins=bins, range=shifted_ranges(bins, ranges),
     )
-    np.testing.assert_array_equal(a.data, b.data)
     np.testing.assert_allclose(a.data, ref)
+    for method in ("chunked", "taskblob", "blockshuffle"):
+        b = bin_dataframe(events_df, bins=bins, axes=axes, ranges=ranges,
+                          method=method)
+        np.testing.assert_array_equal(a.data, b.data)
 
 
 def test_chunked_non_divisible_cube(events_df, events_pdf):
@@ -104,9 +105,10 @@ def test_chunked_non_divisible_cube(events_df, events_pdf):
     axes = ["X", "Y", "t"]
     a = bin_dataframe(events_df, bins=bins, axes=axes, ranges=ranges,
                       method="groupby")
-    b = bin_dataframe(events_df, bins=bins, axes=axes, ranges=ranges,
-                      method="chunked")
-    np.testing.assert_array_equal(a.data, b.data)
+    for method in ("chunked", "blockshuffle"):
+        b = bin_dataframe(events_df, bins=bins, axes=axes, ranges=ranges,
+                          method=method)
+        np.testing.assert_array_equal(a.data, b.data)
 
 
 def test_jitter_binning_total_preserved(events_df):
