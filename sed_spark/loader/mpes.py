@@ -154,6 +154,75 @@ def count_rate_from_markers(
     return out
 
 
+def attach_file_attrs(
+    df: DataFrame,
+    attrs: "Mapping[int, Mapping[str, float]] | pd.DataFrame | DataFrame",
+    file_col: str = "file_id",
+) -> DataFrame:
+    """Broadcast per-file scalar attributes onto every row of each file.
+
+    The reference appends a per-file H5 attribute as a constant column on
+    each dask partition (``add_value``, reference
+    src/sed/loader/mpes/loader.py:155-169,295-308 — one delayed per
+    partition, partition identity == file). Spark-first the partition
+    identity is the explicit ``file_id`` column, so the operation is a
+    plain **broadcast left join against a file-dimension table**: no
+    partition-order coupling, works after any repartition/shuffle, and at
+    100 TB the dim table stays thousands of rows (one per file) while the
+    fact side never moves.
+
+    ``attrs`` is a mapping ``{file_id: {name: value}}``, a pandas frame
+    indexed by file id, or a ready Spark DataFrame keyed by ``file_col``.
+    """
+    spark = df.sparkSession
+    if isinstance(attrs, DataFrame):
+        dim = attrs
+    else:
+        if isinstance(attrs, Mapping):
+            pdf = pd.DataFrame.from_dict(attrs, orient="index")
+            pdf.index.name = file_col
+            pdf = pdf.reset_index()
+        else:
+            pdf = attrs.reset_index()
+            pdf = pdf.rename(columns={pdf.columns[0]: file_col})
+        dim = spark.createDataFrame(pdf)
+    return df.join(F.broadcast(dim), on=file_col, how="left")
+
+
+def extract_bias_from_attrs(
+    attrs: Mapping[int, Mapping[str, float]],
+    bias_key: str,
+) -> np.ndarray:
+    """Bias series from per-file attribute mappings, rounded to 2 decimals
+    (reference src/sed/calibrator/energy.py:1709-1729 ``extract_bias`` —
+    the ``@``-prefix selects an H5 *attribute* over a dataset; here both
+    arrive through the same attrs mapping)."""
+    key = bias_key[1:] if bias_key.startswith("@") else bias_key
+    return np.asarray(
+        [round(float(attrs[f][key]), 2) for f in sorted(attrs)],
+    )
+
+
+def extract_bias(files: Sequence[str], bias_key: str) -> np.ndarray:
+    """Driver-side H5 bias read (reference energy.py:1709-1729); gated on
+    h5py like all raw-HDF5 paths in this runtime."""
+    try:
+        import h5py  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - h5py absent here
+        raise ImportError(
+            "extract_bias reads HDF5 attributes and needs h5py; stage the "
+            "attrs to parquet and use extract_bias_from_attrs instead",
+        ) from exc
+    out = []  # pragma: no cover - needs h5py
+    for file in files:  # pragma: no cover
+        with h5py.File(file, "r") as fh:
+            if bias_key.startswith("@"):
+                out.append(round(float(fh.attrs[bias_key[1:]]), 2))
+            else:
+                out.append(round(float(fh[bias_key][()]), 2))
+    return np.asarray(out)  # pragma: no cover
+
+
 class MpesLoader(GenericLoader):
     """HDF5 (one dataset per channel) → parquet staging → Spark scan.
 

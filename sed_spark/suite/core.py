@@ -516,6 +516,35 @@ WHERE pulseId NOT BETWEEN -2 AND -1
 
 
 # ---------------------------------------------------------------------------
+# per-file attribute broadcast (§2.3, reference loader/mpes/loader.py:
+# 155-169 add_value) — the dask per-partition constant becomes a broadcast
+# join against a file-dimension table keyed on the explicit file column.
+# ---------------------------------------------------------------------------
+
+@q("file_attr_broadcast")
+def file_attr_broadcast(spark, sf_dir):
+    from sed_spark.loader.mpes import attach_file_attrs
+
+    df = load(spark, sf_dir, "events").withColumn(
+        "fid", (F.col("event_id") % 7).cast("long"),
+    )
+    attrs = {
+        i: {"sampleBias": 10.0 + 0.5 * i, "extractorVoltage": 6000.0 - 25.0 * i}
+        for i in range(7)
+    }
+    out = attach_file_attrs(df, attrs, file_col="fid")
+    return out.select("event_id", "sampleBias", "extractorVoltage")
+
+
+sql("file_attr_broadcast", """
+SELECT event_id,
+       10.0 + 0.5 * CAST(event_id % 7 AS DOUBLE) AS sampleBias,
+       6000.0 - 25.0 * CAST(event_id % 7 AS DOUBLE) AS extractorVoltage
+FROM events
+""")
+
+
+# ---------------------------------------------------------------------------
 # offsets (§2.7) — mean reduction + preserve_mean
 # ---------------------------------------------------------------------------
 
