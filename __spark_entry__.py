@@ -1,8 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship workflow on sf0.001: load events, run the full
-sed-style calibration chain (jitter → energy correction → energy axis →
-delay axis), and return the sparse 2-D (energy × delay) histogram.
+sed-style calibration chain (jitter → dfield warp → k axis → energy
+correction → energy axis → delay axis), and return the sparse 2-D
+(energy × delay) histogram.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
 SURVEY.md §2 plus the training-data extensions; see ``sed_spark/suite/``.
@@ -17,11 +18,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    import numpy as np
     from pyspark.sql import functions as F
 
     from sed_spark.binning import sparse_histogram
     from sed_spark.calibrator import delay as delay_cal
     from sed_spark.calibrator import energy as energy_cal
+    from sed_spark.calibrator import momentum as momentum_cal
     from sed_spark.dfops import apply_jitter
     from sed_spark.suite.common import load
 
@@ -35,6 +38,16 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     df = apply_jitter(df, ["X", "Y", "t", "ADC"],
                       cols_jittered=["X", "Y", "t", "ADC"], seed=42)
+    # inverse deformation field (identity + ripple) applied as the JVM
+    # broadcast-join bilinear lookup; X/Y stay detector coordinates
+    g = np.linspace(0.0, 2048.0, 64)
+    gx, gy = np.meshgrid(g, g, indexing="ij")
+    dfield = np.stack([gx + 5.0 * np.sin(gy / 300.0),
+                       gy + 5.0 * np.sin(gx / 300.0)])
+    df = momentum_cal.apply_dfield(
+        df, dfield, new_x_column="X", new_y_column="Y",
+        detector_ranges=((0.0, 2048.0), (0.0, 2048.0)),
+    )
     df = energy_cal.apply_energy_correction(
         df, correction_type="spherical", center=(1024.0, 1024.0),
         amplitude=2.0, diameter=3000.0,

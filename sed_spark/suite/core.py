@@ -791,6 +791,133 @@ sql("dfield_warp_udf", _dfield_sql())
 
 
 # ---------------------------------------------------------------------------
+# flagship end-to-end momentum workflow (SURVEY §7.4) — the reference's full
+# per-event chain (workflows/recipes: MomentumCorrector → EnergyCalibrator →
+# DelayCalibrator → compute, reference src/sed/core/processor.py) as ONE
+# declarative plan: dfield warp (broadcast join) → k affine → spherical
+# energy correction → poly energy axis → delay axis → 4-D sparse histogram.
+# Catalyst fuses every per-event transform into a single whole-stage-codegen
+# projection feeding one hash aggregate: at 100 TB this is one scan + one
+# shuffle of (bin-tuple, partial count), no intermediate materialization.
+# ---------------------------------------------------------------------------
+
+_FLAG_AXES = ["kx", "ky", "energy", "delay"]
+_FLAG_BINS = [8, 8, 8, 8]
+_FLAG_RANGES = [(-6.0, 0.0), (-6.0, 0.0), (4.95, 5.2), (-5.0, 5.0)]
+_FLAG_ADC_RANGE = (0.0, 150.0)
+_FLAG_DELAY_RANGE = (-5.0, 5.0)
+
+
+def _flagship_src(spark, sf_dir):
+    df = load(spark, sf_dir, "events")
+    return df.select(
+        "event_id",
+        F.col("value").alias("t"),
+        (F.col("value") * 4.0).alias("X"),
+        (F.col("value") * 3.0).alias("Y"),
+        F.col("user_id").cast("double").alias("ADC"),
+    )
+
+
+@q("flagship_momentum")
+def flagship_momentum(spark, sf_dir):
+    fx, fy = _dfield_grids()
+    wf = momentum_cal.apply_dfield(
+        _flagship_src(spark, sf_dir), np.stack([fx, fy]),
+        detector_ranges=_DF_RANGES, method="join",
+    )
+    wf = momentum_cal.append_k_axis(wf, x_column="Xm", y_column="Ym", **_KPARAMS)
+    wf = energy_cal.apply_energy_correction(
+        wf, correction_type="spherical", center=_CENTER,
+        amplitude=2.0, diameter=4000.0, new_tof_column="tm",
+    )
+    wf = energy_cal.append_energy_axis(
+        wf, tof_column="tm", calibration_type="poly", coeffs=_POLY, E0=5.0,
+    )
+    wf = delay_cal.append_delay_axis(
+        wf, adc_range=_FLAG_ADC_RANGE, delay_range=_FLAG_DELAY_RANGE,
+    )
+    agg, norm, bin_names = sparse_histogram(
+        wf, bins=_FLAG_BINS, axes=_FLAG_AXES, ranges=_FLAG_RANGES,
+        count_alias="cnt",
+    )
+    return agg.select(
+        *[F.col(b).alias(f"bin_{ax.name}") for b, ax in zip(bin_names, norm)],
+        "cnt",
+    )
+
+
+def _flagship_sql():
+    fx, fy = _dfield_grids()
+    (xmin, xmax), (ymin, ymax) = _DF_RANGES
+    xs = _DF_H / (xmax - xmin)
+    ys = _DF_W / (ymax - ymin)
+    lits = {
+        "fx": "[" + ", ".join(fl(v) for v in np.asarray(fx).ravel()) + "]",
+        "fy": "[" + ", ".join(fl(v) for v in np.asarray(fy).ravel()) + "]",
+    }
+
+    def corner(p, dr, dc):
+        idx = f"(CAST(r0 AS BIGINT) + {dr}) * {_DF_W} + (CAST(c0 AS BIGINT) + {dc}) + 1"
+        ok = (
+            f"r0 + {dr} >= 0 AND r0 + {dr} <= {_DF_H - 1} "
+            f"AND c0 + {dc} >= 0 AND c0 + {dc} <= {_DF_W - 1}"
+        )
+        return f"CASE WHEN {ok} THEN list_extract({lits[p]}, {idx}) ELSE 0.0 END"
+
+    def blend(p):
+        top = f"({corner(p, 0, 0)} * (1.0 - fc) + {corner(p, 0, 1)} * fc)"
+        bot = f"({corner(p, 1, 0)} * (1.0 - fc) + {corner(p, 1, 1)} * fc)"
+        return f"({top} * (1.0 - fr) + {bot} * fr)"
+
+    p = _KPARAMS
+    rdet0 = p["r_start"] + p["r_step"] * p["r_center"]
+    cdet0 = p["c_start"] + p["c_step"] * p["c_center"]
+    (a_lo, a_hi) = _FLAG_ADC_RANGE
+    (d_lo, d_hi) = _FLAG_DELAY_RANGE
+    poly = (
+        f"(({fl(_POLY[0])} * tm + {fl(_POLY[1])}) * tm + {fl(_POLY[2])}) * tm + 5.0"
+    )
+    hist = _hist_sql("axes_t", normalize_bins(_FLAG_BINS, _FLAG_AXES, _FLAG_RANGES))
+    return f"""
+WITH src AS (
+  SELECT event_id, value AS t, value * 4.0 AS X, value * 3.0 AS Y,
+         CAST(user_id AS DOUBLE) AS ADC
+  FROM events
+),
+frac AS (
+  SELECT *, floor(rows_) AS r0, floor(cols_) AS c0,
+         rows_ - floor(rows_) AS fr, cols_ - floor(cols_) AS fc
+  FROM (
+    SELECT *, (X - {fl(xmin)}) * {fl(xs)} AS rows_,
+           (Y - {fl(ymin)}) * {fl(ys)} AS cols_
+    FROM src
+  )
+),
+warp AS (
+  SELECT event_id, t, X, Y, ADC, {blend("fx")} AS Xm, {blend("fy")} AS Ym
+  FROM frac
+),
+corrected AS (
+  SELECT *, t + -((1.0 - sqrt(1.0 - ({_R2}) / {fl(4000.0 ** 2)})) * {fl(100.0 * 2.0)}) AS tm
+  FROM warp
+),
+axes_t AS (
+  SELECT event_id,
+         {fl(p["r_conversion"])} * ((Xm - {fl(rdet0)}) / {fl(p["r_step"])}) AS kx,
+         {fl(p["c_conversion"])} * ((Ym - {fl(cdet0)}) / {fl(p["c_step"])}) AS ky,
+         {poly} AS energy,
+         {fl(d_lo)} + (ADC - {fl(a_lo)}) * {fl(d_hi - d_lo)} / {fl(a_hi - a_lo)} AS delay
+  FROM corrected
+)
+{hist}
+"""
+
+
+sql("flagship_momentum", _flagship_sql())
+
+
+# ---------------------------------------------------------------------------
 # as-of interpolation join (§2.3) — np.interp parity
 # ---------------------------------------------------------------------------
 
