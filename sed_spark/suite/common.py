@@ -27,3 +27,20 @@ def configure(spark: SparkSession) -> None:
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     configure(spark)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def ts_us(df: DataFrame, col: str = "ts"):
+    """Epoch-microseconds Column for the events timestamp, whatever the
+    parquet stored it as: int64 nanos (TIMESTAMP(NANOS) read back as long
+    under ``nanosAsLong``) → integer ``DIV 1000``; TIMESTAMP_NTZ micros →
+    timezone-independent ``timestampdiff`` from the epoch (matches DuckDB's
+    ``epoch_us(ts)`` on a naive timestamp exactly, bit-for-bit integers)."""
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col, "")
+    if dtype in ("bigint", "long", "int"):
+        return F.expr(f"{col} DIV 1000")
+    return F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"CAST({col} AS TIMESTAMP_NTZ))",
+    )

@@ -18,7 +18,7 @@ from sed_spark.binning import normalize_bins, sparse_histogram
 from sed_spark.calibrator import delay as delay_cal
 from sed_spark.calibrator import energy as energy_cal
 from sed_spark.calibrator import momentum as momentum_cal
-from sed_spark.suite.common import fl, load
+from sed_spark.suite.common import fl, load, ts_us
 
 QUERIES: dict[str, dict] = {}
 
@@ -923,11 +923,10 @@ sql("flagship_momentum", _flagship_sql())
 
 @q("interp_asof")
 def interp_asof(spark, sf_dir):
-    # time domain is MICROSECONDS (integer `ts DIV 1000`): duckdb holds these
-    # timestamps at µs precision, so the oracle can only see µs
-    df = load(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts DIV 1000"),
-    )
+    # time domain is MICROSECONDS: duckdb holds these timestamps at µs
+    # precision, so the oracle can only see µs
+    df = load(spark, sf_dir, "events")
+    df = df.withColumn("ts_us", ts_us(df))
     series = (
         df.filter(F.col("event_type") == "signup")
         .groupBy(F.col("ts_us").cast("double").alias("x"))
@@ -989,7 +988,7 @@ def dwell_norm(spark, sf_dir):
     from sed_spark.binning.core import bin_index_expr
 
     df = load(spark, sf_dir, "events")
-    df = df.withColumn("ts_us", F.expr("ts DIV 1000"))
+    df = df.withColumn("ts_us", ts_us(df))
     w = Window.partitionBy("user_id").orderBy("event_id")
     dt = F.col("ts_us") - F.lag("ts_us").over(w)
     idx, valid = bin_index_expr(_DWELL_AX, F.col("value"))
@@ -1027,7 +1026,7 @@ sql("dwell_norm", _dwell_sql())
 @q("elapsed_time")
 def elapsed_time(spark, sf_dir):
     df = load(spark, sf_dir, "events")
-    df = df.withColumn("ts_us", F.expr("ts DIV 1000"))
+    df = df.withColumn("ts_us", ts_us(df))
     return df.groupBy("user_id").agg(
         (F.max("ts_us") - F.min("ts_us")).alias("elapsed_us"),
         F.count(F.lit(1)).alias("n_events"),
@@ -1042,7 +1041,7 @@ sql("elapsed_time",
 @q("count_rate")
 def count_rate(spark, sf_dir):
     df = load(spark, sf_dir, "events")
-    df = df.withColumn("ts_us", F.expr("ts DIV 1000"))
+    df = df.withColumn("ts_us", ts_us(df))
     agg = df.groupBy("user_id").agg(
         (F.max("ts_us") - F.min("ts_us")).alias("elapsed_us"),
         F.count(F.lit(1)).alias("n_events"),
