@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from sed_spark.ext import dedup, multimodal, similarity, text
+from sed_spark.ext import dedup, graph, multimodal, similarity, text
 from sed_spark.suite.common import load
 
 QUERIES: dict[str, dict] = {}
@@ -71,6 +71,38 @@ bands AS (
 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+def dedup_clusters(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, n_bands=4)
+    pairs = dedup.lsh_candidate_pairs(sigs, n_bands=4)
+    return graph.dedup_clusters(docs, pairs)
+
+
+# transitive closure of the LSH pair graph: recursive min-label propagation
+# (every node collects the labels of everything that reaches it; the min is
+# the component min — same fixpoint the Spark hash-min loop converges to)
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+pairs AS ({LSH_PAIRS_SQL}),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id, a_id FROM pairs
+),
+reach(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node
+),
+cc AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+SELECT d.doc_id,
+  COALESCE(cc.label, d.doc_id) AS cluster_id,
+  CAST(CASE WHEN COALESCE(cc.label, d.doc_id) = d.doc_id
+       THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
 """
 
 
@@ -375,6 +407,7 @@ QUERIES.update(
         "dedup_exact": {"spark": dedup_exact, "sql": DEDUP_EXACT_SQL},
         "minhash_signatures": {"spark": minhash_signatures, "sql": MINHASH_SQL},
         "lsh_pairs": {"spark": lsh_pairs, "sql": LSH_PAIRS_SQL},
+        "dedup_clusters": {"spark": dedup_clusters, "sql": DEDUP_CLUSTERS_SQL},
         "jaccard_pairs": {"spark": jaccard_pairs, "sql": JACCARD_SQL},
         "simhash": {"spark": simhash, "sql": _simhash_sql()},
         "ann_cosine_topk": {"spark": ann_cosine_topk, "sql": ANN_SQL},

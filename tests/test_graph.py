@@ -1,0 +1,44 @@
+"""Connected components / dedup cluster resolution."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sed_spark.ext.graph import connected_components, dedup_clusters
+
+
+def test_connected_components_chain_and_triangle(spark):
+    # components: {1,2,3,4} (a chain — worst-case diameter), {10,11,12}
+    # (a triangle), {20,21} (one edge)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["a_id", "b_id"],
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_converges_on_single_long_chain(spark):
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["a_id", "b_id"],
+    )
+    labels = connected_components(edges).collect()
+    assert {r["label"] for r in labels} == {0}
+    assert len(labels) == n + 1
+
+
+def test_dedup_clusters_isolated_docs_are_canonical(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], ["a_id", "b_id"])
+    out = dedup_clusters(docs, pairs).orderBy("doc_id").collect()
+    assert [(r["doc_id"], r["cluster_id"], r["is_canonical"]) for r in out] == [
+        (0, 0, 1), (1, 1, 1), (2, 2, 1), (3, 1, 0), (4, 4, 1), (5, 1, 0),
+    ]
+    # dedup = keep canonical only
+    kept = dedup_clusters(docs, pairs).filter(F.col("is_canonical") == 1)
+    assert kept.count() == 4
