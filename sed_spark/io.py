@@ -221,14 +221,9 @@ def load_tiff(faddr: str) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def to_nexus(res: BinnedData, faddr: str, **kwds) -> None:
-    """NXmpes export (reference src/sed/io/nexus.py:14-47) — requires the
-    optional ``pynxtools`` toolchain, which converts via a reader plugin."""
-    try:
-        from pynxtools.dataconverter.convert import convert  # noqa: F401
-    except ImportError as exc:
-        raise ImportError(
-            "to_nexus requires the optional dependency pynxtools",
-        ) from exc
-    raise NotImplementedError(
-        "NeXus export plumbing is stubbed until pynxtools is available",
-    )
+    """NXmpes export (reference src/sed/io/nexus.py:14-47): NXdata tree
+    construction is dependency-free in :mod:`sed_spark.nexus`; the HDF5
+    serialization is gated on pynxtools/h5py."""
+    from sed_spark.nexus import to_nexus as _to_nexus
+
+    _to_nexus(res, faddr, **kwds)
