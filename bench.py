@@ -30,7 +30,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count())
     n_synth = int(float(os.environ.get("SPARK_GRAFT_BENCH_N", "1e8")))
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
+    # baseline parity: the reference records min-of-5 runs
+    # (benchmark_sed.py:58-63, BASELINE.md "Assertion rule") — matching
+    # best-of-5 also absorbs this VM's 2-3x run-to-run shuffle/GC variance
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "5"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     from pyspark.sql import functions as F

@@ -75,6 +75,69 @@ def cosine_topk(
     )
 
 
+def batch_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_decimals: int | None = 6,
+    prune: bool = True,
+) -> DataFrame:
+    """Top-k nearest corpus vectors for EVERY query vector, in one job.
+
+    The realistic serving shape: a batch of M query vectors against an
+    N-row corpus. The query table is explicitly ``broadcast`` (a
+    BroadcastNestedLoopJoin — each task scores its corpus slice against all
+    M queries locally, no corpus shuffle), then the per-query top-k is
+    taken in two phases:
+
+    1. map-side prune (``prune=True``): an Arrow-batched ``mapInPandas``
+       keeps only the top-k rows per query within each batch, on the slim
+       (query_id, id, sim) projection. This bounds the shuffle to
+       ≤ k·M rows per task — without it, the window shuffle moves all N·M
+       scored rows and each query's N rows land on ONE task (the window
+       partition), which is the scale-killer at 100 TB.
+    2. a ``row_number`` window per query over the pruned remainder.
+
+    Ties break to the lowest id, so results are deterministic.
+    """
+    from pyspark.sql import Window
+
+    from sed_spark.ext import scale_out
+
+    q = queries.select(F.col(query_id_col), F.col(query_vec_col))
+    sim = cosine_expr(F.col(vec_col), F.col(query_vec_col))
+    if round_decimals is not None:
+        sim = F.round(sim, round_decimals)
+    scored = (
+        scale_out(corpus)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(query_id_col), F.col(id_col), sim.alias("cos_sim"))
+    )
+    if prune:
+        schema = scored.schema
+        qid, vid = query_id_col, id_col
+
+        def _local_topk(batches):
+            for pdf in batches:
+                pdf = pdf.sort_values(
+                    [qid, "cos_sim", vid], ascending=[True, False, True],
+                )
+                yield pdf.groupby(qid, sort=False).head(k)
+
+        scored = scored.mapInPandas(_local_topk, schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     planes: Sequence[Sequence[float]],

@@ -61,6 +61,13 @@ def get_spark(
         "spark.ui.enabled": os.environ.get("SPARK_GRAFT_UI", "false"),
         "spark.driver.maxResultSize": "4g",
     }
+    # Single-node local mode writes shuffle files to spark.local.dir; on the
+    # bench VM that is a virtual disk with highly variable throughput
+    # (measured 10-106 s for the SAME 1e8-row 100^4 hash-agg). RAM-backed
+    # tmpfs removes that variance. Only applied for local[*] masters —
+    # a real cluster's local dirs are the cluster's NVMe, configured there.
+    if master.startswith("local") and os.path.isdir("/dev/shm"):
+        conf.setdefault("spark.local.dir", "/dev/shm/sed-spark-local")
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
