@@ -19,6 +19,7 @@ __all__ = [
     "norm2_expr",
     "cosine_expr",
     "cosine_topk",
+    "batch_cosine_topk",
     "hyperplane_lsh_buckets",
     "deterministic_planes",
     "lsh_band_buckets",

@@ -182,6 +182,41 @@ FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
+def ann_batch_topk(spark, sf_dir):
+    df = load(spark, sf_dir, "embeddings")
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return similarity.batch_cosine_topk(df, q, k=5)
+
+
+ANN_BATCH_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+    list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS dot,
+    list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS na,
+    list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS nq
+  FROM embeddings e, q
+),
+r AS (
+  SELECT query_id, vec_id,
+    round(dot / (sqrt(na) * sqrt(nq)), 6) AS cos_sim,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY round(dot / (sqrt(na) * sqrt(nq)), 6) DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
 _NEARDUP_PLANES = similarity.deterministic_planes(16, 64)
 _NEARDUP_BANDS = 4
 
@@ -411,6 +446,7 @@ QUERIES.update(
         "jaccard_pairs": {"spark": jaccard_pairs, "sql": JACCARD_SQL},
         "simhash": {"spark": simhash, "sql": _simhash_sql()},
         "ann_cosine_topk": {"spark": ann_cosine_topk, "sql": ANN_SQL},
+        "ann_batch_topk": {"spark": ann_batch_topk, "sql": ANN_BATCH_SQL},
         "embedding_near_dup": {"spark": embedding_near_dup, "sql": _near_dup_sql()},
         "ann_ivf_topk": {"spark": ann_ivf_topk, "sql": _ivf_sql()},
         "text_quality": {"spark": text_quality, "sql": TEXT_QUALITY_SQL},

@@ -86,3 +86,47 @@ def test_ivf_topk_subset_of_bucket(emb_df):
     assert rows[0].vec_id == 10  # query vector is in its own probe bucket
     buckets = {r.vec_id: r.bucket for r in similarity.ivf_assign(df, cents).collect()}
     assert len({buckets[r.vec_id] for r in rows}) == 1  # single probed bucket
+
+
+def test_batch_cosine_topk_matches_single_query(spark):
+    import numpy as np
+
+    from sed_spark.ext.similarity import batch_cosine_topk, cosine_topk
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(8).astype("float32").tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"),
+    )
+    batch = batch_cosine_topk(df, q, k=5)
+    got = {
+        qid: [(r["vec_id"], r["cos_sim"]) for r in rows_]
+        for qid, rows_ in (
+            (qid, sorted(
+                [r for r in batch.collect() if r["query_id"] == qid],
+                key=lambda r: r["rank"],
+            ))
+            for qid in (0, 1)
+        )
+    }
+    for qid in (0, 1):
+        qvec = rows[qid][1]
+        single = cosine_topk(df, qvec, k=5).collect()
+        assert got[qid] == [(r["vec_id"], r["cos_sim"]) for r in single]
+
+
+def test_batch_cosine_topk_prune_equals_no_prune(spark):
+    import numpy as np
+
+    from sed_spark.ext.similarity import batch_cosine_topk
+
+    rng = np.random.default_rng(9)
+    rows = [(i, rng.standard_normal(8).astype("float32").tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(7)
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"),
+    )
+    a = sorted(map(tuple, batch_cosine_topk(df, q, k=4, prune=True).collect()))
+    b = sorted(map(tuple, batch_cosine_topk(df, q, k=4, prune=False).collect()))
+    assert a == b
