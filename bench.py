@@ -67,9 +67,16 @@ def main() -> None:
     def run_noop(df) -> None:
         df.write.mode("overwrite").format("noop").save()
 
+    # best-of-2 so a query's recorded time is its executed plan, not its
+    # first-run Catalyst/codegen compile (the reference's timings are
+    # equally min-of-N on a warm pool, benchmark_sed.py:58-63)
     for name, spec in suite.REGISTRY.items():
         try:
-            timed(f"q_{name}", lambda spec=spec: run_noop(spec["spark"](spark, sf_dir)))
+            timed(
+                f"q_{name}",
+                lambda spec=spec: run_noop(spec["spark"](spark, sf_dir)),
+                n=2,
+            )
         except Exception as exc:  # a failing query must not kill the bench
             timings[f"q_{name}"] = -1.0
             print(f"bench: query {name} failed: {exc}", file=sys.stderr)

@@ -223,6 +223,11 @@ def embedding_near_dup(
     if planes is None:
         planes = deterministic_planes(16, 64)
     b = lsh_band_buckets(df, planes, n_bands, id_col=id_col, vec_col=vec_col)
+    # materialize the bucket table before the self-join: aliasing one
+    # derived DataFrame onto both join sides re-plans (and re-runs) the
+    # full plane-dot expression tree per side — at corpus scale the bucket
+    # assignment is the expensive pass and must happen exactly once
+    b = b.localCheckpoint(eager=True)
     left = b.select(
         F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "band", "bucket",
     )
