@@ -190,9 +190,72 @@ GROUP BY r_name
 """
 
 
+_Q5_LO, _Q5_HI = "1996-01-01 00:00:00", "1997-01-01 00:00:00"
+
+
+def q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join with a dim chain. Scale plan: region →
+    nation broadcast into supplier (tiny), the supplier side broadcast
+    into lineitem (no fact shuffle for the supplier probe); orders is
+    date-pruned AT THE SCAN (pushed filter) before its shuffle join with
+    lineitem; customer joins last on (custkey, nationkey). AQE re-sizes
+    every post-shuffle stage."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region),
+                nation.n_regionkey == region.r_regionkey,
+            ).select("n_nationkey", "n_name"),
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q5_LO).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(_Q5_HI).cast("timestamp_ntz")),
+    ).select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+    )
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast(DecimalType(18, 4))
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            cust,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+    AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '{_Q5_LO}'
+  AND o_orderdate < TIMESTAMP '{_Q5_HI}'
+GROUP BY n_name
+"""
+
+
 QUERIES.update(
     {
         "q1_pricing_summary": {"spark": q1_pricing_summary, "sql": Q1_SQL},
+        "q5_local_supplier": {"spark": q5_local_supplier, "sql": Q5_SQL},
         "q3_shipping_priority": {"spark": q3_shipping_priority, "sql": Q3_SQL},
         "brand_agg": {"spark": brand_agg, "sql": BRAND_SQL},
         "window_top3": {"spark": window_top3, "sql": WINDOW_SQL},

@@ -1,0 +1,87 @@
+"""Physical-plan assertions: the declarative queries must actually reach
+the scan with their filters/projections and pick the intended join
+strategies — this is the 100 TB contract, checked at unit scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def q5_plan(spark):
+    from sed_spark.suite.relational import q5_local_supplier
+
+    return _plan(q5_local_supplier(spark, SF_DIR))
+
+
+def test_q5_orders_date_filter_pushed_to_scan(q5_plan):
+    # the o_orderdate range predicate must appear in PushedFilters of the
+    # orders parquet scan, not only as a post-scan Filter
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in q5_plan
+
+
+def test_q5_scans_prune_columns(q5_plan):
+    # lineitem scan must read only the 4 needed columns of 11
+    for line in q5_plan.splitlines():
+        if "lineitem" in line and "ReadSchema" in line:
+            schema = line.split("ReadSchema:")[1]
+            assert "l_extendedprice" in schema and "l_shipdate" not in schema
+            break
+    else:
+        pytest.fail("no lineitem scan with ReadSchema in plan")
+
+
+def test_q5_supplier_side_broadcast(q5_plan):
+    assert "BroadcastHashJoin" in q5_plan
+
+
+def test_hist_projection_prunes_unused_columns(spark):
+    from sed_spark.binning import sparse_histogram
+    from sed_spark.suite.common import load
+
+    df = load(spark, SF_DIR, "lineitem")
+    agg, _, _ = sparse_histogram(
+        df, bins=[10], axes=["l_quantity"], ranges=[(0.0, 50.0)],
+        count_alias="cnt",
+    )
+    plan = _plan(agg)
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            schema = line.split("ReadSchema:")[1]
+            assert "l_quantity" in schema
+            assert "l_extendedprice" not in schema
+            return
+    pytest.fail("no scan with ReadSchema in plan")
+
+
+def test_range_filter_pushes_value_predicate(spark):
+    from sed_spark import dfops
+    from sed_spark.suite.common import load
+
+    df = load(spark, SF_DIR, "events")
+    plan = _plan(
+        dfops.apply_filter(df, "value", 100.0, 400.0).select("event_id"),
+    )
+    assert "PushedFilters: [IsNotNull(value), GreaterThan(value,100.0)" in plan
+
+
+def test_binning_aggregate_is_whole_stage_codegen(spark):
+    from sed_spark.binning import sparse_histogram
+    from sed_spark.suite.common import load
+
+    df = load(spark, SF_DIR, "events")
+    agg, _, _ = sparse_histogram(
+        df, bins=[100], axes=["value"], ranges=[(0.0, 500.0)],
+        count_alias="cnt",
+    )
+    agg.collect()  # AQE finalizes (and codegen-annotates) the plan on execution
+    plan = _plan(agg)
+    assert "WholeStageCodegen" in plan
+    assert "HashAggregate" in plan
