@@ -83,5 +83,9 @@ def test_binning_aggregate_is_whole_stage_codegen(spark):
     )
     agg.collect()  # AQE finalizes (and codegen-annotates) the plan on execution
     plan = _plan(agg)
-    assert "WholeStageCodegen" in plan
-    assert "HashAggregate" in plan
+    # "*(n)" prefixes mark WholeStageCodegen stages in the plan string;
+    # the aggregate (not just the scan) must carry one
+    assert "*(" in plan
+    assert any(
+        "HashAggregate" in line and "*(" in line for line in plan.splitlines()
+    )
