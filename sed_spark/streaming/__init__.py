@@ -37,6 +37,7 @@ __all__ = [
     "read_event_stream",
     "timed_table_stream",
     "streaming_histogram",
+    "streaming_exact_dedup",
     "run_available_now",
 ]
 
@@ -115,6 +116,72 @@ def streaming_histogram(
         .groupBy(window.alias("w"), *[F.col(b) for b in bin_names])
         .agg(F.count(F.lit(1)).alias("count"))
         .select(F.col("w.start").alias("window_start"), *bin_names, "count")
+    )
+
+
+def streaming_exact_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 64,
+) -> DataFrame:
+    """First-seen-wins exact dedup over a document stream.
+
+    The custom stateful operator the batch engine cannot express: which
+    documents were seen in EARLIER micro-batches. Implemented with
+    ``applyInPandasWithState``:
+
+    * the content hash (``md5``) is computed JVM-side before grouping;
+    * the group key is a hash shard (``pmod(hash, n_shards)``), so seen-set
+      state is partitioned across executors — per-shard state holds only
+      that shard's distinct hashes, and shards rebalance with the state
+      store when the cluster resizes;
+    * each invocation filters its Arrow batches against the shard's seen
+      set (first occurrence within the batch wins too, in row order) and
+      writes the enlarged set back.
+
+    State is the distinct-hash set itself — exact dedup needs it; at
+    100 TB the deployment knobs are a RocksDB state store provider and a
+    TTL/timeout policy when "duplicate" only means within a horizon.
+    Output mode: ``append`` (emitted rows are final the moment they pass).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import StringType, StructField
+
+    hashed = df.select(
+        F.col(id_col), F.col(text_col),
+        F.md5(F.col(text_col)).alias("__h"),
+        F.pmod(F.crc32(F.col(text_col).cast("binary")), F.lit(n_shards))
+        .cast("long").alias("__shard"),
+    )
+    out_schema = hashed.schema
+    state_schema = StructType([StructField("seen", StringType())])
+
+    def dedup_fn(key, pdf_iter, state):
+        # state as one comma-joined string: the state row must be a flat
+        # struct; hashes are fixed-width hex so the packing is unambiguous
+        seen = set(state.get[0].split(",")) if state.exists else set()
+        for pdf in pdf_iter:
+            keep = []
+            for h in pdf["__h"]:
+                fresh = h not in seen
+                if fresh:
+                    seen.add(h)
+                keep.append(fresh)
+            if any(keep):
+                yield pdf[keep]
+        state.update((",".join(sorted(seen)),))
+
+    return (
+        hashed.groupBy("__shard")
+        .applyInPandasWithState(
+            dedup_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .select(id_col, text_col)
     )
 
 

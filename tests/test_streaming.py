@@ -62,3 +62,44 @@ def test_timed_table_stream_counts_all_events(spark, stream_dir):
     assert (got["events"] > 0).all()
     # fixture spans 600 s -> at most ~11 one-minute buckets
     assert 1 <= len(got) <= 12
+
+
+def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
+    import pandas as pd
+
+    from sed_spark.streaming import streaming_exact_dedup
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    # duplicates within a file AND across files (separate micro-batches)
+    pd.DataFrame({"doc_id": [0, 1, 2], "text": ["aa", "bb", "aa"]}).to_parquet(
+        d / "f0.parquet",
+    )
+    pd.DataFrame({"doc_id": [3, 4], "text": ["bb", "cc"]}).to_parquet(
+        d / "f1.parquet",
+    )
+    pd.DataFrame({"doc_id": [5, 6], "text": ["cc", "dd"]}).to_parquet(
+        d / "f2.parquet",
+    )
+    batch_schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = streaming_exact_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    got = spark.table("dedup_sink").toPandas()
+    # exactly one representative per distinct text, id from that text's docs
+    assert sorted(got["text"]) == ["aa", "bb", "cc", "dd"]
+    owners = {"aa": {0, 2}, "bb": {1, 3}, "cc": {4, 5}, "dd": {6}}
+    for _, row in got.iterrows():
+        assert row["doc_id"] in owners[row["text"]]
