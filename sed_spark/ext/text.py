@@ -84,6 +84,58 @@ def token_stats(
     )
 
 
+def winnow_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint (Schleimer, Wilkerson, Aiken, "Winnowing:
+    Local Algorithms for Document Fingerprinting", SIGMOD 2003).
+
+    Character k-gram hashes; from every window of ``w`` consecutive
+    hashes, the minimum is selected — the winnowing guarantee is that any
+    shared substring of length ≥ k + w - 1 contributes at least one
+    shared selected hash, which makes the selected set robust to
+    insertions/reordering in a way one global min (``fingerprint``) is
+    not. Output: a digest of the sorted distinct selected hashes plus
+    their count.
+
+    All pure Column expressions, with the k-gram hash array materialized
+    in its own projection (same CSE discipline as :func:`fingerprint` —
+    window mins reference the array w times)."""
+    from sed_spark.ext import scale_out
+
+    t = F.col(text_col)
+    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(0))
+    hashes = scale_out(df).select(
+        F.col(id_col),
+        F.when(
+            n_grams > 0,
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.md5(t.substr(i, F.lit(k))),
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<string>)")).alias("__hs"),
+    )
+    hs = F.col("__hs")
+    n_win = F.size(hs) - (w - 1)
+    selected = F.when(
+        n_win > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda j: F.array_min(F.slice(hs, j, w)),
+        ),
+    ).otherwise(hs)  # shorter than one window: keep all k-gram hashes
+    sel = F.array_sort(F.array_distinct(selected))
+    return hashes.select(
+        F.col(id_col),
+        F.md5(F.concat_ws("", sel)).alias("winnow_digest"),
+        F.size(sel).alias("n_selected"),
+    )
+
+
 def fingerprint(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -391,6 +391,36 @@ FROM base
 """
 
 
+def winnow_fp(spark, sf_dir):
+    return text.winnow_fingerprint(load(spark, sf_dir, "documents"), k=8, w=4)
+
+
+# mirrors winnow_fingerprint(k=8, w=4): char-8-gram md5s, min per
+# 4-window, sorted distinct selection digest
+WINNOW_SQL = """
+WITH hs AS (
+  SELECT doc_id,
+    CASE WHEN length(text) - 7 > 0 THEN
+      list_transform(generate_series(1, length(text) - 7),
+                     i -> md5(substr(text, i, 8)))
+    ELSE [] END AS hs
+  FROM documents
+),
+sel0 AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) - 3 > 0 THEN
+      list_transform(generate_series(1, len(hs) - 3),
+                     j -> list_min(hs[j:j+3]))
+    ELSE hs END AS s
+  FROM hs
+),
+d AS (SELECT doc_id, list_sort(list_distinct(s)) AS sel FROM sel0)
+SELECT doc_id, md5(array_to_string(sel, '')) AS winnow_digest,
+  CAST(len(sel) AS INTEGER) AS n_selected
+FROM d
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing — the decode stub is deterministic (sha256 of the
 # payload), so the whole path has a DuckDB oracle: metadata AND the feature
@@ -453,6 +483,7 @@ QUERIES.update(
         "lang_id": {"spark": lang_id, "sql": LANG_SQL},
         "token_stats": {"spark": token_stats, "sql": TOKEN_SQL},
         "doc_fingerprint": {"spark": doc_fingerprint, "sql": FP_SQL},
+        "winnow_fp": {"spark": winnow_fp, "sql": WINNOW_SQL},
         "multimodal_decode": {"spark": multimodal_decode, "sql": _multimodal_sql()},
     },
 )

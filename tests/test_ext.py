@@ -130,3 +130,53 @@ def test_batch_cosine_topk_prune_equals_no_prune(spark):
     a = sorted(map(tuple, batch_cosine_topk(df, q, k=4, prune=True).collect()))
     b = sorted(map(tuple, batch_cosine_topk(df, q, k=4, prune=False).collect()))
     assert a == b
+
+
+def test_winnow_fingerprint_matches_python_reference(spark):
+    import hashlib
+
+    from sed_spark.ext.text import winnow_fingerprint
+
+    def py_winnow(s, k=8, w=4):
+        hs = [
+            hashlib.md5(s[i:i + k].encode()).hexdigest()
+            for i in range(max(len(s) - k + 1, 0))
+        ]
+        if len(hs) - w + 1 > 0:
+            sel = [min(hs[j:j + w]) for j in range(len(hs) - w + 1)]
+        else:
+            sel = hs
+        sel = sorted(set(sel))
+        return hashlib.md5("".join(sel).encode()).hexdigest(), len(sel)
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "short",   # shorter than k: zero k-grams
+        "exactly8",  # exactly one k-gram (fewer hashes than one window)
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["winnow_digest"], r["n_selected"])
+        for r in winnow_fingerprint(df).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_winnow(t), f"doc {i}: {t!r}"
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # winnowing guarantee: a shared substring of length >= k + w - 1
+    # yields overlapping selected hashes -> docs built around the same
+    # long substring share selection content, so equal docs share digest
+    from sed_spark.ext.text import winnow_fingerprint
+
+    core = "a shared run of characters long enough to winnow"
+    df = spark.createDataFrame(
+        [(0, core), (1, core), (2, "completely different payload here")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["winnow_digest"] for r in winnow_fingerprint(df).collect()}
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2]
