@@ -31,7 +31,15 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["to_binary_payload", "decode_stub", "FEATURE_SCHEMA"]
+__all__ = [
+    "to_binary_payload",
+    "decode_stub",
+    "resize_stub",
+    "frame_sample_stub",
+    "FEATURE_SCHEMA",
+    "RESIZE_SCHEMA",
+    "FRAME_SCHEMA",
+]
 
 
 FEATURE_SCHEMA = StructType(
@@ -93,3 +101,108 @@ def decode_stub(
     if not isinstance(src.schema[payload_col].dataType, BinaryType):
         raise TypeError(f"{payload_col} must be a binary column")
     return src.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ],
+)
+
+
+def resize_stub(
+    df: DataFrame,
+    target: tuple[int, int] = (32, 32),
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """'Resize' each media payload to ``target`` via mapInPandas.
+
+    The stub emits a deterministic payload of exactly ``w*h`` bytes (the
+    sha256 keystream of the input), standing in for a real resampler; a
+    production decoder swaps ``_resample`` only. Output stays a binary
+    column — resize composes with :func:`decode_stub` / further stages
+    without the bytes ever leaving the executors.
+    """
+    w, h = int(target[0]), int(target[1])
+
+    def _resample(payload: bytes) -> bytes:
+        # keystream: sha256(payload || counter) until w*h bytes
+        out = bytearray()
+        ctr = 0
+        while len(out) < w * h:
+            out += hashlib.sha256(payload + ctr.to_bytes(4, "little")).digest()
+            ctr += 1
+        return bytes(out[: w * h])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": np.full(len(pdf), w, dtype=np.int32),
+                    "height": np.full(len(pdf), h, dtype=np.int32),
+                    "payload": [
+                        _resample(bytes(p)) for p in pdf[payload_col]
+                    ],
+                },
+            )
+
+    src = df.select(F.col(id_col), F.col(payload_col))
+    if not isinstance(src.schema[payload_col].dataType, BinaryType):
+        raise TypeError(f"{payload_col} must be a binary column")
+    return src.mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame", BinaryType()),
+    ],
+)
+
+
+def frame_sample_stub(
+    df: DataFrame,
+    every: int = 4,
+    frame_bytes: int = 16,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Sample every ``every``-th 'frame' from each video payload.
+
+    A 1→N expansion via mapInPandas (the UDTF shape): the stub treats the
+    payload as consecutive ``frame_bytes`` chunks and keeps indices
+    0, every, 2·every, …. A real implementation replaces the chunker with
+    an ffmpeg/pyav demuxer; the Spark contract — exploded (doc, frame_idx,
+    frame) rows produced executor-side, partition-parallel — is identical.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                n_frames = max((len(data) + frame_bytes - 1) // frame_bytes, 0)
+                for idx in range(0, n_frames, every):
+                    rows.append(
+                        (
+                            doc_id,
+                            idx,
+                            n_frames,
+                            data[idx * frame_bytes:(idx + 1) * frame_bytes],
+                        ),
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "n_frames", "frame"],
+            )
+
+    src = df.select(F.col(id_col), F.col(payload_col))
+    if not isinstance(src.schema[payload_col].dataType, BinaryType):
+        raise TypeError(f"{payload_col} must be a binary column")
+    return src.mapInPandas(run, FRAME_SCHEMA)

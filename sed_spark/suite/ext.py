@@ -467,6 +467,33 @@ FROM s
 """
 
 
+def multimodal_frames(spark, sf_dir):
+    df = multimodal.to_binary_payload(load(spark, sf_dir, "documents"))
+    frames = multimodal.frame_sample_stub(df, every=4, frame_bytes=16)
+    return frames.select(
+        "doc_id", "frame_idx", "n_frames", F.md5("frame").alias("frame_md5"),
+    )
+
+
+# mirrors frame_sample_stub(every=4, frame_bytes=16); documents text is
+# ASCII (strlen == length for every row), so char substr == byte slice
+FRAMES_SQL = """
+WITH base AS (
+  SELECT doc_id, text,
+    CAST(ceil(strlen(text) / 16.0) AS INTEGER) AS n_frames
+  FROM documents
+),
+f AS (
+  SELECT doc_id, n_frames, text,
+    unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx
+  FROM base WHERE n_frames > 0
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, n_frames,
+  md5(substr(text, frame_idx * 16 + 1, 16)) AS frame_md5
+FROM f
+"""
+
+
 QUERIES.update(
     {
         "dedup_exact": {"spark": dedup_exact, "sql": DEDUP_EXACT_SQL},
@@ -485,5 +512,6 @@ QUERIES.update(
         "doc_fingerprint": {"spark": doc_fingerprint, "sql": FP_SQL},
         "winnow_fp": {"spark": winnow_fp, "sql": WINNOW_SQL},
         "multimodal_decode": {"spark": multimodal_decode, "sql": _multimodal_sql()},
+        "multimodal_frames": {"spark": multimodal_frames, "sql": FRAMES_SQL},
     },
 )
