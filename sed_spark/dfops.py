@@ -40,6 +40,7 @@ __all__ = [
     "split_channel_bitwise",
     "split_dld_time_from_sector_id",
     "with_row_index",
+    "sessionize",
 ]
 
 
@@ -418,4 +419,40 @@ def split_dld_time_from_sector_id(
         output_columns=[sector_id_column, tof_column],
         bit_mask=sector_id_reserved_bits,
         overwrite=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+def sessionize(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    gap: float,
+    order_cols: Sequence[str] = (),
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based session ids per group: a new session starts whenever the
+    time since the previous row in the group exceeds ``gap``.
+
+    Two stacked windows over the same (group, order) partitioning —
+    ``lag`` to flag session starts, then a running ``sum`` of the flags —
+    so Catalyst plans ONE shuffle + one sort for both (the second window
+    reuses the first's distribution and ordering). Session ids count from
+    0 in arrival order within each group.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(time_col), *[F.col(c) for c in order_cols]]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    new_session = F.when(
+        F.col(time_col) - F.lag(time_col).over(w) > F.lit(gap), 1,
+    ).otherwise(0)
+    running = Window.partitionBy(group_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow,
+    )
+    return df.withColumn(
+        session_col, F.sum(new_session).over(running).cast("int"),
     )

@@ -1023,6 +1023,33 @@ sql("dwell_norm", _dwell_sql())
 # per-file aggregates (§2.4: elapsed time, count rate) keyed on user_id
 # ---------------------------------------------------------------------------
 
+_SESSION_GAP_US = 1.8e9  # 30 min
+
+
+@q("sessionization")
+def sessionization(spark, sf_dir):
+    df = load(spark, sf_dir, "events")
+    df = df.withColumn("ts_d", ts_us(df).cast("double"))
+    out = dfops.sessionize(
+        df, "user_id", "ts_d", gap=_SESSION_GAP_US, order_cols=["event_id"],
+    )
+    return out.select("event_id", "user_id", "session_id")
+
+
+sql("sessionization", f"""
+SELECT event_id, user_id,
+  CAST(SUM(newf) OVER (PARTITION BY user_id ORDER BY ts_d, event_id
+    ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+FROM (
+  SELECT event_id, user_id, ts_d,
+    CASE WHEN ts_d - lag(ts_d) OVER (PARTITION BY user_id
+      ORDER BY ts_d, event_id) > {fl(_SESSION_GAP_US)} THEN 1 ELSE 0 END AS newf
+  FROM (SELECT event_id, user_id, CAST(epoch_us(ts) AS DOUBLE) AS ts_d
+        FROM events)
+)
+""")
+
+
 @q("elapsed_time")
 def elapsed_time(spark, sf_dir):
     df = load(spark, sf_dir, "events")

@@ -135,3 +135,25 @@ def test_map_columns_2d(spark):
     ).toPandas()
     np.testing.assert_allclose(out["u"], [-4.0], atol=1e-12)
     np.testing.assert_allclose(out["v"], [3.0], atol=1e-12)
+
+
+def test_sessionize_gap_semantics(spark):
+    import pandas as pd
+
+    from sed_spark.dfops import sessionize
+
+    pdf = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 1, 2, 2],
+            "t": [0.0, 10.0, 100.0, 105.0, 0.0, 500.0],
+            "i": [0, 1, 2, 3, 4, 5],
+        },
+    )
+    out = sessionize(
+        spark.createDataFrame(pdf), "u", "t", gap=50.0, order_cols=["i"],
+    ).orderBy("i").collect()
+    assert [r["session_id"] for r in out] == [0, 0, 1, 1, 0, 1]
+    # single window pipeline: one shuffle for both window functions
+    plan_df = sessionize(spark.createDataFrame(pdf), "u", "t", gap=50.0)
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
