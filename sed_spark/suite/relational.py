@@ -17,7 +17,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
-from sed_spark.suite.common import load
+from sed_spark.suite.common import fl, load
 
 QUERIES: dict[str, dict] = {}
 
@@ -252,10 +252,59 @@ GROUP BY n_name
 """
 
 
+_Q18_QTY = 150.0
+
+
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: aggregate-filter semi-join back onto the fact.
+    The HAVING aggregate runs first (one shuffle on l_orderkey), its small
+    surviving key set joins orders+customer (AQE broadcasts it), and the
+    per-order quantity re-aggregates for output — the scale-correct order:
+    never join before the reducing aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > _Q18_QTY)
+        .select("l_orderkey", "sum_qty")
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            _dec("o_totalprice", 18, 2).cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+  sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > {fl(_Q18_QTY)}
+) ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
 QUERIES.update(
     {
         "q1_pricing_summary": {"spark": q1_pricing_summary, "sql": Q1_SQL},
         "q5_local_supplier": {"spark": q5_local_supplier, "sql": Q5_SQL},
+        "q18_large_orders": {"spark": q18_large_orders, "sql": Q18_SQL},
         "q3_shipping_priority": {"spark": q3_shipping_priority, "sql": Q3_SQL},
         "brand_agg": {"spark": brand_agg, "sql": BRAND_SQL},
         "window_top3": {"spark": window_top3, "sql": WINDOW_SQL},
