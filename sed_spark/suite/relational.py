@@ -300,11 +300,84 @@ LIMIT 100
 """
 
 
+def table_stats(spark, sf_dir):
+    """Summary statistics with cross-engine-exact arithmetic: counts and
+    decimal-exact sums/means; variance from exact sum/sumsq (no float
+    accumulation order dependence); exact interpolated median via two
+    window ranks (computed distributed, not via a driver sort)."""
+    li = load(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    s = F.sum(_dec("l_extendedprice", 18, 2))
+    sq = F.sum(
+        (_dec("l_extendedprice", 18, 2) * _dec("l_extendedprice", 18, 2)),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("cnt"),
+    )
+    # exact median: lower/upper order statistics, averaged
+    lo_pos = F.floor((F.col("cnt") + 1) / 2).cast("long")
+    hi_pos = F.floor((F.col("cnt") + 2) / 2).cast("long")
+    med = (
+        ranked.filter((F.col("rn") == lo_pos) | (F.col("rn") == hi_pos))
+        .groupBy("l_returnflag")
+        .agg(F.avg("l_extendedprice").alias("median_price"))
+    )
+    # decimal sums are exact; ONE rounding at the double cast, then
+    # identical scalar double arithmetic in both engines
+    sd, sqd = s.cast("double"), sq.cast("double")
+    nd = n.cast("double")
+    agg = li.groupBy("l_returnflag").agg(
+        n.alias("n_rows"),
+        sd.alias("sum_price"),
+        (sd / nd).alias("avg_price"),
+        ((sqd - sd * sd / nd) / (nd - F.lit(1.0))).alias("var_price"),
+    )
+    return agg.join(med, "l_returnflag")
+
+
+STATS_SQL = """
+WITH sums AS (
+  SELECT l_returnflag, COUNT(*) AS n_rows,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqd
+  FROM lineitem GROUP BY l_returnflag
+),
+agg AS (
+  SELECT l_returnflag, n_rows, sd AS sum_price,
+    sd / CAST(n_rows AS DOUBLE) AS avg_price,
+    (sqd - sd * sd / CAST(n_rows AS DOUBLE)) / (CAST(n_rows AS DOUBLE) - 1.0)
+      AS var_price
+  FROM sums
+),
+ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+      AS rn,
+    COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+  FROM lineitem
+),
+med AS (
+  SELECT l_returnflag, AVG(l_extendedprice) AS median_price
+  FROM ranked
+  WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT)
+     OR rn = CAST(floor((cnt + 2) / 2) AS BIGINT)
+  GROUP BY l_returnflag
+)
+SELECT agg.*, med.median_price FROM agg JOIN med USING (l_returnflag)
+"""
+
+
 QUERIES.update(
     {
         "q1_pricing_summary": {"spark": q1_pricing_summary, "sql": Q1_SQL},
         "q5_local_supplier": {"spark": q5_local_supplier, "sql": Q5_SQL},
         "q18_large_orders": {"spark": q18_large_orders, "sql": Q18_SQL},
+        "table_stats": {"spark": table_stats, "sql": STATS_SQL},
         "q3_shipping_priority": {"spark": q3_shipping_priority, "sql": Q3_SQL},
         "brand_agg": {"spark": brand_agg, "sql": BRAND_SQL},
         "window_top3": {"spark": window_top3, "sql": WINDOW_SQL},
