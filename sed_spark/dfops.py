@@ -41,6 +41,7 @@ __all__ = [
     "split_dld_time_from_sector_id",
     "with_row_index",
     "sessionize",
+    "asof_join",
 ]
 
 
@@ -456,3 +457,74 @@ def sessionize(
     return df.withColumn(
         session_col, F.sum(new_session).over(running).cast("int"),
     )
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | None = None,
+    direction: str = "backward",
+    suffix: str = "",
+) -> DataFrame:
+    """Distributed as-of join: for every left row, the latest right row
+    with ``right.on <= left.on`` (``backward``; ``forward`` = earliest
+    with ``>=``), optionally per ``by`` key.
+
+    Spark has no native as-of join; the scalable formulation is the
+    union-and-fill pattern (same as :func:`add_time_stamped_data`, but
+    between two DataFrames and per key): tag both sides, union on the
+    shared (by, on) spine, ONE window sorted by (on, side) carrying the
+    right side's values via ``last_value(..., ignorenulls)``, then keep
+    the left rows. One shuffle on ``by`` total — no row-by-row probing,
+    no broadcast requirement on either side. Ties on ``on`` match (the
+    right row sorts before the left row at equal times), which is
+    DuckDB/pandas ``merge_asof`` backward semantics.
+
+    Right-side duplicate (by, on) pairs should be pre-aggregated by the
+    caller — otherwise which duplicate wins is the union order, not
+    deterministic.
+    """
+    from pyspark.sql import Window
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+    value_cols = [c for c in right.columns if c not in {on, by}]
+    out_vals = [c + suffix for c in value_cols]
+    keys = ([by] if by else []) + [on]
+
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(o)
+          for c, o in zip(value_cols, out_vals)],
+    )
+    r_tag = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in keys],
+        *[F.col(k) for k in keys],
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(o) for c, o in zip(value_cols, out_vals)],
+    ).select(*l_tag.columns)  # align union column order
+
+    u = l_tag.unionByName(r_tag)
+    if direction == "backward":
+        w = Window.orderBy(F.col(on).asc(), F.col("__side").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow,
+        )
+    else:
+        w = Window.orderBy(F.col(on).desc(), F.col("__side").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow,
+        )
+    if by:
+        w = w.partitionBy(by)
+    filled = u.select(
+        *[c for c in left.columns],
+        F.col("__side"),
+        *[F.last(o, ignorenulls=True).over(w).alias(o) for o in out_vals],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")

@@ -1023,6 +1023,32 @@ sql("dwell_norm", _dwell_sql())
 # per-file aggregates (§2.4: elapsed time, count rate) keyed on user_id
 # ---------------------------------------------------------------------------
 
+@q("asof_join_per_user")
+def asof_join_per_user(spark, sf_dir):
+    df = load(spark, sf_dir, "events")
+    df = df.withColumn("ts_d", ts_us(df).cast("double"))
+    left = df.select("event_id", "user_id", "ts_d")
+    right = (
+        df.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts_d")
+        .agg(F.min("value").alias("mark"))
+    )
+    out = dfops.asof_join(left, right, on="ts_d", by="user_id")
+    return out.select("event_id", "user_id", "mark")
+
+
+sql("asof_join_per_user", """
+WITH r AS (
+  SELECT user_id, CAST(epoch_us(ts) AS DOUBLE) AS ts_d, min(value) AS mark
+  FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+),
+l AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS DOUBLE) AS ts_d
+      FROM events)
+SELECT l.event_id, l.user_id, r.mark
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_d >= r.ts_d
+""")
+
+
 _SESSION_GAP_US = 1.8e9  # 30 min
 
 

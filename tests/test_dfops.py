@@ -157,3 +157,61 @@ def test_sessionize_gap_semantics(spark):
     plan_df = sessionize(spark.createDataFrame(pdf), "u", "t", gap=50.0)
     plan = plan_df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import pandas as pd
+
+    from sed_spark.dfops import asof_join
+
+    rng = np.random.default_rng(4)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 60),
+            "ts": np.round(rng.uniform(0, 100, 60), 3),
+            "lid": np.arange(60),
+        },
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 15),
+            "ts": np.round(rng.uniform(0, 100, 15), 3),
+            "v": rng.normal(size=15),
+        },
+    ).drop_duplicates(["k", "ts"])
+    got = (
+        asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            on="ts", by="k",
+        )
+        .orderBy("lid")
+        .toPandas()
+    )
+    want = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"),
+        on="ts", by="k", direction="backward",
+    ).sort_values("lid")
+    np.testing.assert_array_equal(
+        got["v"].isna().to_numpy(), want["v"].isna().to_numpy(),
+    )
+    np.testing.assert_allclose(
+        got["v"].dropna().to_numpy(), want["v"].dropna().to_numpy(),
+    )
+
+
+def test_asof_join_forward_direction(spark):
+    import pandas as pd
+
+    from sed_spark.dfops import asof_join
+
+    left = pd.DataFrame({"ts": [1.0, 5.0, 10.0], "lid": [0, 1, 2]})
+    right = pd.DataFrame({"ts": [4.0, 10.0], "v": ["a", "b"]})
+    got = (
+        asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            on="ts", direction="forward",
+        )
+        .orderBy("lid")
+        .toPandas()
+    )
+    assert list(got["v"]) == ["a", "b", "b"]  # ties match, like merge_asof
