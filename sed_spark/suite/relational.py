@@ -372,12 +372,74 @@ SELECT agg.*, med.median_price FROM agg JOIN med USING (l_returnflag)
 """
 
 
+def rollup_agg(spark, sf_dir):
+    """ROLLUP hierarchy (returnflag -> linestatus) with grouping ids —
+    one pass, Spark expands the grouping sets before the hash aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("l_extendedprice", 18, 2)).cast("double").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "gid", "n_rows", "sum_price",
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+  COALESCE(l_linestatus, 'ALL') AS lstatus,
+  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def pivot_agg(spark, sf_dir):
+    """Pivot: one column per order priority, quantity sums per flag.
+    Explicit pivot values keep the plan single-pass (no distinct scan)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .pivot("o_orderpriority", prios)
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_returnflag",
+            *[F.col(p).alias(f"p{i + 1}") for i, p in enumerate(prios)],
+        )
+    )
+
+
+PIVOT_SQL = """
+SELECT l_returnflag,
+  SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN l_quantity END) AS p1,
+  SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN l_quantity END) AS p2,
+  SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN l_quantity END) AS p3,
+  SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN l_quantity END) AS p4,
+  SUM(CASE WHEN o_orderpriority = '5-LOW' THEN l_quantity END) AS p5
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+"""
+
+
 QUERIES.update(
     {
         "q1_pricing_summary": {"spark": q1_pricing_summary, "sql": Q1_SQL},
         "q5_local_supplier": {"spark": q5_local_supplier, "sql": Q5_SQL},
         "q18_large_orders": {"spark": q18_large_orders, "sql": Q18_SQL},
         "table_stats": {"spark": table_stats, "sql": STATS_SQL},
+        "rollup_agg": {"spark": rollup_agg, "sql": ROLLUP_SQL},
+        "pivot_agg": {"spark": pivot_agg, "sql": PIVOT_SQL},
         "q3_shipping_priority": {"spark": q3_shipping_priority, "sql": Q3_SQL},
         "brand_agg": {"spark": brand_agg, "sql": BRAND_SQL},
         "window_top3": {"spark": window_top3, "sql": WINDOW_SQL},
