@@ -122,6 +122,43 @@ def bilinear_sample(
     return top * (1 - fr) + bot * fr
 
 
+def bilinear_sample_pair(
+    grid_a: np.ndarray,
+    grid_b: np.ndarray,
+    rows: np.ndarray,
+    cols: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Edge-clamped bilinear sampling of TWO same-shape grids at the same
+    positions, sharing index/weight computation — the field-inversion hot
+    path samples (rdeform, cdeform) at identical points every sweep, and
+    the gather indices/weights are half its memory traffic."""
+    h, w = grid_a.shape
+    rows = np.clip(rows, 0.0, h - 1.0)
+    cols = np.clip(cols, 0.0, w - 1.0)
+    r0 = np.minimum(np.floor(rows).astype(np.int64), h - 2)
+    c0 = np.minimum(np.floor(cols).astype(np.int64), w - 2)
+    fr = rows - r0
+    fc = cols - c0
+    gr = 1 - fr
+    gc = 1 - fc
+    w00 = gr * gc
+    w01 = gr * fc
+    w10 = fr * gc
+    w11 = fr * fc
+    i00 = r0 * w + c0  # flat gather indices, computed once for both grids
+    fa = grid_a.ravel()
+    fb = grid_b.ravel()
+    out_a = (
+        fa[i00] * w00 + fa[i00 + 1] * w01
+        + fa[i00 + w] * w10 + fa[i00 + w + 1] * w11
+    )
+    out_b = (
+        fb[i00] * w00 + fb[i00 + 1] * w01
+        + fb[i00 + w] * w10 + fb[i00 + w + 1] * w11
+    )
+    return out_a, out_b
+
+
 # above this many grid nodes the per-cell corner table stops being a cheap
 # broadcast (8 doubles per node) and the Arrow-batched UDF path wins
 DFIELD_JOIN_MAX_NODES = 2_000_000

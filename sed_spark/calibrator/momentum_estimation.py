@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from sed_spark.calibrator.momentum import bilinear_sample
+from sed_spark.calibrator.momentum import bilinear_sample, bilinear_sample_pair
 
 __all__ = [
     "peakdetect2d",
@@ -232,10 +232,11 @@ def generate_inverse_dfield(
         if not gate.any():
             gate = None
         for _ in range(iters):
-            fr = bilinear_sample(rd, rp.ravel() / scale, cp.ravel() / scale,
-                                 mode="nearest").reshape(tr.shape)
-            fc = bilinear_sample(cd, rp.ravel() / scale, cp.ravel() / scale,
-                                 mode="nearest").reshape(tr.shape)
+            fr, fc = bilinear_sample_pair(
+                rd, cd, rp.ravel() / scale, cp.ravel() / scale,
+            )
+            fr = fr.reshape(tr.shape)
+            fc = fc.reshape(tr.shape)
             dr, dc = tr - fr, tc - fc
             rp += dr
             cp += dc
