@@ -372,6 +372,33 @@ SELECT agg.*, med.median_price FROM agg JOIN med USING (l_returnflag)
 """
 
 
+def semi_anti_join(spark, sf_dir):
+    """LEFT SEMI + LEFT ANTI in one result: customers WITH any urgent
+    order vs customers with NO order at all — Spark's dedicated join
+    types (no row duplication, right side only probed), oracle via
+    EXISTS / NOT EXISTS."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    with_urgent = cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi",
+    ).select("c_custkey", F.lit("has_urgent").alias("bucket"))
+    no_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti",
+    ).select("c_custkey", F.lit("no_orders").alias("bucket"))
+    return with_urgent.unionByName(no_orders)
+
+
+SEMI_ANTI_SQL = """
+SELECT c_custkey, 'has_urgent' AS bucket FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT c_custkey, 'no_orders' FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
 def rollup_agg(spark, sf_dir):
     """ROLLUP hierarchy (returnflag -> linestatus) with grouping ids —
     one pass, Spark expands the grouping sets before the hash aggregate."""
@@ -439,6 +466,7 @@ QUERIES.update(
         "q18_large_orders": {"spark": q18_large_orders, "sql": Q18_SQL},
         "table_stats": {"spark": table_stats, "sql": STATS_SQL},
         "rollup_agg": {"spark": rollup_agg, "sql": ROLLUP_SQL},
+        "semi_anti_join": {"spark": semi_anti_join, "sql": SEMI_ANTI_SQL},
         "pivot_agg": {"spark": pivot_agg, "sql": PIVOT_SQL},
         "q3_shipping_priority": {"spark": q3_shipping_priority, "sql": Q3_SQL},
         "brand_agg": {"spark": brand_agg, "sql": BRAND_SQL},
