@@ -1023,6 +1023,48 @@ sql("dwell_norm", _dwell_sql())
 # per-file aggregates (§2.4: elapsed time, count rate) keyed on user_id
 # ---------------------------------------------------------------------------
 
+_TNORM_AX = normalize_bins([20], ["value"], [(0.0, 500.0)])[0]
+
+
+@q("timed_norm")
+def timed_norm(spark, sf_dir):
+    """normalization_histogram_from_timed_dataframe (§2.4), oracle-checked:
+    synthesize a timed table (one row per (user, second) of activity) from
+    events, histogram it on the normalization axis, scale by time_unit."""
+    df = load(spark, sf_dir, "events")
+    df = df.withColumn("ts_s", F.floor(ts_us(df) / F.lit(1e6)).cast("long"))
+    timed = df.groupBy("user_id", "ts_s").agg(F.min("value").alias("value"))
+    agg, _, names = sparse_histogram(
+        timed, bins=[20], axes=["value"], ranges=[(0.0, 500.0)],
+        count_alias="cnt",
+    )
+    return agg.select(
+        F.col(names[0]).alias("bin_value"),
+        (F.col("cnt") * F.lit(0.001)).alias("acq_time"),
+    )
+
+
+def _timed_norm_sql():
+    ax = _TNORM_AX
+    delta = 1.0 / ((ax.hi - ax.lo) / ax.nbins)
+    j = f"((value - {fl(ax.lo)}) * {fl(delta)} + 5e-12)"
+    return f"""
+WITH timed AS (
+  SELECT user_id, CAST(floor(epoch_us(ts) / {fl(1e6)}) AS BIGINT) AS ts_s,
+         min(value) AS value
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(least(floor({j}), {fl(float(ax.nbins - 1))}) AS INTEGER)
+  AS bin_value, COUNT(*) * {fl(0.001)} AS acq_time
+FROM timed
+WHERE value IS NOT NULL AND {j} >= 0 AND {j} <= {fl(ax.nbins + 1e-11)}
+GROUP BY bin_value
+"""
+
+
+sql("timed_norm", _timed_norm_sql())
+
+
 @q("asof_join_per_user")
 def asof_join_per_user(spark, sf_dir):
     df = load(spark, sf_dir, "events")

@@ -121,3 +121,24 @@ def test_flash_like_loader_end_to_end(spark, granularity):
     )
     assert df.count() == 5
     assert set(df.columns) >= {"trainId", "pulseId", "dldPos", "bam", "gmd"}
+
+
+def test_align_channels_drops_negative_pulses(spark):
+    import pandas as pd
+
+    from sed_spark.loader.flash import align_channels
+
+    electron = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "trainId": [1, 1, 1, 2],
+                "pulseId": [0, -1, 5, -2],
+                "dldPosX": [1.0, 2.0, 3.0, 4.0],
+            },
+        ),
+    )
+    out = align_channels(electron).toPandas()
+    # reference flash/dataframe.py:306: rows with negative pulseId dropped
+    assert sorted(out["pulseId"]) == [0, 5]
+    kept = align_channels(electron, drop_negative_pulses=False).toPandas()
+    assert len(kept) == 4
