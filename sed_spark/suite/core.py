@@ -1055,7 +1055,8 @@ WITH timed AS (
   FROM events GROUP BY 1, 2
 )
 SELECT CAST(least(floor({j}), {fl(float(ax.nbins - 1))}) AS INTEGER)
-  AS bin_value, COUNT(*) * {fl(0.001)} AS acq_time
+  AS bin_value,
+  CAST(COUNT(*) AS DOUBLE) * CAST(0.001 AS DOUBLE) AS acq_time
 FROM timed
 WHERE value IS NOT NULL AND {j} >= 0 AND {j} <= {fl(ax.nbins + 1e-11)}
 GROUP BY bin_value
