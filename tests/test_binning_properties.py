@@ -1,0 +1,77 @@
+"""Property-based check of the bin-index semantics.
+
+The engine encodes the reference kernel's uniform-binning rule
+(reference src/sed/binning/numba_bin.py: index = int of the scaled
+coordinate with round-to-11-decimals edge snapping, last edge inclusive)
+as the Column expression ``floor(j + 5e-12)``. This test re-derives the
+REFERENCE formulation independently in numpy (``np.floor(np.around(j,
+11))``) and asserts the engine matches it on hypothesis-generated ranges
+with adversarial values: exact bin edges as computed in double precision,
+the upper edge itself, out-of-range probes, and uniform fill.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _reference_bin(values, lo, hi, nbins):
+    """Independent numpy transcription of the reference's semantics."""
+    delta = 1.0 / ((hi - lo) / nbins)
+    j = (values - lo) * delta
+    j = np.around(j, 11)
+    idx = np.floor(j).astype(np.int64)
+    idx = np.minimum(idx, nbins - 1)  # last edge inclusive
+    valid = (j >= 0) & (j <= nbins + 1e-11) & ~np.isnan(values)
+    return idx, valid
+
+
+@given(
+    lo=st.floats(-1000, 1000),
+    width=st.floats(0.5, 2000),
+    nbins=st.integers(2, 200),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bin_index_matches_reference_semantics(spark, lo, width, nbins, seed):
+    from pyspark.sql import functions as F
+
+    from sed_spark.binning.core import bin_index_expr
+    from sed_spark.binning.spec import normalize_bins
+
+    hi = lo + width
+    rng = np.random.default_rng(seed)
+    edges = lo + (hi - lo) * np.arange(nbins + 1) / nbins
+    values = np.concatenate(
+        [
+            edges,                                  # exact edges incl. hi
+            rng.uniform(lo, hi, 200),               # uniform fill
+            [lo - 1.0, hi + 1.0, np.nan],           # out of range / null
+            np.nextafter(edges[1:-1], -np.inf)[:20],  # just below edges
+        ],
+    )
+    # literal-edge axis: the default grammar applies the reference's
+    # half-bin-width center shift, which is not under test here
+    ax = normalize_bins(
+        [nbins], ["v"], [(lo, hi)], shift_half_binwidth=False,
+    )[0]
+    df = spark.createDataFrame(pd.DataFrame({"v": values}))
+    idx_col, valid_col = bin_index_expr(ax, F.col("v"))
+    got = (
+        df.select(
+            idx_col.alias("idx"), valid_col.alias("ok"),
+        )
+        .toPandas()
+    )
+    want_idx, want_valid = _reference_bin(values, lo, hi, nbins)
+    np.testing.assert_array_equal(got["ok"].to_numpy(), want_valid)
+    np.testing.assert_array_equal(
+        got["idx"].to_numpy()[want_valid], want_idx[want_valid],
+    )
