@@ -75,3 +75,55 @@ def test_bin_index_matches_reference_semantics(spark, lo, width, nbins, seed):
     np.testing.assert_array_equal(
         got["idx"].to_numpy()[want_valid], want_idx[want_valid],
     )
+
+
+@given(
+    n=st.integers(20, 120),
+    ngroups=st.integers(1, 5),
+    null_frac=st.floats(0.1, 0.95),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_forward_backward_fill_match_pandas(spark, n, ngroups, null_frac, seed):
+    """The exact two-phase fill must equal pandas' global ffill/bfill for
+    ANY null layout — including groups that are entirely null (the case
+    the reference's map_overlap approximation gets wrong)."""
+    from sed_spark.dfops import backward_fill, forward_fill
+
+    rng = np.random.default_rng(seed)
+    vals = rng.normal(size=n)
+    vals[rng.random(n) < null_frac] = np.nan
+    pdf = pd.DataFrame(
+        {
+            "row_index": np.arange(n),
+            "file_id": np.sort(rng.integers(0, ngroups, n)),
+            "x": vals,
+        },
+    )
+    sdf = spark.createDataFrame(pdf).repartition(3)
+    got_f = (
+        forward_fill(sdf, ["x"], order_col="row_index")
+        .orderBy("row_index").toPandas()["x"]
+    )
+    got_b = (
+        backward_fill(sdf, ["x"], order_col="row_index")
+        .orderBy("row_index").toPandas()["x"]
+    )
+    want_f = pdf["x"].ffill()
+    want_b = pdf["x"].bfill()
+    np.testing.assert_array_equal(
+        got_f.isna().to_numpy(), want_f.isna().to_numpy(),
+    )
+    np.testing.assert_allclose(
+        got_f.dropna().to_numpy(), want_f.dropna().to_numpy(),
+    )
+    np.testing.assert_array_equal(
+        got_b.isna().to_numpy(), want_b.isna().to_numpy(),
+    )
+    np.testing.assert_allclose(
+        got_b.dropna().to_numpy(), want_b.dropna().to_numpy(),
+    )
