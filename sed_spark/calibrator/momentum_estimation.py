@@ -207,11 +207,16 @@ def generate_inverse_dfield(
     machinery. Returns the (2, H, W) inverse field consumed by
     ``apply_dfield``.
     """
-    rdef = np.asarray(rdeform_field, dtype=np.float64)
-    cdef = np.asarray(cdeform_field, dtype=np.float64)
+    # float32 throughout the iteration: the solve is memory-bandwidth
+    # bound (8 gathers + ~10 full-grid temporaries per sweep), and float32
+    # position error at grid scale (~2.4e-4 px at 2048) sits far below
+    # both tol and the 5e-3 round-trip accuracy contract; results upcast
+    # at the end
+    rdef = np.asarray(rdeform_field, dtype=np.float32)
+    cdef = np.asarray(cdeform_field, dtype=np.float32)
     h, w = rdef.shape
-    rr, cc = np.meshgrid(np.arange(h, dtype=np.float64),
-                         np.arange(w, dtype=np.float64), indexing="ij")
+    rr, cc = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
     # displacement amplitude: targets closer than this to an edge may have
     # their inverse in (or routed through) the clamped extrapolation zone,
     # where the fixed point creeps instead of contracting — and where the
@@ -261,12 +266,12 @@ def generate_inverse_dfield(
         # — keeps the fine level at 2-3 Newton sweeps instead of ~10
         np.clip(rpc, rrc - margin, rrc + margin, out=rpc)
         np.clip(cpc, ccc - margin, ccc + margin, out=cpc)
-        rp = _upsample_regular(rpc, stride, h, w)
-        cp = _upsample_regular(cpc, stride, h, w)
+        rp = _upsample_regular(rpc, stride, h, w).astype(np.float32)
+        cp = _upsample_regular(cpc, stride, h, w).astype(np.float32)
     else:
         rp, cp = rr.copy(), cc.copy()
     rp, cp = _solve(rdef, cdef, rr, cc, rp, cp, 1.0, max_iter)
-    inverse = np.stack([rp, cp])
+    inverse = np.stack([rp, cp]).astype(np.float64)
     if bin_ranges and detector_ranges:
         # rescale from bin index space to detector coordinates, like the
         # reference's interp_ranges handling (momentum.py:2180-2204)
