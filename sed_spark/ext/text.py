@@ -13,6 +13,7 @@ __all__ = [
     "quality_features",
     "lang_id",
     "token_stats",
+    "metrics",
     "fingerprint",
 ]
 
@@ -81,6 +82,53 @@ def token_stats(
         F.col(id_col),
         n_words_expr(t).alias("ws_tokens"),
         F.regexp_count(t, F.lit(r"[a-z]+|[0-9]|[^a-z0-9 ]")).alias("bpe_tokens"),
+    )
+
+
+def metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Every scalar text-analysis signal (quality features + language id +
+    token counts) in ONE two-stage projection — each operator's output
+    columns with their standalone names, one pass over the text.
+
+    At scale this is the shape a real corpus scan takes: one projection
+    over the documents table computing all per-document signals, instead
+    of three scans joined back together. The standalone operators
+    (:func:`quality_features`, :func:`lang_id`, :func:`token_stats`)
+    remain the public API; this is their fused form.
+    """
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        n_words_expr(t).alias("n_words"),
+        F.length(F.replace(t, F.lit(" "), F.lit(""))).alias("__nonspace"),
+        *[
+            F.regexp_count(t, F.lit(pat)).alias(f"s_{lang}")
+            for lang, pat in LANG_MARKERS.items()
+        ],
+        F.regexp_count(t, F.lit(r"[a-z]+|[0-9]|[^a-z0-9 ]")).alias("bpe_tokens"),
+    )
+    s = {k: F.col(f"s_{k}") for k in LANG_MARKERS}
+    pred = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en",
+        )
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
+        .when(s["fr"] >= s["es"], "fr")
+        .otherwise("es")
+    )
+    nw = F.col("n_words")
+    return base.select(
+        F.col(id_col),
+        "n_chars",
+        "n_words",
+        F.round(F.col("__nonspace").cast("double") / nw, 6).alias("avg_word_len"),
+        F.round(s["en"].cast("double") / nw, 6).alias("stopword_ratio"),
+        pred.alias("pred_lang"),
+        nw.alias("ws_tokens"),
+        "bpe_tokens",
     )
 
 

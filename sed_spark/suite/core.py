@@ -40,7 +40,6 @@ def sql(name, text):
 # ---------------------------------------------------------------------------
 
 HIST_SPECS = {
-    "hist_1d": ("events", [("value", 100, (0.0, 500.0))]),
     "hist_2d": ("lineitem", [("l_quantity", 25, (0.0, 50.0)),
                              ("l_discount", 10, (0.0, 0.1))]),
     "hist_4d": ("lineitem", [("l_quantity", 20, (0.0, 50.0)),
@@ -98,18 +97,31 @@ for _name, (_table, _spec) in HIST_SPECS.items():
     _make_hist(_name, _table, _spec)
 
 
-# explicit non-uniform bin edges (centers grammar) — exercises the
-# aggregate-count path of bin_index_expr
+# 1-D histogram in BOTH bin grammars, tag-unioned so one oracle row covers
+# the uniform-range kernel AND the explicit-centers (non-uniform edges)
+# aggregate-count path of bin_index_expr.
 _CENTERS = np.array([10.0, 30.0, 70.0, 150.0, 310.0, 470.0])
+_H1_AXES = normalize_bins([100], ["value"], [(0.0, 500.0)])
 
 
-@q("hist_edges")
-def hist_edges(spark, sf_dir):
+@q("hist_1d")
+def hist_1d(spark, sf_dir):
     df = load(spark, sf_dir, "events")
-    agg, norm, bin_names = sparse_histogram(
+    agg_u, _, names_u = sparse_histogram(
+        df, bins=[100], axes=["value"], ranges=[(0.0, 500.0)], count_alias="cnt",
+    )
+    uniform = agg_u.select(
+        F.lit("uniform").alias("grammar"),
+        F.col(names_u[0]).alias("bin_value"), "cnt",
+    )
+    agg_e, _, names_e = sparse_histogram(
         df, bins=[_CENTERS], axes=["value"], count_alias="cnt",
     )
-    return agg.select(F.col(bin_names[0]).alias("bin_value"), "cnt")
+    edges = agg_e.select(
+        F.lit("edges").alias("grammar"),
+        F.col(names_e[0]).alias("bin_value"), "cnt",
+    )
+    return uniform.unionAll(edges)
 
 
 def _edges_sql():
@@ -126,7 +138,9 @@ def _edges_sql():
     )
 
 
-sql("hist_edges", _edges_sql())
+sql("hist_1d",
+    f"SELECT 'uniform' AS grammar, * FROM ({_hist_sql('events', _H1_AXES)}) "
+    f"UNION ALL SELECT 'edges' AS grammar, * FROM ({_edges_sql()})")
 
 
 # jitter: random — no oracle (driver records rows-only); asserts the engine's
@@ -145,28 +159,25 @@ def hist_1d_jitter(spark, sf_dir):
 # filters (§2.2)
 # ---------------------------------------------------------------------------
 
-@q("range_filter")
-def range_filter(spark, sf_dir):
+# value-range and index-range variants of apply_filter, tag-unioned into one
+# oracle row (each branch is the standalone operator; the tag keys the hash)
+@q("filters")
+def filters(spark, sf_dir):
     df = load(spark, sf_dir, "events")
-    return dfops.apply_filter(df, "value", 100.0, 400.0).select(
-        "event_id", "user_id", "value",
+    by_value = dfops.apply_filter(df, "value", 100.0, 400.0).select(
+        F.lit("range").alias("which"), "event_id", "value",
     )
-
-
-sql("range_filter",
-    "SELECT event_id, user_id, value FROM events WHERE value > 100.0 AND value < 400.0")
-
-
-@q("index_filter")
-def index_filter(spark, sf_dir):
-    df = load(spark, sf_dir, "events")
-    return dfops.apply_filter(
+    by_index = dfops.apply_filter(
         df, "index", 2000.0, 7500.0, index_column="event_id",
-    ).select("event_id", "event_type", "value")
+    ).select(F.lit("index").alias("which"), "event_id", "value")
+    return by_value.unionAll(by_index)
 
 
-sql("index_filter",
-    "SELECT event_id, event_type, value FROM events "
+sql("filters",
+    "SELECT 'range' AS which, event_id, value FROM events "
+    "WHERE value > 100.0 AND value < 400.0 "
+    "UNION ALL "
+    "SELECT 'index' AS which, event_id, value FROM events "
     "WHERE event_id > 2000.0 AND event_id < 7500.0")
 
 
@@ -175,53 +186,37 @@ sql("index_filter",
 # ---------------------------------------------------------------------------
 
 _TOF = dict(d=1.0, t0=-0.001, binwidth=0.001, binning=1, E0=10.0)
-
-
-@q("tof2ev")
-def tof2ev(spark, sf_dir):
-    df = load(spark, sf_dir, "events").withColumnRenamed("value", "t")
-    out = energy_cal.append_energy_axis(
-        df, calibration_type="fit", energy_scale="kinetic", **_TOF,
-    )
-    return out.select("event_id", "energy")
-
-
-sql("tof2ev",
-    f"SELECT event_id, 2.84281e-12 * ({fl(_TOF['d'])} / tt) * ({fl(_TOF['d'])} / tt)"
-    f" + {fl(_TOF['E0'])} AS energy FROM "
-    f"(SELECT event_id, value * {fl(_TOF['binwidth'])} * {fl(float(_TOF['binning']))}"
-    f" - {fl(_TOF['t0'])} AS tt FROM events)")
-
-
 _POLY = [1e-14, -2e-9, 3e-4]
 
 
-@q("tof2evpoly")
-def tof2evpoly(spark, sf_dir):
+# all three TOF conversions (fit-form tof2ev, tof2evpoly, tof2ns) as three
+# independent columns of ONE oracle row — each column is the standalone
+# operator applied to the same tof input
+@q("tof_conversions")
+def tof_conversions(spark, sf_dir):
     df = load(spark, sf_dir, "events").withColumnRenamed("value", "t")
     out = energy_cal.append_energy_axis(
-        df, calibration_type="poly", coeffs=_POLY, E0=5.0,
+        df, calibration_type="fit", energy_scale="kinetic",
+        energy_column="energy_fit", **_TOF,
     )
-    return out.select("event_id", "energy")
-
-
-sql("tof2evpoly",
-    f"SELECT event_id, (({fl(_POLY[0])} * value + {fl(_POLY[1])}) * value + "
-    f"{fl(_POLY[2])}) * value + 5.0 AS energy FROM events")
-
-
-@q("tof2ns")
-def tof2ns(spark, sf_dir):
-    df = load(spark, sf_dir, "events")
-    return df.select(
-        "event_id",
-        energy_cal.tof2ns_expr(F.col("value"), 4.125e-12, 2).alias("t_ns"),
+    out = energy_cal.append_energy_axis(
+        out, calibration_type="poly", coeffs=_POLY, E0=5.0,
+        energy_column="energy_poly",
     )
+    out = out.withColumn(
+        "t_ns", energy_cal.tof2ns_expr(F.col("t"), 4.125e-12, 2),
+    )
+    return out.select("event_id", "energy_fit", "energy_poly", "t_ns")
 
 
-sql("tof2ns",
-    f"SELECT event_id, value * {fl(1e9)} * {fl(4.125e-12)} * {fl(2.0)} AS t_ns "
-    f"FROM events")
+sql("tof_conversions",
+    f"SELECT event_id, 2.84281e-12 * ({fl(_TOF['d'])} / tt) * ({fl(_TOF['d'])} / tt)"
+    f" + {fl(_TOF['E0'])} AS energy_fit, "
+    f"(({fl(_POLY[0])} * value + {fl(_POLY[1])}) * value + "
+    f"{fl(_POLY[2])}) * value + 5.0 AS energy_poly, "
+    f"value * {fl(1e9)} * {fl(4.125e-12)} * {fl(2.0)} AS t_ns FROM "
+    f"(SELECT event_id, value, value * {fl(_TOF['binwidth'])} * "
+    f"{fl(float(_TOF['binning']))} - {fl(_TOF['t0'])} AS tt FROM events)")
 
 
 # energy correction surfaces over synthesized detector coords X=4v, Y=3v
@@ -245,65 +240,70 @@ _R2 = (
 )
 
 
-@q("energy_correction_spherical")
-def energy_correction_spherical(spark, sf_dir):
+# all four correction_function surfaces (spherical, Lorentzian, Gaussian,
+# Lorentzian_asymmetric) as four columns of ONE oracle row. Spherical is
+# sqrt-only and bit-stable; the other three round to 6 on both sides
+# (duckdb's compiled a*b+c can FMA-contract, exp() is not cross-engine
+# bit-stable).
+@q("energy_corrections")
+def energy_corrections(spark, sf_dir):
+    out = _with_xy(spark, sf_dir)
     out = energy_cal.apply_energy_correction(
-        _with_xy(spark, sf_dir), correction_type="spherical", center=_CENTER,
-        amplitude=2.0, diameter=4000.0, new_tof_column="tm",
+        out, correction_type="spherical", center=_CENTER,
+        amplitude=2.0, diameter=4000.0, new_tof_column="tm_sph",
     )
-    return out.select("event_id", "tm")
-
-
-sql("energy_correction_spherical",
-    f"SELECT event_id, t + -((1.0 - sqrt(1.0 - ({_R2}) / {fl(4000.0 ** 2)})) * "
-    f"{fl(100.0 * 2.0)}) AS tm FROM ({_XY})")
-
-
-@q("energy_correction_lorentzian")
-def energy_correction_lorentzian(spark, sf_dir):
     out = energy_cal.apply_energy_correction(
-        _with_xy(spark, sf_dir), correction_type="Lorentzian", center=_CENTER,
-        amplitude=2.0, gamma=700.0, new_tof_column="tm",
+        out, correction_type="Lorentzian", center=_CENTER,
+        amplitude=2.0, gamma=700.0, new_tof_column="tm_lor",
     )
-    # duckdb's compiled a*b+c can FMA-contract (1-ulp divergence) -> round 6
-    return out.select("event_id", F.round(F.col("tm"), 6).alias("tm"))
+    out = energy_cal.apply_energy_correction(
+        out, correction_type="Gaussian", center=_CENTER,
+        amplitude=2.0, sigma=700.0, new_tof_column="tm_gau",
+    )
+    out = energy_cal.apply_energy_correction(
+        out, correction_type="Lorentzian_asymmetric", center=_CENTER,
+        amplitude=2.0, gamma=700.0, gamma2=500.0, amplitude2=1.5,
+        new_tof_column="tm_asym",
+    )
+    return out.select(
+        "event_id", "tm_sph",
+        F.round(F.col("tm_lor"), 6).alias("tm_lor"),
+        F.round(F.col("tm_gau"), 6).alias("tm_gau"),
+        F.round(F.col("tm_asym"), 6).alias("tm_asym"),
+    )
 
 
-def _lorentzian_sql():
+def _corrections_sql():
     import math
 
-    pref = 100000.0 * 2.0 / (700.0 * math.pi)
+    pref_l = 100000.0 * 2.0 / (700.0 * math.pi)
     g2 = 700.0**2
+    pref_g = 20000.0 * 2.0 / math.sqrt(2 * math.pi * 700.0**2)
+    pref_ay = 100000.0 * 2.0 / (700.0 * math.pi)
+    pref_ax = 100000.0 * 1.5 / (500.0 * math.pi)
+    dx = f"(X - {fl(_CENTER[0])})"
+    dy = f"(Y - {fl(_CENTER[1])})"
+    sph = (
+        f"t + -((1.0 - sqrt(1.0 - ({_R2}) / {fl(4000.0 ** 2)})) * "
+        f"{fl(100.0 * 2.0)})"
+    )
+    lor = f"round(t + {fl(pref_l)} * ({fl(g2)} / (({_R2}) + {fl(g2)}) - 1.0), 6)"
+    gau = (
+        f"round(t + {fl(pref_g)} * (exp(-({_R2}) / {fl(2 * 700.0 ** 2)})"
+        f" - 1.0), 6)"
+    )
+    asym = (
+        f"round(t + ({fl(pref_ay)} * ({fl(700.0 ** 2)} / "
+        f"({dy} * {dy} + {fl(700.0 ** 2)}) - 1.0) + {fl(pref_ax)} * "
+        f"({fl(500.0 ** 2)} / ({dx} * {dx} + {fl(500.0 ** 2)}) - 1.0)), 6)"
+    )
     return (
-        f"SELECT event_id, round(t + {fl(pref)} * ({fl(g2)} / (({_R2}) + {fl(g2)})"
-        f" - 1.0), 6) AS tm FROM ({_XY})"
+        f"SELECT event_id, {sph} AS tm_sph, {lor} AS tm_lor, "
+        f"{gau} AS tm_gau, {asym} AS tm_asym FROM ({_XY})"
     )
 
 
-sql("energy_correction_lorentzian", _lorentzian_sql())
-
-
-@q("energy_correction_gaussian")
-def energy_correction_gaussian(spark, sf_dir):
-    out = energy_cal.apply_energy_correction(
-        _with_xy(spark, sf_dir), correction_type="Gaussian", center=_CENTER,
-        amplitude=2.0, sigma=700.0, new_tof_column="tm",
-    )
-    # exp() is not cross-engine bit-stable -> round 6 on both sides
-    return out.select("event_id", F.round(F.col("tm"), 6).alias("tm"))
-
-
-def _gaussian_sql():
-    import math
-
-    pref = 20000.0 * 2.0 / math.sqrt(2 * math.pi * 700.0**2)
-    return (
-        f"SELECT event_id, round(t + {fl(pref)} * (exp(-({_R2}) / {fl(2 * 700.0 ** 2)})"
-        f" - 1.0), 6) AS tm FROM ({_XY})"
-    )
-
-
-sql("energy_correction_gaussian", _gaussian_sql())
+sql("energy_corrections", _corrections_sql())
 
 
 # ---------------------------------------------------------------------------
@@ -350,30 +350,28 @@ def _sparse_col_df(spark, sf_dir):
     ).withColumn("chunk", F.floor(F.col("event_id") / 1000).cast("int"))
 
 
-@q("ffill")
-def ffill(spark, sf_dir):
+# forward AND backward exact cross-partition fill on the same sparse
+# column, one output column per direction in one oracle row
+@q("ffill_bfill")
+def ffill_bfill(spark, sf_dir):
     df = _sparse_col_df(spark, sf_dir)
-    out = dfops.forward_fill(df, ["v"], order_col="event_id", group_col="chunk")
-    return out.select("event_id", F.col("v").alias("v_filled"))
+    df = df.withColumn("vf", F.col("v")).withColumn("vb", F.col("v"))
+    out = dfops.forward_fill(df, ["vf"], order_col="event_id", group_col="chunk")
+    out = dfops.backward_fill(out, ["vb"], order_col="event_id", group_col="chunk")
+    return out.select(
+        "event_id",
+        F.col("vf").alias("v_ffill"),
+        F.col("vb").alias("v_bfill"),
+    )
 
 
-sql("ffill",
+sql("ffill_bfill",
     "SELECT event_id, last_value(CASE WHEN event_type = 'click' THEN value END "
     "IGNORE NULLS) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
-    "CURRENT ROW) AS v_filled FROM events")
-
-
-@q("bfill")
-def bfill(spark, sf_dir):
-    df = _sparse_col_df(spark, sf_dir)
-    out = dfops.backward_fill(df, ["v"], order_col="event_id", group_col="chunk")
-    return out.select("event_id", F.col("v").alias("v_filled"))
-
-
-sql("bfill",
-    "SELECT event_id, first_value(CASE WHEN event_type = 'click' THEN value END "
+    "CURRENT ROW) AS v_ffill, "
+    "first_value(CASE WHEN event_type = 'click' THEN value END "
     "IGNORE NULLS) OVER (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND "
-    "UNBOUNDED FOLLOWING) AS v_filled FROM events")
+    "UNBOUNDED FOLLOWING) AS v_bfill FROM events")
 
 
 # ---------------------------------------------------------------------------
@@ -548,58 +546,42 @@ FROM events
 # offsets (§2.7) — mean reduction + preserve_mean
 # ---------------------------------------------------------------------------
 
-@q("offset_mean")
-def offset_mean(spark, sf_dir):
+# offset_by_other_columns in BOTH modes (scalar mean-reduction offset and
+# per-row offset with preserve_mean) as two columns of one oracle row
+@q("offsets")
+def offsets(spark, sf_dir):
     df = load(spark, sf_dir, "lineitem")
     out = dfops.offset_by_other_columns(
         df, "l_extendedprice", ["l_quantity"], [0.5], reductions="mean",
-        inplace=False, rename="price_adj",
+        inplace=False, rename="price_adj_mean",
     )
-    return out.select("l_orderkey", "l_linenumber", "price_adj")
-
-
-sql("offset_mean",
-    "SELECT l_orderkey, l_linenumber, l_extendedprice + "
-    "0.5 * (SELECT avg(l_quantity) FROM lineitem) AS price_adj FROM lineitem")
-
-
-@q("offset_preserve_mean")
-def offset_preserve_mean(spark, sf_dir):
-    df = load(spark, sf_dir, "lineitem")
     out = dfops.offset_by_other_columns(
-        df, "l_extendedprice", ["l_quantity"], [0.01], preserve_mean=True,
-        inplace=False, rename="price_adj",
+        out, "l_extendedprice", ["l_quantity"], [0.01], preserve_mean=True,
+        inplace=False, rename="price_adj_pm",
     )
-    return out.select("l_orderkey", "l_linenumber", "price_adj")
+    return out.select(
+        "l_orderkey", "l_linenumber", "price_adj_mean", "price_adj_pm",
+    )
 
 
-sql("offset_preserve_mean",
-    "SELECT l_orderkey, l_linenumber, (l_extendedprice + 0.01 * l_quantity) - "
-    "0.01 * (SELECT avg(l_quantity) FROM lineitem) AS price_adj FROM lineitem")
+sql("offsets",
+    "SELECT l_orderkey, l_linenumber, l_extendedprice + "
+    "0.5 * (SELECT avg(l_quantity) FROM lineitem) AS price_adj_mean, "
+    "(l_extendedprice + 0.01 * l_quantity) - "
+    "0.01 * (SELECT avg(l_quantity) FROM lineitem) AS price_adj_pm "
+    "FROM lineitem")
 
 
 # ---------------------------------------------------------------------------
 # delay calibration + momentum affine (§2.7)
 # ---------------------------------------------------------------------------
 
-@q("delay_calib")
-def delay_calib(spark, sf_dir):
-    df = load(spark, sf_dir, "events").withColumnRenamed("value", "ADC")
-    out = delay_cal.append_delay_axis(
-        df, adc_range=(0.0, 500.0), delay_range=(-5.0, 5.0),
-    )
-    return out.select("event_id", "delay")
-
-
-sql("delay_calib",
-    "SELECT event_id, -5.0 + (value - 0.0) * 10.0 / 500.0 AS delay FROM events")
-
-
-@q("delay_offset_flip")
-def delay_offset_flip(spark, sf_dir):
-    """Delay add_offsets: per-row column offset with preserve_mean, then
-    constant, then axis flip (reference src/sed/calibrator/delay.py:235-402
-    — the flip is applied last)."""
+# delay calibration + delay add_offsets (per-row column offset with
+# preserve_mean, then constant, then axis flip — reference
+# src/sed/calibrator/delay.py:82-402, flip applied last): the calibrated
+# axis and the adjusted axis are two columns of one oracle row
+@q("delay_pipeline")
+def delay_pipeline(spark, sf_dir):
     df = load(spark, sf_dir, "events").withColumnRenamed("value", "ADC")
     # small-int offset column: its double sum is exact, so Spark's and the
     # oracle's avg agree to the bit (a raw user_id sum can exceed 2^53)
@@ -607,55 +589,40 @@ def delay_offset_flip(spark, sf_dir):
     out = delay_cal.append_delay_axis(
         df, adc_range=(0.0, 500.0), delay_range=(-5.0, 5.0),
     )
+    out = out.withColumn("delay_cal", F.col("delay"))
     out = delay_cal.add_offsets(
         out, columns="bam", weights=0.01, preserve_mean=True,
         constant=1.5, flip_delay_axis=True,
     )
-    return out.select("event_id", "delay")
+    return out.select(
+        "event_id",
+        F.col("delay_cal").alias("delay"),
+        F.col("delay").alias("delay_adj"),
+    )
 
 
-sql("delay_offset_flip", """
+sql("delay_pipeline", """
 SELECT event_id,
+       -5.0 + (value - 0.0) * 10.0 / 500.0 AS delay,
        -((((-5.0 + (value - 0.0) * 10.0 / 500.0)
            + 0.01 * CAST(user_id % 100 AS DOUBLE))
           - 0.01 * (SELECT avg(CAST(user_id % 100 AS DOUBLE)) FROM events))
-         + 1.5) AS delay
+         + 1.5) AS delay_adj
 FROM events
 """)
 
 
-@q("energy_correction_lorentzian_asym")
-def energy_correction_lorentzian_asym(spark, sf_dir):
-    out = energy_cal.apply_energy_correction(
-        _with_xy(spark, sf_dir), correction_type="Lorentzian_asymmetric",
-        center=_CENTER, amplitude=2.0, gamma=700.0, gamma2=500.0,
-        amplitude2=1.5, new_tof_column="tm",
-    )
-    return out.select("event_id", F.round(F.col("tm"), 6).alias("tm"))
+_KPARAMS = dict(
+    r_start=0.0, c_start=0.0, r_center=256.0, c_center=256.0,
+    r_conversion=0.0195, c_conversion=0.0195, r_step=2.0, c_step=2.0,
+)
 
 
-def _lorentzian_asym_sql():
-    import math
-
-    pref_y = 100000.0 * 2.0 / (700.0 * math.pi)
-    pref_x = 100000.0 * 1.5 / (500.0 * math.pi)
-    dx = f"(X - {fl(_CENTER[0])})"
-    dy = f"(Y - {fl(_CENTER[1])})"
-    return (
-        f"SELECT event_id, round(t + ({fl(pref_y)} * ({fl(700.0 ** 2)} / "
-        f"({dy} * {dy} + {fl(700.0 ** 2)}) - 1.0) + {fl(pref_x)} * "
-        f"({fl(500.0 ** 2)} / ({dx} * {dx} + {fl(500.0 ** 2)}) - 1.0)), 6) "
-        f"AS tm FROM ({_XY})"
-    )
-
-
-sql("energy_correction_lorentzian_asym", _lorentzian_asym_sql())
-
-
-@q("map2d_affine")
-def map2d_affine(spark, sf_dir):
-    """map_columns_2d with a 2-in/2-out rotation-style map
-    (reference src/sed/core/dfops.py:167-199)."""
+# map_columns_2d (2-in/2-out rotation-style map, reference
+# src/sed/core/dfops.py:167-199) + detector→k affine conversion, four
+# columns of one oracle row; both transforms read the same X/Y input
+@q("affine_transforms")
+def affine_transforms(spark, sf_dir):
     def rot(x, y):
         return (
             F.lit(0.8) * x - F.lit(0.6) * y,
@@ -666,39 +633,23 @@ def map2d_affine(spark, sf_dir):
         _with_xy(spark, sf_dir), rot, "X", "Y",
         new_x_column="Xr", new_y_column="Yr",
     )
-    return out.select("event_id", "Xr", "Yr")
+    out = momentum_cal.append_k_axis(out, **_KPARAMS)
+    return out.select("event_id", "Xr", "Yr", "kx", "ky")
 
 
-sql("map2d_affine",
-    f"SELECT event_id, 0.8 * X - 0.6 * Y AS Xr, 0.6 * X + 0.8 * Y AS Yr "
-    f"FROM ({_XY})")
-
-
-_KPARAMS = dict(
-    r_start=0.0, c_start=0.0, r_center=256.0, c_center=256.0,
-    r_conversion=0.0195, c_conversion=0.0195, r_step=2.0, c_step=2.0,
-)
-
-
-@q("k_affine")
-def k_affine(spark, sf_dir):
-    df = _with_xy(spark, sf_dir)
-    out = momentum_cal.append_k_axis(df, **_KPARAMS)
-    return out.select("event_id", "kx", "ky")
-
-
-def _k_sql():
+def _affine_sql():
     p = _KPARAMS
     rdet0 = p["r_start"] + p["r_step"] * p["r_center"]
     cdet0 = p["c_start"] + p["c_step"] * p["c_center"]
     return (
-        f"SELECT event_id, {fl(p['r_conversion'])} * ((X - {fl(rdet0)}) / "
+        f"SELECT event_id, 0.8 * X - 0.6 * Y AS Xr, 0.6 * X + 0.8 * Y AS Yr, "
+        f"{fl(p['r_conversion'])} * ((X - {fl(rdet0)}) / "
         f"{fl(p['r_step'])}) AS kx, {fl(p['c_conversion'])} * ((Y - {fl(cdet0)}) / "
         f"{fl(p['c_step'])}) AS ky FROM ({_XY})"
     )
 
 
-sql("k_affine", _k_sql())
+sql("affine_transforms", _affine_sql())
 
 
 # ---------------------------------------------------------------------------
@@ -735,14 +686,22 @@ def _dfield_warp(spark, sf_dir, method):
     return out.select("event_id", "Xm", "Ym")
 
 
-@q("dfield_warp_join")
-def dfield_warp_join(spark, sf_dir):
-    return _dfield_warp(spark, sf_dir, "join")
-
-
-@q("dfield_warp_udf")
-def dfield_warp_udf(spark, sf_dir):
-    return _dfield_warp(spark, sf_dir, "udf")
+# BOTH physical strategies of apply_dfield (JVM broadcast-join corner
+# lookup and Arrow pandas-UDF grid gather) in one oracle row: each
+# strategy's output is its own column pair, equi-joined on event_id
+@q("dfield_warp")
+def dfield_warp(spark, sf_dir):
+    via_join = _dfield_warp(spark, sf_dir, "join").select(
+        "event_id",
+        F.col("Xm").alias("Xm_join"),
+        F.col("Ym").alias("Ym_join"),
+    )
+    via_udf = _dfield_warp(spark, sf_dir, "udf").select(
+        "event_id",
+        F.col("Xm").alias("Xm_udf"),
+        F.col("Ym").alias("Ym_udf"),
+    )
+    return via_join.join(via_udf, "event_id")
 
 
 def _dfield_sql():
@@ -782,12 +741,12 @@ frac AS (
          rows_ - floor(rows_) AS fr, cols_ - floor(cols_) AS fc
   FROM rc
 )
-SELECT event_id, {blend("fx")} AS Xm, {blend("fy")} AS Ym FROM frac
+SELECT event_id, {blend("fx")} AS Xm_join, {blend("fy")} AS Ym_join,
+       {blend("fx")} AS Xm_udf, {blend("fy")} AS Ym_udf FROM frac
 """
 
 
-sql("dfield_warp_join", _dfield_sql())
-sql("dfield_warp_udf", _dfield_sql())
+sql("dfield_warp", _dfield_sql())
 
 
 # ---------------------------------------------------------------------------
@@ -921,8 +880,11 @@ sql("flagship_momentum", _flagship_sql())
 # as-of interpolation join (§2.3) — np.interp parity
 # ---------------------------------------------------------------------------
 
-@q("interp_asof")
-def interp_asof(spark, sf_dir):
+# BOTH as-of operators in one oracle row, joined on event_id:
+# add_time_stamped_data (np.interp-parity interpolation against a
+# driver-held series) and the distributed per-key asof_join.
+@q("asof_ops")
+def asof_ops(spark, sf_dir):
     # time domain is MICROSECONDS: duckdb holds these timestamps at µs
     # precision, so the oracle can only see µs
     df = load(spark, sf_dir, "events")
@@ -934,17 +896,28 @@ def interp_asof(spark, sf_dir):
         .orderBy("x")
         .toPandas()
     )
-    out = dfops.add_time_stamped_data(
+    interp = dfops.add_time_stamped_data(
         df.withColumn("ts_d", F.col("ts_us").cast("double")),
         series["x"].to_numpy(),
         series["y"].to_numpy(),
         dest_column="interp_v",
         time_stamp_column="ts_d",
+    ).select("event_id", F.round("interp_v", 6).alias("interp_v"))
+
+    withts = df.withColumn("ts_d", F.col("ts_us").cast("double"))
+    left = withts.select("event_id", "user_id", "ts_d")
+    right = (
+        withts.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts_d")
+        .agg(F.min("value").alias("mark"))
     )
-    return out.select("event_id", F.round("interp_v", 6).alias("interp_v"))
+    per_user = dfops.asof_join(left, right, on="ts_d", by="user_id").select(
+        "event_id", "user_id", "mark",
+    )
+    return interp.join(per_user, "event_id")
 
 
-sql("interp_asof", """
+sql("asof_ops", """
 WITH series AS (
   SELECT CAST(epoch_us(ts) AS DOUBLE) AS x, min(value) AS y
   FROM events WHERE event_type = 'signup' GROUP BY 1
@@ -966,13 +939,27 @@ w AS (
     first_value(sy IGNORE NULLS) OVER
       (ORDER BY x, is_ev ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS y1
   FROM u
+),
+interp AS (
+  SELECT event_id, round(CASE
+      WHEN x0 IS NULL THEN (SELECT y FROM series ORDER BY x LIMIT 1)
+      WHEN x1 IS NULL THEN y0
+      ELSE ((y1 - y0) / (x1 - x0)) * (x - x0) + y0
+    END, 6) AS interp_v
+  FROM w WHERE is_ev
+),
+r AS (
+  SELECT user_id, CAST(epoch_us(ts) AS DOUBLE) AS ts_d, min(value) AS mark
+  FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+),
+l AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS DOUBLE) AS ts_d
+      FROM events),
+per_user AS (
+  SELECT l.event_id, l.user_id, r.mark
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_d >= r.ts_d
 )
-SELECT event_id, round(CASE
-    WHEN x0 IS NULL THEN (SELECT y FROM series ORDER BY x LIMIT 1)
-    WHEN x1 IS NULL THEN y0
-    ELSE ((y1 - y0) / (x1 - x0)) * (x - x0) + y0
-  END, 6) AS interp_v
-FROM w WHERE is_ev
+SELECT i.event_id, i.interp_v, p.user_id, p.mark
+FROM interp i JOIN per_user p ON i.event_id = p.event_id
 """)
 
 
@@ -1066,32 +1053,6 @@ GROUP BY bin_value
 sql("timed_norm", _timed_norm_sql())
 
 
-@q("asof_join_per_user")
-def asof_join_per_user(spark, sf_dir):
-    df = load(spark, sf_dir, "events")
-    df = df.withColumn("ts_d", ts_us(df).cast("double"))
-    left = df.select("event_id", "user_id", "ts_d")
-    right = (
-        df.filter(F.col("event_type") == "signup")
-        .groupBy("user_id", "ts_d")
-        .agg(F.min("value").alias("mark"))
-    )
-    out = dfops.asof_join(left, right, on="ts_d", by="user_id")
-    return out.select("event_id", "user_id", "mark")
-
-
-sql("asof_join_per_user", """
-WITH r AS (
-  SELECT user_id, CAST(epoch_us(ts) AS DOUBLE) AS ts_d, min(value) AS mark
-  FROM events WHERE event_type = 'signup' GROUP BY 1, 2
-),
-l AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS DOUBLE) AS ts_d
-      FROM events)
-SELECT l.event_id, l.user_id, r.mark
-FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_d >= r.ts_d
-""")
-
-
 _SESSION_GAP_US = 1.8e9  # 30 min
 
 
@@ -1119,23 +1080,12 @@ FROM (
 """)
 
 
-@q("elapsed_time")
-def elapsed_time(spark, sf_dir):
-    df = load(spark, sf_dir, "events")
-    df = df.withColumn("ts_us", ts_us(df))
-    return df.groupBy("user_id").agg(
-        (F.max("ts_us") - F.min("ts_us")).alias("elapsed_us"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-
-
-sql("elapsed_time",
-    "SELECT user_id, CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS "
-    "elapsed_us, COUNT(*) AS n_events FROM events GROUP BY user_id")
-
-
-@q("count_rate")
-def count_rate(spark, sf_dir):
+# get_elapsed_time + get_count_rate in one aggregate (one oracle row):
+# the rate is derived from the same elapsed/count pair the reference's two
+# stats calls compute (src/sed/loader/flash/loader.py get_count_rate /
+# get_elapsed_time)
+@q("run_stats")
+def run_stats(spark, sf_dir):
     df = load(spark, sf_dir, "events")
     df = df.withColumn("ts_us", ts_us(df))
     agg = df.groupBy("user_id").agg(
@@ -1143,7 +1093,7 @@ def count_rate(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
     )
     return agg.select(
-        "user_id",
+        "user_id", "elapsed_us", "n_events",
         (
             F.col("n_events").cast("double")
             / (F.col("elapsed_us").cast("double") / F.lit(1e6))
@@ -1151,8 +1101,9 @@ def count_rate(spark, sf_dir):
     )
 
 
-sql("count_rate",
-    "SELECT user_id, CAST(n_events AS DOUBLE) / (CAST(elapsed_us AS DOUBLE) / "
+sql("run_stats",
+    "SELECT user_id, elapsed_us, n_events, "
+    "CAST(n_events AS DOUBLE) / (CAST(elapsed_us AS DOUBLE) / "
     f"{fl(1e6)}) AS rate_hz FROM (SELECT user_id, CAST(max(epoch_us(ts)) - "
     "min(epoch_us(ts)) AS BIGINT) AS elapsed_us, COUNT(*) AS n_events "
     "FROM events GROUP BY user_id)")

@@ -159,10 +159,19 @@ def _simhash_sql() -> str:
 # similarity search
 # ---------------------------------------------------------------------------
 
-def ann_cosine_topk(spark, sf_dir):
+# brute-force exact top-k AND centroid-pruned IVF top-k for the same query
+# vector, tag-unioned into one oracle row (each branch is the standalone
+# operator; IVF's approximate candidate set is itself deterministic)
+def ann_topk(spark, sf_dir):
     df = load(spark, sf_dir, "embeddings")
     qvec = df.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return similarity.cosine_topk(df, qvec, k=10)
+    exact = similarity.cosine_topk(df, qvec, k=10).select(
+        F.lit("exact").alias("method"), "vec_id", "cos_sim",
+    )
+    ivf = similarity.ivf_topk(df, _IVF_CENTROIDS, qvec, k=10).select(
+        F.lit("ivf").alias("method"), "vec_id", "cos_sim",
+    )
+    return exact.unionAll(ivf)
 
 
 ANN_SQL = """
@@ -282,12 +291,6 @@ WHERE round({cos}, 6) >= 0.4
 _IVF_CENTROIDS = similarity.deterministic_planes(8, 64, seed=21)
 
 
-def ann_ivf_topk(spark, sf_dir):
-    df = load(spark, sf_dir, "embeddings")
-    qvec = df.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return similarity.ivf_topk(df, _IVF_CENTROIDS, qvec, k=10)
-
-
 def _ivf_sql() -> str:
     from sed_spark.suite.common import fl
 
@@ -328,77 +331,59 @@ ORDER BY cos_sim DESC, a.vec_id LIMIT 10
 # text analysis
 # ---------------------------------------------------------------------------
 
-def text_quality(spark, sf_dir):
-    return text.quality_features(load(spark, sf_dir, "documents"))
+# quality scoring + language id + token counting, fused into one projection
+# (text.metrics) so every text-analysis operator's columns land in one
+# oracle row; the standalone operators remain in sed_spark.ext.text
+def text_metrics(spark, sf_dir):
+    return text.metrics(load(spark, sf_dir, "documents"))
 
 
-TEXT_QUALITY_SQL = r"""
-SELECT doc_id,
-  length(text) AS n_chars,
-  length(text) - length(replace(text, ' ', '')) + 1 AS n_words,
-  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
-    (length(text) - length(replace(text, ' ', '')) + 1), 6) AS avg_word_len,
-  round(CAST(len(regexp_extract_all(text, '\b(the|a|is|and|of)\b')) AS DOUBLE) /
-    (length(text) - length(replace(text, ' ', '')) + 1), 6) AS stopword_ratio
-FROM documents
-"""
-
-
-def lang_id(spark, sf_dir):
-    return text.lang_id(load(spark, sf_dir, "documents"))
-
-
-LANG_SQL = r"""
+TEXT_METRICS_SQL = r"""
 WITH s AS (
   SELECT doc_id,
+    length(text) AS n_chars,
+    length(text) - length(replace(text, ' ', '')) + 1 AS n_words,
+    length(replace(text, ' ', '')) AS nonspace,
     len(regexp_extract_all(text, '\b(the|a|is|and|of)\b')) AS s_en,
     len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS s_de,
     len(regexp_extract_all(text, '\b(le|les|et|est|une)\b')) AS s_fr,
-    len(regexp_extract_all(text, '\b(el|los|las|y|es)\b')) AS s_es
+    len(regexp_extract_all(text, '\b(el|los|las|y|es)\b')) AS s_es,
+    len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS bpe_tokens
   FROM documents
 )
-SELECT doc_id, CASE
-  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-  WHEN s_fr >= s_es THEN 'fr'
-  ELSE 'es' END AS pred_lang
+SELECT doc_id, n_chars, n_words,
+  round(CAST(nonspace AS DOUBLE) / n_words, 6) AS avg_word_len,
+  round(CAST(s_en AS DOUBLE) / n_words, 6) AS stopword_ratio,
+  CASE
+    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+    WHEN s_fr >= s_es THEN 'fr'
+    ELSE 'es' END AS pred_lang,
+  n_words AS ws_tokens, bpe_tokens
 FROM s
 """
 
 
-def token_stats(spark, sf_dir):
-    return text.token_stats(load(spark, sf_dir, "documents"))
+# min-hash word-shingle fingerprint + winnowing (SIGMOD 2003) fingerprint,
+# equi-joined on doc_id into one oracle row
+def fingerprints(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    fp = text.fingerprint(docs)
+    wn = text.winnow_fingerprint(docs, k=8, w=4)
+    return fp.join(wn, "doc_id")
 
 
-TOKEN_SQL = r"""
-SELECT doc_id,
-  length(text) - length(replace(text, ' ', '')) + 1 AS ws_tokens,
-  len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS bpe_tokens
-FROM documents
-"""
-
-
-def doc_fingerprint(spark, sf_dir):
-    return text.fingerprint(load(spark, sf_dir, "documents"))
-
-
-FP_SQL = f"""
-WITH base AS ({_grams_sql(5)})
-SELECT doc_id,
-  list_min(list_transform(list_distinct(grams), g -> md5(g))) AS fp,
-  CAST(len(list_distinct(grams)) AS INTEGER) AS n_shingles
-FROM base
-"""
-
-
-def winnow_fp(spark, sf_dir):
-    return text.winnow_fingerprint(load(spark, sf_dir, "documents"), k=8, w=4)
-
-
-# mirrors winnow_fingerprint(k=8, w=4): char-8-gram md5s, min per
-# 4-window, sorted distinct selection digest
-WINNOW_SQL = """
-WITH hs AS (
+# word-5-gram min-md5 fingerprint joined with winnow_fingerprint(k=8, w=4):
+# char-8-gram md5s, min per 4-window, sorted distinct selection digest
+FINGERPRINTS_SQL = f"""
+WITH base AS ({_grams_sql(5)}),
+fp AS (
+  SELECT doc_id,
+    list_min(list_transform(list_distinct(grams), g -> md5(g))) AS fp,
+    CAST(len(list_distinct(grams)) AS INTEGER) AS n_shingles
+  FROM base
+),
+hs AS (
   SELECT doc_id,
     CASE WHEN length(text) - 7 > 0 THEN
       list_transform(generate_series(1, length(text) - 7),
@@ -414,10 +399,14 @@ sel0 AS (
     ELSE hs END AS s
   FROM hs
 ),
-d AS (SELECT doc_id, list_sort(list_distinct(s)) AS sel FROM sel0)
-SELECT doc_id, md5(array_to_string(sel, '')) AS winnow_digest,
-  CAST(len(sel) AS INTEGER) AS n_selected
-FROM d
+d AS (SELECT doc_id, list_sort(list_distinct(s)) AS sel FROM sel0),
+wn AS (
+  SELECT doc_id, md5(array_to_string(sel, '')) AS winnow_digest,
+    CAST(len(sel) AS INTEGER) AS n_selected
+  FROM d
+)
+SELECT fp.doc_id, fp.fp, fp.n_shingles, wn.winnow_digest, wn.n_selected
+FROM fp JOIN wn ON fp.doc_id = wn.doc_id
 """
 
 
@@ -428,13 +417,20 @@ FROM d
 # array<float> column breaks its pandas sort, CORRECTNESS_r01).
 # ---------------------------------------------------------------------------
 
-def multimodal_decode(spark, sf_dir):
+def multimodal_pipeline(spark, sf_dir):
+    """Full multimodal plumbing in one oracle row: decode (per-doc
+    metadata + feature vector, exploded to scalars) joined onto the
+    frame-sample rows (per-frame digests) — both mapInPandas operators
+    exercised, one row per sampled frame."""
     df = multimodal.to_binary_payload(load(spark, sf_dir, "documents"))
-    feats = multimodal.decode_stub(df)
-    return feats.select(
+    feats = multimodal.decode_stub(df).select(
         "doc_id", "n_bytes", "width", "height",
         *[F.col("feature")[i].cast("double").alias(f"f{i}") for i in range(8)],
     )
+    frames = multimodal.frame_sample_stub(df, every=4, frame_bytes=16).select(
+        "doc_id", "frame_idx", "n_frames", F.md5("frame").alias("frame_md5"),
+    )
+    return frames.join(feats, "doc_id")
 
 
 def _multimodal_sql() -> str:
@@ -457,28 +453,19 @@ def _multimodal_sql() -> str:
         f"CAST(CAST({u32(k)} AS FLOAT) AS DOUBLE) / 4294967296.0 AS f{k}"
         for k in range(8)
     )
+    # frame sampling mirrors frame_sample_stub(every=4, frame_bytes=16);
+    # documents text is ASCII (strlen == length for every row), so char
+    # substr == byte slice
     return f"""
-WITH s AS (SELECT doc_id, strlen(text) AS n_bytes, sha256(text) AS h FROM documents)
-SELECT doc_id, CAST(n_bytes AS INTEGER) AS n_bytes,
-  CAST(1 + ({hb(0)} % 64) AS INTEGER) AS width,
-  CAST(1 + ({hb(1)} % 64) AS INTEGER) AS height,
-  {feats}
-FROM s
-"""
-
-
-def multimodal_frames(spark, sf_dir):
-    df = multimodal.to_binary_payload(load(spark, sf_dir, "documents"))
-    frames = multimodal.frame_sample_stub(df, every=4, frame_bytes=16)
-    return frames.select(
-        "doc_id", "frame_idx", "n_frames", F.md5("frame").alias("frame_md5"),
-    )
-
-
-# mirrors frame_sample_stub(every=4, frame_bytes=16); documents text is
-# ASCII (strlen == length for every row), so char substr == byte slice
-FRAMES_SQL = """
-WITH base AS (
+WITH s AS (SELECT doc_id, strlen(text) AS n_bytes, sha256(text) AS h FROM documents),
+decode AS (
+  SELECT doc_id, CAST(n_bytes AS INTEGER) AS n_bytes,
+    CAST(1 + ({hb(0)} % 64) AS INTEGER) AS width,
+    CAST(1 + ({hb(1)} % 64) AS INTEGER) AS height,
+    {feats}
+  FROM s
+),
+base AS (
   SELECT doc_id, text,
     CAST(ceil(strlen(text) / 16.0) AS INTEGER) AS n_frames
   FROM documents
@@ -487,11 +474,46 @@ f AS (
   SELECT doc_id, n_frames, text,
     unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx
   FROM base WHERE n_frames > 0
+),
+frames AS (
+  SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, n_frames,
+    md5(substr(text, frame_idx * 16 + 1, 16)) AS frame_md5
+  FROM f
 )
-SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, n_frames,
-  md5(substr(text, frame_idx * 16 + 1, 16)) AS frame_md5
-FROM f
+SELECT frames.doc_id, frames.frame_idx, frames.n_frames, frames.frame_md5,
+       decode.n_bytes, decode.width, decode.height,
+       decode.f0, decode.f1, decode.f2, decode.f3,
+       decode.f4, decode.f5, decode.f6, decode.f7
+FROM frames JOIN decode ON frames.doc_id = decode.doc_id
 """
+
+
+def stream_dedup_replay(spark, sf_dir):
+    """Batch (``availableNow``) replay of the streaming first-seen-wins
+    exact dedup (sed_spark/streaming): drain the documents parquet through
+    the ``applyInPandasWithState`` operator into a memory sink, then
+    return the survivors' content-hash set.
+
+    WHICH document survives per duplicate group is arrival-order-dependent
+    on a stream; the surviving hash SET is order-invariant and must equal
+    batch exact dedup's distinct hashes — that is what the oracle pins.
+    """
+    from sed_spark.streaming import run_available_now, streaming_exact_dedup
+
+    schema = load(spark, sf_dir, "documents").schema
+    # the file stream source wants a directory or glob, not a bare file
+    stream = (
+        spark.readStream.schema(schema).parquet(f"{sf_dir}/documents*.parquet")
+    )
+    survivors = streaming_exact_dedup(stream)
+    spark.catalog.dropTempView("stream_dedup_sink")
+    run_available_now(survivors, "stream_dedup_sink", output_mode="append")
+    return spark.table("stream_dedup_sink").select(
+        F.md5("text").alias("text_hash"),
+    )
+
+
+STREAM_DEDUP_SQL = "SELECT DISTINCT md5(text) AS text_hash FROM documents"
 
 
 QUERIES.update(
@@ -502,16 +524,22 @@ QUERIES.update(
         "dedup_clusters": {"spark": dedup_clusters, "sql": DEDUP_CLUSTERS_SQL},
         "jaccard_pairs": {"spark": jaccard_pairs, "sql": JACCARD_SQL},
         "simhash": {"spark": simhash, "sql": _simhash_sql()},
-        "ann_cosine_topk": {"spark": ann_cosine_topk, "sql": ANN_SQL},
+        "ann_topk": {
+            "spark": ann_topk,
+            "sql": (
+                f"SELECT 'exact' AS method, * FROM ({ANN_SQL}) UNION ALL "
+                f"SELECT 'ivf' AS method, * FROM ({_ivf_sql()})"
+            ),
+        },
         "ann_batch_topk": {"spark": ann_batch_topk, "sql": ANN_BATCH_SQL},
         "embedding_near_dup": {"spark": embedding_near_dup, "sql": _near_dup_sql()},
-        "ann_ivf_topk": {"spark": ann_ivf_topk, "sql": _ivf_sql()},
-        "text_quality": {"spark": text_quality, "sql": TEXT_QUALITY_SQL},
-        "lang_id": {"spark": lang_id, "sql": LANG_SQL},
-        "token_stats": {"spark": token_stats, "sql": TOKEN_SQL},
-        "doc_fingerprint": {"spark": doc_fingerprint, "sql": FP_SQL},
-        "winnow_fp": {"spark": winnow_fp, "sql": WINNOW_SQL},
-        "multimodal_decode": {"spark": multimodal_decode, "sql": _multimodal_sql()},
-        "multimodal_frames": {"spark": multimodal_frames, "sql": FRAMES_SQL},
+        "text_metrics": {"spark": text_metrics, "sql": TEXT_METRICS_SQL},
+        "fingerprints": {"spark": fingerprints, "sql": FINGERPRINTS_SQL},
+        "multimodal_pipeline": {
+            "spark": multimodal_pipeline, "sql": _multimodal_sql(),
+        },
+        "stream_dedup_replay": {
+            "spark": stream_dedup_replay, "sql": STREAM_DEDUP_SQL,
+        },
     },
 )
