@@ -488,6 +488,13 @@ def asof_join(
     Right-side duplicate (by, on) pairs should be pre-aggregated by the
     caller — otherwise which duplicate wins is the union order, not
     deterministic.
+
+    With ``by=None`` the fill window has no partition key, so the whole
+    union is sorted and filled by ONE task — correct, but serial; a
+    global as-of at scale needs a ``by`` key (or range-bucket the ``on``
+    axis and carry boundaries, as :func:`forward_fill_lazy` does).
+    Right-side value columns that collide with a left column must be
+    disambiguated via ``suffix``; collisions raise up front.
     """
     from pyspark.sql import Window
 
@@ -495,6 +502,12 @@ def asof_join(
         raise ValueError(f"unknown direction {direction!r}")
     value_cols = [c for c in right.columns if c not in {on, by}]
     out_vals = [c + suffix for c in value_cols]
+    clash = sorted(set(out_vals) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join output columns {clash} collide with left columns; "
+            "pass suffix= to disambiguate right-side value columns",
+        )
     keys = ([by] if by else []) + [on]
 
     l_tag = left.select(

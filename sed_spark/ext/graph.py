@@ -28,6 +28,8 @@ default for dedup workloads and is fully expressible as DataFrame ops.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -39,48 +41,88 @@ def connected_components(
     src: str = "a_id",
     dst: str = "b_id",
     max_iter: int = 50,
+    reliable: bool = False,
 ) -> DataFrame:
     """(node, label) with label = min node id of the connected component.
 
     Only nodes that appear in ``edges`` are returned; isolated nodes are
     their own component and can be filled in by the caller with a left
     join + coalesce (see :func:`dedup_clusters`).
+
+    ``reliable=False`` (default) uses ``localCheckpoint`` — executor-local
+    blocks, fastest, fine on a single machine but an executor loss
+    mid-loop on a real cluster loses the blocks and kills the job.
+    ``reliable=True`` uses ``checkpoint()`` to the session's checkpoint
+    directory (``sparkContext.setCheckpointDir`` — set it to reliable
+    storage such as HDFS/S3 before calling) so the loop survives executor
+    loss; a temp-dir default is installed if none is configured.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without the label
+    sum reaching a fixpoint — truncated labels would silently merge or
+    split clusters, so the caller must be told.
     """
+    if reliable:
+        sc = edges.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            import tempfile
+
+            sc.setCheckpointDir(
+                tempfile.mkdtemp(prefix="sed_spark_ckpt_"),
+            )
+            warnings.warn(
+                "reliable=True with no checkpoint dir configured; using a "
+                "local temp dir. Call spark.sparkContext.setCheckpointDir() "
+                "with HDFS/S3 storage for real fault tolerance.",
+                stacklevel=2,
+            )
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"),
     ).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v")),
     )
-    sym = sym.localCheckpoint(eager=True)
+    sym = _ckpt(sym)
 
-    labels = (
+    labels = _ckpt(
         sym.select(F.col("u").alias("node"))
         .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
+        .select("node", F.col("node").alias("label")),
     )
     prev = labels.agg(F.sum("label")).collect()[0][0]
 
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["v"] == labels["node"])
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
+        labels = _ckpt(
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", "label"),
                 ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+            ),
         )
         cur = labels.agg(F.sum("label")).collect()[0][0]
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds; labels would be wrong for long-chain "
+            "graphs. Raise max_iter (rounds needed = graph diameter).",
+        )
     return labels
 
 

@@ -182,6 +182,10 @@ def frame_sample_stub(
     an ffmpeg/pyav demuxer; the Spark contract — exploded (doc, frame_idx,
     frame) rows produced executor-side, partition-parallel — is identical.
     """
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
+    if frame_bytes < 1:
+        raise ValueError(f"frame_bytes must be >= 1, got {frame_bytes}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -215,3 +215,18 @@ def test_asof_join_forward_direction(spark):
         .toPandas()
     )
     assert list(got["v"]) == ["a", "b", "b"]  # ties match, like merge_asof
+
+
+def test_asof_join_rejects_column_collision(spark):
+    import pandas as pd
+    import pytest
+
+    from sed_spark.dfops import asof_join
+
+    left = spark.createDataFrame(pd.DataFrame({"ts": [1.0], "v": [0.0]}))
+    right = spark.createDataFrame(pd.DataFrame({"ts": [1.0], "v": [9.0]}))
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="ts")
+    # suffix disambiguates — both columns survive
+    got = asof_join(left, right, on="ts", suffix="_r").toPandas()
+    assert got["v"].iloc[0] == 0.0 and got["v_r"].iloc[0] == 9.0

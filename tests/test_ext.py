@@ -214,3 +214,17 @@ def test_frame_sample_stub_expansion(spark):
     by_idx = {r["frame_idx"]: bytes(r["frame"]) for r in rows}
     assert by_idx[0] == b"x" * 16
     assert by_idx[4] == b"x" * 16
+
+
+def test_frame_sample_stub_validates_args(spark):
+    import pytest
+
+    from sed_spark.ext.multimodal import frame_sample_stub, to_binary_payload
+
+    df = to_binary_payload(
+        spark.createDataFrame([(0, "abc")], ["doc_id", "text"]),
+    )
+    with pytest.raises(ValueError, match="every"):
+        frame_sample_stub(df, every=0)
+    with pytest.raises(ValueError, match="frame_bytes"):
+        frame_sample_stub(df, frame_bytes=0)

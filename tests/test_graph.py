@@ -32,6 +32,33 @@ def test_connected_components_converges_on_single_long_chain(spark):
     assert len(labels) == n + 1
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    # reliable=True checkpoints to the configured dir — same labels, and
+    # checkpoint files actually land on (reliable-storage-shaped) disk
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["a_id", "b_id"],
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components(edges, reliable=True).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert any((tmp_path / "ckpt").rglob("*"))
+
+
+def test_connected_components_raises_on_truncation(spark):
+    # a 12-chain needs >2 hash-min rounds; max_iter=2 must raise, not
+    # silently return half-propagated labels
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["a_id", "b_id"],
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
 def test_dedup_clusters_isolated_docs_are_canonical(spark):
     docs = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
     pairs = spark.createDataFrame([(1, 3), (3, 5)], ["a_id", "b_id"])
