@@ -83,6 +83,50 @@ def main() -> None:
 
     suite_total = round(sum(v for v in timings.values() if v > 0), 4)
 
+    # -- part 1b: DuckDB baseline for the training-data (ext) queries -----
+    # the sed-core metrics have BASELINE.md numbers to compare against; the
+    # LLM-pipeline operators get their 2x bar from DuckDB running the SAME
+    # oracle SQL on the SAME parquet at the SAME sf (best-of-2, matching
+    # the Spark side). -1 = error, -2 = 300 s cap interrupted.
+    duck_timings: dict[str, float] = {}
+    try:
+        import threading
+
+        import duckdb
+
+        from sed_spark.suite import ext as _suite_ext
+
+        con = duckdb.connect()
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'",
+            )
+        for name, spec in _suite_ext.QUERIES.items():
+            sql = spec.get("sql")
+            if not sql:
+                continue
+            best = float("inf")
+            for _ in range(2):
+                timer = threading.Timer(300.0, con.interrupt)
+                timer.start()
+                t0 = time.perf_counter()
+                try:
+                    con.execute(sql).fetchall()
+                    best = min(best, time.perf_counter() - t0)
+                except duckdb.InterruptException:
+                    best = -2.0
+                    break
+                except Exception as exc:
+                    print(f"bench: duckdb {name} failed: {exc}", file=sys.stderr)
+                    best = -1.0
+                    break
+                finally:
+                    timer.cancel()
+            duck_timings[f"q_{name}"] = round(best, 4)
+    except Exception as exc:  # duckdb trouble must not kill the bench
+        print(f"bench: duckdb baseline skipped: {exc}", file=sys.stderr)
+
     # -- part 2: baseline-parity synthetic workload -----------------------
     # mirrors reference benchmark_sed.py:24-34: uniform X/Y/t/ADC, seeded
     ranges = {"X": (0.0, 2048.0), "Y": (0.0, 2048.0),
@@ -192,6 +236,7 @@ def main() -> None:
                 "value": suite_total,
                 "unit": "sec",
                 "queries": timings,
+                "duck": duck_timings,
                 "sf": sf,
                 "synthetic_rows": n_synth,
             },

@@ -275,6 +275,12 @@ def sparse_histogram(
 # dense-sub-array path wins despite paying the JVM→Python Arrow feed
 CHUNKED_MIN_CUBE = 512_000_000
 
+# target hash-agg entries per reducer in _dense_via_groupby; a table much
+# beyond ~2e5 entries lives long enough to hit old-gen GC (sweep numbers
+# in the _dense_via_groupby docstring). Module constant so bench tooling
+# can sweep it.
+GROUPBY_CELLS_PER_REDUCER = 195_000
+
 
 def _flat_idx_expr(
     axes: list[BinAxis],
@@ -300,30 +306,46 @@ def _dense_via_groupby(proj: DataFrame, cube: int) -> np.ndarray:
     per single bin would need >2e9 rows in one bin — re-widen if that day
     comes).
 
-    The aggregation's reducer count is sized from the cube, overriding the
-    session's ``spark.sql.shuffle.partitions`` for this one job: near-full
+    The aggregation's reducer count is sized from the cube: near-full
     occupancy means up to ``cube`` distinct groups, and a reducer hash
-    table much beyond ~4e5 entries lives long enough to hit old-gen GC.
+    table much beyond ~2e5 entries lives long enough to hit old-gen GC.
     Measured on the 1e8-row 100^4 bench (local[32]): 64 reducers →
-    17-48 s run-to-run; 256 → 11-15 s steady. Small cubes keep the
-    session default. AQE may still coalesce by size afterwards."""
+    17-48 s run-to-run; interleaved warm min-of-4: 250 → 7.5 s (outliers
+    to 27 s), 512 → 7.2 s (tightest spread), 769 → 6.5 s (spread to
+    12 s) — hence the ~195k-cells-per-reducer target
+    (``GROUPBY_CELLS_PER_REDUCER``); past ~8 s the remaining variance
+    is this VM's GC/scheduling noise, not plan shape. The count is
+    expressed
+    PER-QUERY as an explicit ``repartition(want, "__idx")`` below the
+    aggregate — no session-conf set/restore, so concurrent queries on
+    the same session are unaffected. ``HashPartitioning(__idx, want)``
+    satisfies the aggregate's clustered-distribution requirement, so
+    EnsureRequirements inserts no second exchange; the trade is that the
+    exchange moves raw keys instead of map-side partials, which at the
+    occupancies where the override kicks in (> ~25M cells ⇒ near-unique
+    keys per map task) is the same volume — measured equal-or-better
+    (see the sweep numbers above). Small cubes skip the repartition and
+    keep the normal partial→exchange→final plan under the session
+    default. AQE may still coalesce by size afterwards."""
     idx_t = "int" if cube <= np.iinfo(np.int32).max else "long"
     spark = proj.sparkSession
-    agg = proj.groupBy(F.col("__idx").cast(idx_t).alias("__idx")).agg(
+    try:
+        default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # "auto" on some deployments
+        default = spark.sparkContext.defaultParallelism
+    keyed = proj.select(F.col("__idx").cast(idx_t).alias("__idx"))
+    want = min(1024, cube // GROUPBY_CELLS_PER_REDUCER)
+    if want > default:
+        keyed = keyed.repartition(want, "__idx")
+    agg = keyed.groupBy("__idx").agg(
         F.count(F.lit(1)).cast("int").alias("__cnt"),
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    want = max(int(prev), min(1024, cube // 400_000))
     dense = np.zeros(cube, dtype=np.uint32)
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(want))
-        for batch in agg.toArrow().to_batches():
-            idx = batch.column(0).to_numpy(zero_copy_only=False)
-            cnt = batch.column(1).to_numpy(zero_copy_only=False)
-            ok = idx >= 0  # -1 sentinel group = out-of-range rows
-            dense[idx[ok]] = cnt[ok]  # groupBy keys are globally unique
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for batch in agg.toArrow().to_batches():
+        idx = batch.column(0).to_numpy(zero_copy_only=False)
+        cnt = batch.column(1).to_numpy(zero_copy_only=False)
+        ok = idx >= 0  # -1 sentinel group = out-of-range rows
+        dense[idx[ok]] = cnt[ok]  # groupBy keys are globally unique
     return dense
 
 

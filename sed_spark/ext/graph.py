@@ -20,10 +20,11 @@ fixpoint, so no join-based diff is needed).
 Rounds needed = graph diameter. Near-duplicate clusters are dense (every
 member shares LSH buckets with most others), so diameters are 1-3 and the
 loop ends in ≤4 rounds regardless of corpus size. For adversarial
-long-chain graphs the O(log n)-round alternating large-star/small-star
-algorithm (Kiveris et al., "Connected Components in MapReduce and Beyond",
-SoCC 2014) would replace the per-round propagation; hash-min is the right
-default for dedup workloads and is fully expressible as DataFrame ops.
+long-chain graphs, :func:`connected_components_two_phase` implements the
+O(log n)-round alternating large-star/small-star algorithm (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC 2014); hash-min
+stays the default for dedup workloads. Both are pure DataFrame ops and
+support ``reliable=True`` checkpointing to survive executor loss.
 """
 
 from __future__ import annotations
@@ -33,7 +34,11 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_clusters"]
+__all__ = [
+    "connected_components",
+    "connected_components_two_phase",
+    "dedup_clusters",
+]
 
 
 def connected_components(
@@ -61,26 +66,7 @@ def connected_components(
     sum reaching a fixpoint — truncated labels would silently merge or
     split clusters, so the caller must be told.
     """
-    if reliable:
-        sc = edges.sparkSession.sparkContext
-        if sc.getCheckpointDir() is None:
-            import tempfile
-
-            sc.setCheckpointDir(
-                tempfile.mkdtemp(prefix="sed_spark_ckpt_"),
-            )
-            warnings.warn(
-                "reliable=True with no checkpoint dir configured; using a "
-                "local temp dir. Call spark.sparkContext.setCheckpointDir() "
-                "with HDFS/S3 storage for real fault tolerance.",
-                stacklevel=2,
-            )
-
-        def _ckpt(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
-    else:
-        def _ckpt(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+    _ckpt = _checkpointer(edges, reliable)
 
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"),
@@ -124,6 +110,116 @@ def connected_components(
             "graphs. Raise max_iter (rounds needed = graph diameter).",
         )
     return labels
+
+
+def _checkpointer(df: DataFrame, reliable: bool):
+    """Per-round lineage-flattening checkpoint fn (shared by both CC
+    algorithms); see :func:`connected_components` for the reliable mode."""
+    if reliable:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            import tempfile
+
+            sc.setCheckpointDir(tempfile.mkdtemp(prefix="sed_spark_ckpt_"))
+            warnings.warn(
+                "reliable=True with no checkpoint dir configured; using a "
+                "local temp dir. Call spark.sparkContext.setCheckpointDir() "
+                "with HDFS/S3 storage for real fault tolerance.",
+                stacklevel=3,
+            )
+        return lambda d: d.checkpoint(eager=True)
+    return lambda d: d.localCheckpoint(eager=True)
+
+
+def connected_components_two_phase(
+    edges: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    max_iter: int = 40,
+    reliable: bool = False,
+) -> DataFrame:
+    """(node, label) via alternating large-star/small-star — O(log n)
+    rounds on ANY graph shape (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014).
+
+    :func:`connected_components` (hash-min) needs rounds = graph
+    diameter — ideal for dedup graphs (dense clusters, diameter 1-3) but
+    adversarial for long chains (a 10^6-node path needs 10^6 rounds).
+    Each round here is two star operations, each ONE hash aggregate
+    (min per node) + ONE shuffle join on the node key over the EDGE
+    table only — never the corpus — and the edge set provably shrinks
+    toward a star per component, so round count is logarithmic in the
+    largest component regardless of its shape.
+
+    Edges are kept in (big, small) canonical orientation throughout;
+    convergence = the edge set is exactly the fixpoint star (checked by
+    exact set equality, one ``exceptAll`` on the edge table per round).
+    Same output contract as :func:`connected_components`.
+    """
+    _ckpt = _checkpointer(edges, reliable)
+
+    canon = edges.select(
+        F.greatest(F.col(src), F.col(dst)).alias("u"),
+        F.least(F.col(src), F.col(dst)).alias("v"),
+    )
+    # self-loop nodes still count as appearing in the edge set (same
+    # contract as hash-min), they just carry no connectivity
+    all_nodes = _ckpt(
+        canon.select(F.col("u").alias("node"))
+        .union(canon.select(F.col("v").alias("node")))
+        .distinct(),
+    )
+    e = _ckpt(canon.filter(F.col("u") != F.col("v")).distinct())
+
+    def large_star(cur: DataFrame) -> DataFrame:
+        sym = cur.select("u", "v").union(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v")),
+        )
+        # m(u) = min(neighbors(u) ∪ {u})
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"),
+        )
+        # connect strictly-larger neighbors to m; v > u >= m so the
+        # output stays (big, small)-canonical with no self-loops
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(cur: DataFrame) -> DataFrame:
+        # edges already point big → small: Γ⁻(u) = smaller neighbors
+        mins = cur.groupBy("u").agg(F.min("v").alias("m"))
+        withm = cur.join(mins, "u")
+        # connect u and every smaller neighbor ≠ m to m
+        out = withm.select(F.col("u"), F.col("m").alias("v")).union(
+            withm.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v")),
+        )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    converged = False
+    prev_count = e.count()
+    for _ in range(max_iter):
+        e_new = _ckpt(small_star(large_star(e)))
+        new_count = e_new.count()
+        if new_count == prev_count and e_new.exceptAll(e).limit(1).count() == 0:
+            converged = True
+            e = e_new
+            break
+        e, prev_count = e_new, new_count
+    if not converged:
+        raise RuntimeError(
+            f"two-phase connected components did not reach its fixpoint "
+            f"within max_iter={max_iter} rounds (expected O(log n))",
+        )
+    # fixpoint edge set is the star (node → component min); minima have
+    # no outgoing edge and label themselves
+    star = e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("label"))
+    return all_nodes.join(star, "node", "left").select(
+        "node", F.coalesce("label", F.col("node")).alias("label"),
+    )
 
 
 def dedup_clusters(

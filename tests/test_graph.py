@@ -4,7 +4,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from sed_spark.ext.graph import connected_components, dedup_clusters
+from sed_spark.ext.graph import (
+    connected_components,
+    connected_components_two_phase,
+    dedup_clusters,
+)
 
 
 def test_connected_components_chain_and_triangle(spark):
@@ -30,6 +34,50 @@ def test_connected_components_converges_on_single_long_chain(spark):
     labels = connected_components(edges).collect()
     assert {r["label"] for r in labels} == {0}
     assert len(labels) == n + 1
+
+
+def test_two_phase_matches_hash_min_on_random_graphs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        n_nodes, n_edges = 40, 30
+        pairs = rng.integers(0, n_nodes, size=(n_edges, 2)).tolist()
+        pairs = [(int(a), int(b)) for a, b in pairs if a != b]
+        edges = spark.createDataFrame(pairs, ["a_id", "b_id"])
+        want = {
+            r["node"]: r["label"]
+            for r in connected_components(edges).collect()
+        }
+        got = {
+            r["node"]: r["label"]
+            for r in connected_components_two_phase(edges).collect()
+        }
+        assert got == want, f"trial {trial}"
+
+
+def test_two_phase_long_chain_logarithmic_rounds(spark):
+    # a 64-node path: hash-min would need ~64 rounds; two-phase must
+    # finish within O(log n) — max_iter=10 forces the logarithmic bound
+    n = 63
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["a_id", "b_id"],
+    )
+    labels = connected_components_two_phase(edges, max_iter=10).collect()
+    assert {r["label"] for r in labels} == {0}
+    assert len(labels) == n + 1
+
+
+def test_two_phase_duplicate_and_reversed_edges(spark):
+    edges = spark.createDataFrame(
+        [(2, 1), (1, 2), (2, 1), (5, 4), (9, 9)], ["a_id", "b_id"],
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components_two_phase(edges).collect()
+    }
+    # self-loop (9,9) adds the node but no connectivity
+    assert got == {1: 1, 2: 1, 4: 4, 5: 4, 9: 9}
 
 
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
