@@ -15,6 +15,7 @@ __all__ = [
     "token_stats",
     "metrics",
     "fingerprint",
+    "repetition_stats",
 ]
 
 #: language-marker words for the n-gram language-id heuristic
@@ -129,6 +130,88 @@ def metrics(
         pred.alias("pred_lang"),
         nw.alias("ws_tokens"),
         "bpe_tokens",
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al., "Scaling Language
+    Models: Methods, Analysis & Insights from Training Gopher", 2021,
+    §A1.1): per document, the duplicate-word fraction and the fraction of
+    characters covered by the single most frequent word n-gram. Documents
+    dominated by repeated boilerplate score high and get filtered before
+    training.
+
+    Scale design: everything is keyed by the document — explode →
+    groupBy(doc, gram) → per-doc window max — so the work is two hash
+    aggregates and one window, each shuffling on (a superset of) the
+    document key, never a cross-document join. The deterministic
+    tie-break for the top n-gram is (count DESC, gram ASC).
+
+    Output: ``n_words``, ``n_distinct_words``, ``dup_word_frac``
+    (= 1 − distinct/total, rounded 6), ``top_ngram``,
+    ``top_ngram_count``, ``top_ngram_char_frac``
+    (= count · len(gram) / len(text), rounded 6).
+    """
+    from pyspark.sql import Window
+
+    from sed_spark.ext import scale_out
+
+    base = scale_out(df).select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("__nc"),
+        F.split(F.col(text_col), " ").alias("__words"),
+    )
+    words = base.select(
+        F.col(id_col), "__nc", F.explode("__words").alias("w"),
+    )
+    wc = words.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.count_distinct(F.col("w")).alias("n_distinct_words"),
+    )
+    grams = base.select(
+        F.col(id_col),
+        "__nc",
+        F.explode(shingles_from_words(F.col("__words"), ngram_n)).alias("g"),
+    )
+    gcnt = grams.groupBy(id_col, "__nc", "g").agg(
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cnt").desc(), F.col("g").asc(),
+    )
+    top = (
+        gcnt.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("g").alias("top_ngram"),
+            F.col("cnt").alias("top_ngram_count"),
+            F.round(
+                F.col("cnt") * F.length("g") / F.col("__nc").cast("double"), 6,
+            ).alias("top_ngram_char_frac"),
+        )
+    )
+    return (
+        wc.join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_words",
+            "n_distinct_words",
+            F.round(
+                1.0 - F.col("n_distinct_words") / F.col("n_words").cast("double"),
+                6,
+            ).alias("dup_word_frac"),
+            F.coalesce("top_ngram", F.lit("")).alias("top_ngram"),
+            F.coalesce("top_ngram_count", F.lit(0)).alias("top_ngram_count"),
+            F.coalesce("top_ngram_char_frac", F.lit(0.0)).alias(
+                "top_ngram_char_frac",
+            ),
+        )
     )
 
 

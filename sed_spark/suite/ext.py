@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from sed_spark.ext import dedup, graph, multimodal, similarity, text
+from sed_spark.ext import dedup, graph, multimodal, pii, similarity, text
 from sed_spark.suite.common import load
 
 QUERIES: dict[str, dict] = {}
@@ -364,6 +364,110 @@ FROM s
 """
 
 
+# Gopher-style repetition filters: duplicate-word fraction + top-bigram
+# character coverage (Rae et al. 2021 §A1.1)
+def repetition(spark, sf_dir):
+    return text.repetition_stats(load(spark, sf_dir, "documents"))
+
+
+REPETITION_SQL = """
+WITH d AS (
+  SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS ws
+  FROM documents
+),
+wc AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words
+  FROM d
+),
+g AS (
+  SELECT doc_id, nc,
+    unnest(list_transform(generate_series(1, len(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i+1])) AS g
+  FROM d WHERE len(ws) >= 2
+),
+gc AS (SELECT doc_id, nc, g, count(*) AS cnt FROM g GROUP BY doc_id, nc, g),
+top AS (
+  SELECT doc_id, g AS top_ngram, cnt AS top_ngram_count,
+    round(cnt * length(g) / CAST(nc AS DOUBLE), 6) AS top_ngram_char_frac,
+    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rn
+  FROM gc
+)
+SELECT wc.doc_id, wc.n_words, wc.n_distinct_words,
+  round(1.0 - n_distinct_words / CAST(n_words AS DOUBLE), 6) AS dup_word_frac,
+  COALESCE(t.top_ngram, '') AS top_ngram,
+  COALESCE(t.top_ngram_count, 0) AS top_ngram_count,
+  COALESCE(t.top_ngram_char_frac, 0.0) AS top_ngram_char_frac
+FROM wc LEFT JOIN (SELECT * FROM top WHERE rn = 1) t ON wc.doc_id = t.doc_id
+"""
+
+
+# PII detect + redact. The corpus is digit-free word soup, so the query
+# plants deterministic PII derived from doc_id (identically in both
+# engines): every doc gets an email, docs with doc_id % 3 = 0 a phone,
+# docs with doc_id % 4 = 0 an IPv4 — match counts AND the full redacted
+# text land in the oracle hash.
+def pii_redact_q(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), d.cast("string"), F.lit("@example.com"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((d % 1000).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+            F.when(
+                d % 4 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (d % 256).cast("string"),
+                    F.lit("."),
+                    ((d * 7) % 256).cast("string"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return pii.pii_redact(synth)
+
+
+PII_SQL = r"""
+WITH synth AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+    || CASE WHEN doc_id % 3 = 0 THEN
+         ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN
+         ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+       ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(text,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ipv4,
+  CAST(len(regexp_extract_all(text,
+    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INTEGER) AS n_phones,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
+FROM synth
+"""
+
+
 # min-hash word-shingle fingerprint + winnowing (SIGMOD 2003) fingerprint,
 # equi-joined on doc_id into one oracle row
 def fingerprints(spark, sf_dir):
@@ -534,6 +638,8 @@ QUERIES.update(
         "ann_batch_topk": {"spark": ann_batch_topk, "sql": ANN_BATCH_SQL},
         "embedding_near_dup": {"spark": embedding_near_dup, "sql": _near_dup_sql()},
         "text_metrics": {"spark": text_metrics, "sql": TEXT_METRICS_SQL},
+        "repetition": {"spark": repetition, "sql": REPETITION_SQL},
+        "pii_redact": {"spark": pii_redact_q, "sql": PII_SQL},
         "fingerprints": {"spark": fingerprints, "sql": FINGERPRINTS_SQL},
         "multimodal_pipeline": {
             "spark": multimodal_pipeline, "sql": _multimodal_sql(),

@@ -1,0 +1,98 @@
+"""PII detection/redaction and Gopher-style repetition statistics."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sed_spark.ext.pii import pii_redact, pii_stats
+from sed_spark.ext.text import repetition_stats
+
+
+def test_pii_stats_counts(spark):
+    rows = [
+        (0, "reach me at a.b+c@mail.example.org or x@y.io thanks"),
+        (1, "server 192.168.1.10 and 10.0.0.1 are up"),
+        (2, "call 555-123-4567 or 555.987.6543 today"),
+        (3, "no pii here at all"),
+        (4, "mixed bob@corp.com from 172.16.254.3 call 800-555-0199"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_emails"], r["n_ipv4"], r["n_phones"])
+        for r in pii_stats(df).collect()
+    }
+    assert got == {
+        0: (2, 0, 0),
+        1: (0, 2, 0),
+        2: (0, 0, 2),
+        3: (0, 0, 0),
+        4: (1, 1, 1),
+    }
+
+
+def test_pii_redact_replaces_all_and_keeps_clean_text(spark):
+    rows = [
+        (0, "bob@corp.com then 10.0.0.1 then 555-123-4567 end"),
+        (1, "nothing sensitive"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["redacted"] for r in pii_redact(df).collect()}
+    assert got[0] == "<EMAIL> then <IP> then <PHONE> end"
+    assert got[1] == "nothing sensitive"
+
+
+def test_pii_phone_not_half_matched_as_ip(spark):
+    # a dotted phone has two dots; the 3-dot IPv4 pattern must not
+    # consume part of it before the phone pass runs
+    df = spark.createDataFrame([(0, "dial 555.123.4567 now")], ["doc_id", "text"])
+    row = pii_redact(df).collect()[0]
+    assert row["redacted"] == "dial <PHONE> now"
+    assert (row["n_ipv4"], row["n_phones"]) == (0, 1)
+
+
+def test_repetition_stats_known_values(spark):
+    # "a b a b a": words=5, distinct=2, bigrams: "a b"x2, "b a"x2 ->
+    # tie broken by gram ASC -> "a b", char_frac = 2*3/9
+    rows = [(0, "a b a b a"), (1, "x y z"), (2, "solo")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    r0 = got[0]
+    assert (r0["n_words"], r0["n_distinct_words"]) == (5, 2)
+    np.testing.assert_allclose(r0["dup_word_frac"], 0.6)
+    assert (r0["top_ngram"], r0["top_ngram_count"]) == ("a b", 2)
+    np.testing.assert_allclose(r0["top_ngram_char_frac"], round(6 / 9, 6))
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_distinct_words"]) == (3, 3)
+    assert r1["dup_word_frac"] == 0.0
+    assert r1["top_ngram_count"] == 1
+    # single-word doc: no bigram, coalesced defaults
+    r2 = got[2]
+    assert (r2["top_ngram"], r2["top_ngram_count"], r2["top_ngram_char_frac"]) == (
+        "", 0, 0.0,
+    )
+
+
+def test_repetition_matches_pure_python(spark):
+    import collections
+
+    rng = np.random.default_rng(3)
+    vocab = ["aa", "bb", "cc", "dd"]
+    rows = [
+        (i, " ".join(rng.choice(vocab, rng.integers(2, 12))))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    for i, text in rows:
+        ws = text.split(" ")
+        grams = [" ".join(ws[k:k + 2]) for k in range(len(ws) - 1)]
+        cnt = collections.Counter(grams)
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        r = got[i]
+        assert r["n_words"] == len(ws)
+        assert r["n_distinct_words"] == len(set(ws))
+        assert (r["top_ngram"], r["top_ngram_count"]) == top
+        np.testing.assert_allclose(
+            r["top_ngram_char_frac"],
+            round(top[1] * len(top[0]) / len(text), 6),
+        )
