@@ -132,6 +132,24 @@ def test_batch_cosine_topk_prune_equals_no_prune(spark):
     assert a == b
 
 
+def test_batch_cosine_topk_engines_bit_identical(spark):
+    # the vectorized arrow scorer must reproduce the Column-expression
+    # fold bit-for-bit (same dim-order accumulation, same HALF_UP round)
+    import numpy as np
+
+    from sed_spark.ext.similarity import batch_cosine_topk
+
+    rng = np.random.default_rng(17)
+    rows = [(i, rng.standard_normal(16).astype("float32").tolist()) for i in range(80)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(5)
+    q = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"),
+    )
+    a = sorted(map(tuple, batch_cosine_topk(df, q, k=6, engine="arrow").collect()))
+    b = sorted(map(tuple, batch_cosine_topk(df, q, k=6, engine="expr").collect()))
+    assert a == b
+
+
 def test_winnow_fingerprint_matches_python_reference(spark):
     import hashlib
 
