@@ -72,6 +72,57 @@ def test_range_filter_pushes_value_predicate(spark):
     assert "PushedFilters: [IsNotNull(value), GreaterThan(value,100.0)" in plan
 
 
+def test_pii_redact_is_single_stage_no_shuffle(spark):
+    # PII scan is one projection over the corpus: no Exchange anywhere,
+    # and the scan reads only (doc_id, text) of the documents schema
+    from sed_spark.ext.pii import pii_redact
+    from sed_spark.suite.common import load
+
+    plan = _plan(pii_redact(load(spark, SF_DIR, "documents")))
+    assert "Exchange" not in plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            schema = line.split("ReadSchema:")[1]
+            assert "text" in schema and "lang" not in schema
+            break
+    else:
+        pytest.fail("no scan with ReadSchema in plan")
+
+
+def test_repetition_stats_shuffles_only_on_doc_keys(spark):
+    # every Exchange must hash-partition on a key set containing doc_id
+    # (or be the tiny scale_out round-robin) — never a cross-document key
+    from sed_spark.ext.text import repetition_stats
+    from sed_spark.suite.common import load
+
+    df = repetition_stats(load(spark, SF_DIR, "documents"))
+    df.collect()  # let AQE finalize
+    plan = _plan(df)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "doc_id" in line, line
+    assert "SortMergeJoin" not in plan or "doc_id" in plan
+
+
+def test_batch_ann_has_no_corpus_shuffle_before_prune(spark):
+    # the arrow scorer runs directly over the scan: the only Exchange in
+    # the plan is the k*M-row window shuffle AFTER the map-side top-k
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from sed_spark.ext.similarity import batch_cosine_topk
+    from sed_spark.suite.common import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"),
+    )
+    plan = _plan(batch_cosine_topk(emb, q, k=5))
+    lines = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(lines) == 1 and "query_id" in lines[0]
+    # the python scorer sits below that exchange, above the scan
+    assert plan.index("MapInPandas") > plan.index("Exchange hashpartitioning")
+
+
 def test_binning_aggregate_is_whole_stage_codegen(spark):
     from sed_spark.binning import sparse_histogram
     from sed_spark.suite.common import load
