@@ -25,6 +25,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "jaccard_pairs",
     "simhash16",
+    "benchmark_contamination",
 ]
 
 
@@ -210,6 +211,54 @@ def jaccard_pairs(
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "n_common", "jaccard")
+    )
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Test-set decontamination: flag corpus documents sharing any word
+    n-gram with a benchmark/eval set (the GPT-3/Llama-style 13-gram
+    collision filter; ``shingle_n`` defaults lower for short documents).
+
+    Scale design: the benchmark side is small by definition (an eval set,
+    thousands of rows), so its distinct shingles are **broadcast** and
+    the corpus side is one explode + broadcast hash semi-join + per-doc
+    count — the 100 TB corpus never shuffles on anything but its own
+    document key, and there is no corpus-vs-corpus pair generation at
+    all. Returns one row per corpus document: distinct-shingle count,
+    hit count, hit fraction, and the contamination flag.
+    """
+    bench_grams = (
+        exploded_shingles(benchmark, id_col, text_col, shingle_n, distinct=True)
+        .select("g")
+        .distinct()
+    )
+    grams = exploded_shingles(corpus, id_col, text_col, shingle_n, distinct=True)
+    hits = (
+        grams.join(F.broadcast(bench_grams), "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    totals = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_grams").cast("double"),
+                6,
+            ).alias("hit_frac"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias(
+                "is_contaminated",
+            ),
+        )
     )
 
 

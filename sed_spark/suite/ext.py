@@ -364,6 +364,34 @@ FROM s
 """
 
 
+# test-set decontamination: every 50th document plays the benchmark/eval
+# set; corpus docs sharing any word 3-gram with it are flagged
+def decontamination(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return dedup.benchmark_contamination(docs, bench, shingle_n=3)
+
+
+DECONTAMINATION_SQL = f"""
+WITH cg AS (
+  SELECT doc_id, unnest(list_distinct(grams)) AS g FROM ({_grams_sql(3)})
+),
+bg AS (
+  SELECT DISTINCT g FROM cg WHERE doc_id % 50 = 0
+),
+totals AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits FROM cg
+  WHERE g IN (SELECT g FROM bg) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_grams,
+  COALESCE(h.n_hits, 0) AS n_hits,
+  round(COALESCE(h.n_hits, 0) / CAST(t.n_grams AS DOUBLE), 6) AS hit_frac,
+  CAST(COALESCE(h.n_hits, 0) > 0 AS INTEGER) AS is_contaminated
+FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+"""
+
+
 # Gopher-style repetition filters: duplicate-word fraction + top-bigram
 # character coverage (Rae et al. 2021 §A1.1)
 def repetition(spark, sf_dir):
@@ -638,6 +666,7 @@ QUERIES.update(
         "ann_batch_topk": {"spark": ann_batch_topk, "sql": ANN_BATCH_SQL},
         "embedding_near_dup": {"spark": embedding_near_dup, "sql": _near_dup_sql()},
         "text_metrics": {"spark": text_metrics, "sql": TEXT_METRICS_SQL},
+        "decontamination": {"spark": decontamination, "sql": DECONTAMINATION_SQL},
         "repetition": {"spark": repetition, "sql": REPETITION_SQL},
         "pii_redact": {"spark": pii_redact_q, "sql": PII_SQL},
         "fingerprints": {"spark": fingerprints, "sql": FINGERPRINTS_SQL},

@@ -246,3 +246,27 @@ def test_frame_sample_stub_validates_args(spark):
         frame_sample_stub(df, every=0)
     with pytest.raises(ValueError, match="frame_bytes"):
         frame_sample_stub(df, frame_bytes=0)
+
+
+def test_benchmark_contamination(spark):
+    from sed_spark.ext.dedup import benchmark_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "quick brown fox runs away from everything here"),
+            (2, "completely unrelated text with no overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox story")], ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["is_contaminated"])
+        for r in benchmark_contamination(corpus, bench, shingle_n=3).collect()
+    }
+    # shared 3-gram: "quick brown fox" appears in docs 0 and 1
+    assert got[0] == (1, 1)
+    assert got[1] == (1, 1)
+    assert got[2] == (0, 0)
