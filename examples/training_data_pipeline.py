@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""End-to-end training-data curation pipeline on the sf0.001 testdata.
+
+Run: PYTHONPATH=/root/repo python examples/training_data_pipeline.py
+
+The standard LLM-corpus shape, each stage a sed_spark ext operator:
+
+1. exact dedup (md5 hash-groupBy)
+2. near-dup clustering: MinHash → LSH pairs → connected components,
+   keep one canonical doc per cluster
+3. test-set decontamination (benchmark n-gram broadcast semi-join)
+4. quality + repetition filters (Gopher-style)
+5. PII redaction
+6. similarity search sanity check over the embeddings table
+
+Every stage is a DataFrame→DataFrame transform, so the whole pipeline is
+one lazy plan until the final counts — at 100 TB the same code runs with
+the corpus partitioned across the cluster and only label/benchmark
+tables broadcast.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from sed_spark.ext import dedup, graph, pii, similarity, text
+from sed_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    spark = get_spark(app_name="training-data-pipeline")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. exact dedup: keep the smallest doc_id per content hash
+    keep_exact = dedup.exact_dedup(docs).select(
+        F.col("keep_id").alias("doc_id"),
+    )
+    docs = docs.join(keep_exact, "doc_id", "left_semi")
+
+    # 2. near-dup clusters over the LSH pair graph, keep canonicals
+    sigs = dedup.minhash_signatures(docs, n_bands=4)
+    pairs = dedup.lsh_candidate_pairs(sigs, n_bands=4)
+    clusters = graph.dedup_clusters(docs, pairs)
+    docs = docs.join(
+        clusters.filter(F.col("is_canonical") == 1).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+    # 3. decontamination against a (here: synthetic) benchmark set
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    contam = dedup.benchmark_contamination(docs, bench, shingle_n=3)
+    docs = docs.join(
+        contam.filter(F.col("is_contaminated") == 0).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+    # 4. quality + repetition gates (thresholds are corpus policy)
+    quality = text.metrics(docs).filter(
+        (F.col("n_words") >= 10) & (F.col("stopword_ratio") <= 0.9),
+    )
+    rep = text.repetition_stats(docs).filter(
+        (F.col("dup_word_frac") <= 0.95)
+        & (F.col("top_ngram_char_frac") <= 0.5),
+    )
+    docs = (
+        docs.join(quality.select("doc_id"), "doc_id", "left_semi")
+        .join(rep.select("doc_id"), "doc_id", "left_semi")
+    )
+
+    # 5. PII redaction on the surviving corpus
+    clean = pii.pii_redact(docs)
+    n_final = clean.count()
+    pii_hits = clean.agg(
+        F.sum("n_emails").alias("emails"),
+        F.sum("n_ipv4").alias("ips"),
+        F.sum("n_phones").alias("phones"),
+    ).collect()[0]
+
+    # 6. similarity search over the embeddings table (serving shape)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    topk = similarity.batch_cosine_topk(emb, q, k=5).count()
+
+    print(f"documents: {n0} -> {n_final} after dedup/decontam/quality")
+    print(f"pii redacted: emails={pii_hits['emails']} ips={pii_hits['ips']} "
+          f"phones={pii_hits['phones']}")
+    print(f"ann rows: {topk}")
+    assert n_final > 0 and topk == 10
+    print("pipeline OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -41,12 +41,15 @@ def chop_oracle(records, num_trains=0, num_pulses=0, ubid_offset=0):
     for base, mib, x in records:
         mib = np.asarray(mib, dtype=float)
         x = np.asarray(x, dtype=float)
-        if num_trains:
-            negs = np.where(np.diff(mib.astype(np.int32)) < 0)[0]
-            if len(negs) >= num_trains:
-                mib = mib.copy()
-                mib[negs[num_trains - 1]:] = 0
-        train_ends = np.where(np.diff(mib.astype(np.int32)) < -1)[0]
+        # NaN -> int32 cast is an intentional reference quirk; silence the
+        # numpy cast warning for the oracle replica
+        with np.errstate(invalid="ignore"):
+            if num_trains:
+                negs = np.where(np.diff(mib.astype(np.int32)) < 0)[0]
+                if len(negs) >= num_trains:
+                    mib = mib.copy()
+                    mib[negs[num_trains - 1]:] = 0
+            train_ends = np.where(np.diff(mib.astype(np.int32)) < -1)[0]
         index = 0
         for k, end in enumerate(train_ends):
             tid = base + k
