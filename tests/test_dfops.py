@@ -217,6 +217,65 @@ def test_asof_join_forward_direction(spark):
     assert list(got["v"]) == ["a", "b", "b"]  # ties match, like merge_asof
 
 
+def test_asof_join_keyless_matches_merge_asof_multi_partition(spark):
+    # the keyless case must stay exact through the range-bucket +
+    # boundary-carry path with many input partitions and both directions
+    import pandas as pd
+
+    from sed_spark.dfops import asof_join
+
+    rng = np.random.default_rng(21)
+    left = pd.DataFrame(
+        {
+            "ts": np.sort(np.round(rng.uniform(0, 1000, 500), 3)),
+            "lid": np.arange(500),
+        },
+    )
+    right = pd.DataFrame(
+        {
+            "ts": np.round(rng.uniform(0, 1000, 40), 3),
+            "v": rng.normal(size=40),
+        },
+    ).drop_duplicates(["ts"])
+    ldf = spark.createDataFrame(left).repartition(13)
+    rdf = spark.createDataFrame(right).repartition(5)
+    for direction in ("backward", "forward"):
+        got = (
+            asof_join(ldf, rdf, on="ts", direction=direction)
+            .orderBy("lid")
+            .toPandas()
+        )
+        want = pd.merge_asof(
+            left, right.sort_values("ts"), on="ts", direction=direction,
+        )
+        np.testing.assert_array_equal(
+            got["v"].isna().to_numpy(), want["v"].isna().to_numpy(), direction,
+        )
+        np.testing.assert_allclose(
+            got["v"].dropna().to_numpy(), want["v"].dropna().to_numpy(),
+            err_msg=direction,
+        )
+
+
+def test_asof_join_keyless_skips_null_right_values(spark):
+    # a null right VALUE must not shadow an earlier non-null one
+    # (ignorenulls semantics), including across bucket seams
+    import pandas as pd
+
+    from sed_spark.dfops import asof_join
+
+    left = pd.DataFrame({"ts": [1.0, 5.0, 9.0], "lid": [0, 1, 2]})
+    right = pd.DataFrame({"ts": [0.5, 4.0, 8.0], "v": ["a", None, "b"]})
+    got = (
+        asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right), on="ts",
+        )
+        .orderBy("lid")
+        .toPandas()
+    )
+    assert list(got["v"]) == ["a", "a", "b"]
+
+
 def test_asof_join_rejects_column_collision(spark):
     import pandas as pd
     import pytest
