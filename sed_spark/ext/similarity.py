@@ -24,6 +24,7 @@ __all__ = [
     "deterministic_planes",
     "lsh_band_buckets",
     "embedding_near_dup",
+    "kmeans_fit",
     "ivf_assign",
     "ivf_topk",
 ]
@@ -337,6 +338,72 @@ def ivf_assign(
     )
     bucket = F.array_position(sims, F.array_max(sims)).cast("int")
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 10,
+    tol: float = 1e-4,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means over an embedding column — the IVF
+    centroid-training step, completing build → assign → probe.
+
+    Each iteration is two distributed passes with NO data movement of
+    the corpus itself:
+
+    1. assignment: :func:`ivf_assign`'s row-local argmax (centroids ride
+       in the expression tree — zero shuffle);
+    2. update: ``posexplode`` the vectors and hash-aggregate
+       ``sum/count`` per (bucket, dimension) — the shuffle carries only
+       k·dim partial sums per map task, and the k×dim result is
+       driver-sized by definition.
+
+    Initialization takes the first ``k`` vectors in ``id_col`` order
+    (deterministic). Empty clusters keep their previous centroid.
+    Stops when the max centroid movement (L∞) drops below ``tol``.
+    Returns plain Python float lists, ready for :func:`ivf_assign` /
+    :func:`ivf_topk` or the literal SQL oracle.
+    """
+    import numpy as np
+
+    seeds = (
+        df.select(vec_col)
+        .orderBy(F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(seeds)}")
+    centroids = np.array([list(r[0]) for r in seeds], dtype=np.float64)
+
+    for _ in range(max_iter):
+        assigned = ivf_assign(
+            df, centroids.tolist(), id_col=id_col, vec_col=vec_col,
+        )
+        sums = (
+            assigned.select(
+                "bucket", F.posexplode(F.col(vec_col)).alias("pos", "x"),
+            )
+            .groupBy("bucket", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        acc = np.zeros_like(centroids)
+        cnt = np.zeros(k)
+        for r in sums:
+            acc[r["bucket"] - 1, r["pos"]] = r["s"]
+            cnt[r["bucket"] - 1] = r["n"]
+        nonempty = cnt > 0
+        new_c[nonempty] = acc[nonempty] / cnt[nonempty, None]
+        shift = float(np.abs(new_c - centroids).max())
+        centroids = new_c
+        if shift < tol:
+            break
+    return centroids.tolist()
 
 
 def ivf_topk(

@@ -270,3 +270,41 @@ def test_benchmark_contamination(spark):
     assert got[0] == (1, 1)
     assert got[1] == (1, 1)
     assert got[2] == (0, 0)
+
+
+def test_kmeans_fit_recovers_planted_clusters(spark):
+    import numpy as np
+
+    from sed_spark.ext.similarity import ivf_assign, kmeans_fit
+
+    rng = np.random.default_rng(5)
+    # three tight angular clusters around orthogonal-ish directions
+    dirs = np.eye(3, 8, dtype=np.float64) * 10
+    rows = []
+    for i in range(90):
+        c = i % 3
+        v = dirs[c] + 0.1 * rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = kmeans_fit(df, k=3, max_iter=8)
+    assert len(cents) == 3 and len(cents[0]) == 8
+    # every vector lands in the same bucket as the others of its cluster
+    got = {r["vec_id"]: r["bucket"] for r in ivf_assign(df, cents).collect()}
+    for c in range(3):
+        buckets = {got[i] for i in range(90) if i % 3 == c}
+        assert len(buckets) == 1, f"cluster {c} split across {buckets}"
+    # and the three planted clusters map to three distinct buckets
+    assert len({got[0], got[1], got[2]}) == 3
+
+
+def test_kmeans_fit_deterministic(spark):
+    import numpy as np
+
+    from sed_spark.ext.similarity import kmeans_fit
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(6)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(5)
+    a = kmeans_fit(df, k=4, max_iter=5)
+    b = kmeans_fit(df, k=4, max_iter=5)
+    assert a == b
