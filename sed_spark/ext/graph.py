@@ -228,6 +228,8 @@ def dedup_clusters(
     id_col: str = "doc_id",
     src: str = "a_id",
     dst: str = "b_id",
+    algorithm: str = "hash-min",
+    reliable: bool = False,
 ) -> DataFrame:
     """Assign every document a duplicate-cluster id and a canonical flag.
 
@@ -238,7 +240,13 @@ def dedup_clusters(
     onto the corpus by id (AQE broadcasts it when it fits; otherwise a
     plain hash join on the id key), never a self-join on the corpus itself.
     """
-    cc = connected_components(pairs, src=src, dst=dst).withColumnRenamed(
+    if algorithm == "hash-min":
+        cc_fn = connected_components
+    elif algorithm == "two-phase":
+        cc_fn = connected_components_two_phase
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    cc = cc_fn(pairs, src=src, dst=dst, reliable=reliable).withColumnRenamed(
         "node", id_col,
     )
     return (

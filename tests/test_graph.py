@@ -117,3 +117,13 @@ def test_dedup_clusters_isolated_docs_are_canonical(spark):
     # dedup = keep canonical only
     kept = dedup_clusters(docs, pairs).filter(F.col("is_canonical") == 1)
     assert kept.count() == 4
+
+
+def test_dedup_clusters_algorithm_switch(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], ["a_id", "b_id"])
+    a = sorted(map(tuple, dedup_clusters(docs, pairs).collect()))
+    b = sorted(
+        map(tuple, dedup_clusters(docs, pairs, algorithm="two-phase").collect()),
+    )
+    assert a == b
