@@ -414,29 +414,38 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_decimals: int = 6,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-probed ANN: score only the vectors sharing the query's coarse
-    bucket (nprobe=1). At scale, write the assigned table partitioned by
-    ``bucket`` so the probe is a partition-pruned scan of N/len(centroids)
-    rows instead of the full table."""
+    """IVF-probed ANN: score only the vectors in the query's ``nprobe``
+    nearest coarse buckets. Recall/cost dial: nprobe=1 scans
+    ~N/len(centroids) rows; nprobe=len(centroids) degrades to the exact
+    brute-force scan. At scale, write the assigned table partitioned by
+    ``bucket`` so the probe is a partition-pruned scan of the probed
+    buckets only, not the full table."""
     import numpy as np
 
     q = np.asarray(query_vec, dtype=np.float64)
     cents = np.asarray(centroids, dtype=np.float64)
-    # same argmax-of-rounded-cosine rule as ivf_assign (first max wins)
+    # same rounded-cosine rule as ivf_assign; bucket ranking ties break
+    # to the lowest centroid id (stable argsort over -sims)
     sims = np.round(
         cents @ q / (np.sqrt((cents * cents).sum(axis=1)) * np.sqrt(q @ q)),
         round_decimals,
     )
-    qbucket = int(np.argmax(sims)) + 1
+    order = np.argsort(-sims, kind="stable")
+    probes = [int(b) + 1 for b in order[:max(1, nprobe)]]
 
     assigned = ivf_assign(
         df, centroids, id_col=id_col, vec_col=vec_col, round_decimals=round_decimals,
     )
     qarr = F.array(*[F.lit(float(v)) for v in query_vec])
     sim = F.round(cosine_expr(F.col(vec_col), qarr), round_decimals)
+    cond = (
+        F.col("bucket") == probes[0] if len(probes) == 1
+        else F.col("bucket").isin(probes)
+    )
     return (
-        assigned.filter(F.col("bucket") == qbucket)
+        assigned.filter(cond)
         .select(F.col(id_col), sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)

@@ -1,0 +1,76 @@
+"""URL/domain extraction and deterministic hash splitting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sed_spark.ext.corpus import domain_stats, extract_urls, hash_split
+
+
+def test_extract_urls_and_domains(spark):
+    rows = [
+        (0, "see https://www.Example.com/a/b and http://sub.site.org:8080/x?q=1"),
+        (1, "no urls here"),
+        (2, "dup https://example.com/1 https://example.com/2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [(r["doc_id"], r["url"], r["domain"])
+           for r in extract_urls(df).orderBy("doc_id", "url").collect()]
+    assert got == [
+        (0, "http://sub.site.org:8080/x?q=1", "sub.site.org"),
+        (0, "https://www.Example.com/a/b", "example.com"),
+        (2, "https://example.com/1", "example.com"),
+        (2, "https://example.com/2", "example.com"),
+    ]
+
+
+def test_domain_stats_rollup(spark):
+    rows = [
+        (0, "https://a.com/x https://a.com/y"),
+        (1, "https://a.com/z and https://b.net/1"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["domain"]: (r["n_urls"], r["n_docs"])
+        for r in domain_stats(df).collect()
+    }
+    assert got == {"a.com": (3, 2), "b.net": (1, 1)}
+
+
+def test_hash_split_deterministic_and_stable_under_growth(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, w).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in hash_split(df.repartition(17), w).collect()}
+    assert a == b  # partition layout cannot move documents
+    # growing the corpus never reassigns existing documents
+    grown = spark.createDataFrame([(i,) for i in range(4000)], ["doc_id"])
+    c = {r["doc_id"]: r["split"] for r in hash_split(grown, w).collect()}
+    assert all(c[i] == a[i] for i in range(2000))
+    # proportions roughly honored
+    from collections import Counter
+
+    frac = Counter(a.values())
+    assert 0.7 < frac["train"] / 2000 < 0.9
+    assert 0.05 < frac["val"] / 2000 < 0.16
+    assert 0.05 < frac["test"] / 2000 < 0.16
+
+
+def test_hash_split_salt_gives_independent_assignment(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    w = {"a": 0.5, "b": 0.5}
+    s1 = {r["doc_id"]: r["split"] for r in hash_split(df, w, salt="x").collect()}
+    s2 = {r["doc_id"]: r["split"] for r in hash_split(df, w, salt="y").collect()}
+    differs = sum(1 for i in s1 if s1[i] != s2[i])
+    assert differs > 100  # ~50% expected under independence
+
+
+def test_hash_split_validates_weights(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], ["doc_id"])
+    with pytest.raises(ValueError):
+        hash_split(df, {})
+    with pytest.raises(ValueError):
+        hash_split(df, {"a": 0.0})

@@ -308,3 +308,22 @@ def test_kmeans_fit_deterministic(spark):
     a = kmeans_fit(df, k=4, max_iter=5)
     b = kmeans_fit(df, k=4, max_iter=5)
     assert a == b
+
+
+def test_ivf_topk_nprobe_recall_increases(spark, emb_df):
+    # nprobe = all buckets degrades to the exact scan, so its result must
+    # equal brute-force top-k; nprobe=1 returns a subset of one bucket
+    from sed_spark.ext.similarity import cosine_topk, deterministic_planes, ivf_topk
+
+    df, vecs = emb_df
+    cents = deterministic_planes(4, 16, seed=9)
+    q = [float(v) for v in vecs[10]]
+    exact = [(r.vec_id, r.cos_sim) for r in cosine_topk(df, q, k=5).collect()]
+    full_probe = [
+        (r.vec_id, r.cos_sim)
+        for r in ivf_topk(df, cents, q, k=5, nprobe=len(cents)).collect()
+    ]
+    assert full_probe == exact
+    one_probe = ivf_topk(df, cents, q, k=5, nprobe=1).collect()
+    assert 0 < len(one_probe) <= 5
+    assert set(r.vec_id for r in one_probe) <= set(range(60))
