@@ -98,7 +98,11 @@ def main() -> None:
             timings[f"q_{name}"] = -1.0
             print(f"bench: query {name} failed: {exc}", file=sys.stderr)
 
-    suite_total = round(sum(v for v in timings.values() if v > 0), 4)
+    # suite queries only (q_ prefix) — part-0/part-2 synthetic metrics
+    # (inv_dfield etc.) are separate headline numbers, not suite members
+    suite_total = round(
+        sum(v for k, v in timings.items() if k.startswith("q_") and v > 0), 4,
+    )
 
     # -- part 1b: DuckDB baseline for the training-data (ext) queries -----
     # the sed-core metrics have BASELINE.md numbers to compare against; the

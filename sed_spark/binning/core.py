@@ -326,7 +326,15 @@ def _dense_via_groupby(proj: DataFrame, cube: int) -> np.ndarray:
     keys per map task) is the same volume — measured equal-or-better
     (see the sweep numbers above). Small cubes skip the repartition and
     keep the normal partial→exchange→final plan under the session
-    default. AQE may still coalesce by size afterwards."""
+    default. AQE may still coalesce by size afterwards.
+
+    Caveat: the trigger is CUBE size, not actual occupancy. A large
+    cube whose data concentrates in few bins (a sharp peak) would
+    shuffle raw rows onto few reducers here, where the plain plan's
+    map-side combine would have collapsed them first — for such
+    workloads set ``GROUPBY_CELLS_PER_REDUCER = None`` (disables the
+    repartition, session default partial→final plan) or raise the
+    session's ``spark.sql.shuffle.partitions``."""
     idx_t = "int" if cube <= np.iinfo(np.int32).max else "long"
     spark = proj.sparkSession
     try:
@@ -334,9 +342,10 @@ def _dense_via_groupby(proj: DataFrame, cube: int) -> np.ndarray:
     except (TypeError, ValueError):  # "auto" on some deployments
         default = spark.sparkContext.defaultParallelism
     keyed = proj.select(F.col("__idx").cast(idx_t).alias("__idx"))
-    want = min(1024, cube // GROUPBY_CELLS_PER_REDUCER)
-    if want > default:
-        keyed = keyed.repartition(want, "__idx")
+    if GROUPBY_CELLS_PER_REDUCER is not None:
+        want = min(1024, cube // GROUPBY_CELLS_PER_REDUCER)
+        if want > default:
+            keyed = keyed.repartition(want, "__idx")
     agg = keyed.groupBy("__idx").agg(
         F.count(F.lit(1)).cast("int").alias("__cnt"),
     )

@@ -16,9 +16,13 @@ from pyspark.sql import functions as F
 __all__ = ["extract_urls", "domain_stats", "hash_split"]
 
 #: scheme://host[:port][/path] — the regex subset with identical
-#: Java/RE2 semantics (no lookaround, no backrefs)
-URL_PATTERN = r"https?://[a-zA-Z0-9.-]+(:\d+)?(/[^\s]*)?"
-_HOST_PATTERN = r"https?://([a-zA-Z0-9.-]+)"
+#: Java/RE2 semantics (no lookaround, no backrefs). The host must start
+#: and end with an alphanumeric so sentence-final punctuation
+#: ("visit https://example.com. Next…") is not absorbed into the domain.
+URL_PATTERN = (
+    r"https?://[a-zA-Z0-9]([a-zA-Z0-9.-]*[a-zA-Z0-9])?(:\d+)?(/[^\s]*)?"
+)
+_HOST_PATTERN = r"https?://([a-zA-Z0-9]([a-zA-Z0-9.-]*[a-zA-Z0-9])?)"
 
 
 def extract_urls(
@@ -81,6 +85,8 @@ def hash_split(
     """
     if not weights:
         raise ValueError("weights must be non-empty")
+    if any(float(w) < 0 for w in weights.values()):
+        raise ValueError(f"weights must be non-negative, got {weights}")
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("weights must sum to a positive value")

@@ -237,24 +237,34 @@ def benchmark_contamination(
         exploded_shingles(benchmark, id_col, text_col, shingle_n, distinct=True)
         .select("g")
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
     grams = exploded_shingles(corpus, id_col, text_col, shingle_n, distinct=True)
-    hits = (
-        grams.join(F.broadcast(bench_grams), "g", "left_semi")
+    # ONE corpus pass: broadcast left join marks hits, a single per-doc
+    # aggregate counts both totals and hits
+    per_doc = (
+        grams.join(F.broadcast(bench_grams), "g", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"),
+        )
     )
-    totals = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    # documents shorter than one shingle have zero grams but still get a
+    # row (they cannot be contaminated) — the per-document contract
     return (
-        totals.join(hits, id_col, "left")
+        corpus.select(id_col)
+        .join(per_doc, id_col, "left")
         .select(
             F.col(id_col),
-            "n_grams",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            F.round(
-                F.coalesce("n_hits", F.lit(0)) / F.col("n_grams").cast("double"),
-                6,
-            ).alias("hit_frac"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_hits") / F.col("n_grams").cast("double"), 6,
+                ),
+            ).otherwise(0.0).alias("hit_frac"),
             (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias(
                 "is_contaminated",
             ),

@@ -63,17 +63,23 @@ def pii_redact(
 
     One projection, three chained ``regexp_replace`` — a single pass
     over the corpus with no shuffle; the replacement order follows
-    ``PII_PATTERNS`` (see its docstring).
+    ``PII_PATTERNS`` (see its docstring). Each count is taken on the
+    SAME intermediate text its replacement pass sees, so the counts
+    always reconcile with the placeholders actually emitted — e.g. a
+    phone number absorbed into an email match (``555-123-4567@x.com``)
+    is counted once as an email, not phantom-counted as a phone
+    (:func:`pii_stats` counts each pattern on the raw text instead —
+    pure detection, no reconciliation guarantee).
     """
     t = F.col(text_col)
-    red = F.regexp_replace(t, PII_PATTERNS["email"], "<EMAIL>")
-    red = F.regexp_replace(red, PII_PATTERNS["ipv4"], "<IP>")
-    red = F.regexp_replace(red, PII_PATTERNS["phone"], "<PHONE>")
+    r1 = F.regexp_replace(t, PII_PATTERNS["email"], "<EMAIL>")
+    r2 = F.regexp_replace(r1, PII_PATTERNS["ipv4"], "<IP>")
+    red = F.regexp_replace(r2, PII_PATTERNS["phone"], "<PHONE>")
     cols = [F.col(id_col)]
     if keep_counts:
         cols += [
             F.regexp_count(t, F.lit(PII_PATTERNS["email"])).alias("n_emails"),
-            F.regexp_count(t, F.lit(PII_PATTERNS["ipv4"])).alias("n_ipv4"),
-            F.regexp_count(t, F.lit(PII_PATTERNS["phone"])).alias("n_phones"),
+            F.regexp_count(r1, F.lit(PII_PATTERNS["ipv4"])).alias("n_ipv4"),
+            F.regexp_count(r2, F.lit(PII_PATTERNS["phone"])).alias("n_phones"),
         ]
     return df.select(*cols, red.alias(out_col))

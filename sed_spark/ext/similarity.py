@@ -125,6 +125,14 @@ def batch_cosine_topk(
         import pandas as pd
 
         qrows = queries.select(F.col(qid), F.col(query_vec_col)).collect()
+        if not qrows:  # empty query batch: empty result, like engine="expr"
+            spark = corpus.sparkSession
+            qid_t0 = queries.schema[qid].dataType.simpleString()
+            vid_t0 = corpus.schema[vid].dataType.simpleString()
+            return spark.createDataFrame(
+                [],
+                f"{qid} {qid_t0}, {vid} {vid_t0}, cos_sim double, rank int",
+            )
         q_ids = [r[0] for r in qrows]
         qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
         m, dim = qmat.shape

@@ -379,16 +379,21 @@ WITH cg AS (
 bg AS (
   SELECT DISTINCT g FROM cg WHERE doc_id % 50 = 0
 ),
-totals AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id),
-hits AS (
-  SELECT doc_id, count(*) AS n_hits FROM cg
-  WHERE g IN (SELECT g FROM bg) GROUP BY doc_id
+per_doc AS (
+  SELECT cg.doc_id, count(*) AS n_grams,
+    CAST(sum(CASE WHEN cg.g IN (SELECT g FROM bg) THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_hits
+  FROM cg GROUP BY cg.doc_id
 )
-SELECT t.doc_id, t.n_grams,
-  COALESCE(h.n_hits, 0) AS n_hits,
-  round(COALESCE(h.n_hits, 0) / CAST(t.n_grams AS DOUBLE), 6) AS hit_frac,
-  CAST(COALESCE(h.n_hits, 0) > 0 AS INTEGER) AS is_contaminated
-FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+SELECT d.doc_id,
+  COALESCE(p.n_grams, 0) AS n_grams,
+  COALESCE(p.n_hits, 0) AS n_hits,
+  CASE WHEN COALESCE(p.n_grams, 0) > 0
+    THEN round(p.n_hits / CAST(p.n_grams AS DOUBLE), 6)
+    ELSE 0.0 END AS hit_frac,
+  CAST(COALESCE(p.n_hits, 0) > 0 AS INTEGER) AS is_contaminated
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
@@ -481,18 +486,28 @@ WITH synth AS (
        ELSE '' END AS text
   FROM documents
 )
+, staged AS (
+  SELECT doc_id, text,
+    regexp_replace(text,
+      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS r1
+  FROM synth
+),
+staged2 AS (
+  SELECT doc_id, text, r1,
+    regexp_replace(r1,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS r2
+  FROM staged
+)
 SELECT doc_id,
   CAST(len(regexp_extract_all(text,
     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER) AS n_emails,
-  CAST(len(regexp_extract_all(text,
+  CAST(len(regexp_extract_all(r1,
     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ipv4,
-  CAST(len(regexp_extract_all(text,
+  CAST(len(regexp_extract_all(r2,
     '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INTEGER) AS n_phones,
-  regexp_replace(regexp_replace(regexp_replace(text,
-    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+  regexp_replace(r2,
     '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
-FROM synth
+FROM staged2
 """
 
 

@@ -74,3 +74,24 @@ def test_hash_split_validates_weights(spark):
         hash_split(df, {})
     with pytest.raises(ValueError):
         hash_split(df, {"a": 0.0})
+
+
+def test_extract_urls_sentence_final_punctuation(spark):
+    df = spark.createDataFrame(
+        [(0, "visit https://example.com. Next see http://a-b.net-")],
+        ["doc_id", "text"],
+    )
+    got = [(r["url"], r["domain"])
+           for r in extract_urls(df).orderBy("url").collect()]
+    assert got == [
+        ("http://a-b.net", "a-b.net"),
+        ("https://example.com", "example.com"),
+    ]
+
+
+def test_hash_split_rejects_negative_weight(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], ["doc_id"])
+    with pytest.raises(ValueError, match="non-negative"):
+        hash_split(df, {"a": 2.0, "b": -1.0})

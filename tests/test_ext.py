@@ -327,3 +327,34 @@ def test_ivf_topk_nprobe_recall_increases(spark, emb_df):
     one_probe = ivf_topk(df, cents, q, k=5, nprobe=1).collect()
     assert 0 < len(one_probe) <= 5
     assert set(r.vec_id for r in one_probe) <= set(range(60))
+
+
+def test_benchmark_contamination_short_docs_get_rows(spark):
+    from sed_spark.ext.dedup import benchmark_contamination
+
+    corpus = spark.createDataFrame(
+        [(0, "one two"), (1, "the quick brown fox here")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(9, "quick brown fox")], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["hit_frac"], r["is_contaminated"])
+        for r in benchmark_contamination(corpus, bench, shingle_n=3).collect()
+    }
+    # doc 0 is shorter than one shingle: zero grams, clean, but PRESENT
+    assert got[0] == (0, 0, 0.0, 0)
+    assert got[1][1] >= 1 and got[1][3] == 1
+
+
+def test_batch_cosine_topk_empty_queries(spark):
+    from sed_spark.ext.similarity import batch_cosine_topk
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["vec_id", "embedding"],
+    )
+    q = df.filter(F.col("vec_id") > 99).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"),
+    )
+    out = batch_cosine_topk(df, q, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "cos_sim", "rank"]

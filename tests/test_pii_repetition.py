@@ -96,3 +96,14 @@ def test_repetition_matches_pure_python(spark):
             r["top_ngram_char_frac"],
             round(top[1] * len(top[0]) / len(text), 6),
         )
+
+
+def test_pii_redact_counts_match_emitted_placeholders(spark):
+    # a phone absorbed into an email match is counted once as an email,
+    # never phantom-counted as a phone
+    df = spark.createDataFrame(
+        [(0, "reach 555-123-4567@example.com now")], ["doc_id", "text"],
+    )
+    r = pii_redact(df).collect()[0]
+    assert r["redacted"] == "reach <EMAIL> now"
+    assert (r["n_emails"], r["n_ipv4"], r["n_phones"]) == (1, 0, 0)
