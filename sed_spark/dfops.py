@@ -569,10 +569,41 @@ def _asof_fill_keyless(
     balance. Buckets sharing a physical partition are fine: the fill
     resets its carry at every bucket change and the seam join repairs
     all cross-bucket fills.
+
+    The bucketed union is ``localCheckpoint``-ed once, so the boundary
+    collect and the final fill read materialized blocks instead of each
+    re-running both input scans (and a nondeterministic upstream can
+    never make the fill and the seam table disagree).
+
+    Right-side value columns must be ATOMIC types (numeric / string /
+    boolean / timestamp / date): the seam-carry table round-trips one
+    value per bucket through pandas, where array/struct values have no
+    faithful null-handling, and integer columns are re-coerced from
+    pandas' float64 null representation back to exact Python ints
+    before ``createDataFrame`` (a bigint value column otherwise either
+    raises on the non-Arrow path or relies on unsafe float→int casts).
+    The per-key (``by=``) window path has no such restriction.
     """
     import pandas as pd
+    from pyspark.sql.types import (
+        AtomicType,
+        DecimalType,
+        FractionalType,
+        IntegralType,
+    )
 
     spark = u.sparkSession
+    bad = [
+        o for o in out_vals
+        if not isinstance(u.schema[o].dataType, AtomicType)
+    ]
+    if bad:
+        raise ValueError(
+            f"keyless as-of join supports atomic value column types only; "
+            f"columns {bad} have types "
+            f"{[u.schema[o].dataType.simpleString() for o in bad]}. "
+            "Pass by= to use the window path, or pack/unpack the value.",
+        )
     nbuckets = max(spark.sparkContext.defaultParallelism, 2) * 4
     lo, hi = u.agg(
         F.min(F.col(on).cast("double")), F.max(F.col(on).cast("double")),
@@ -593,9 +624,16 @@ def _asof_fill_keyless(
         u.withColumn("__bkt", bucket)
         .repartition(min(nbuckets, 1024), "__bkt")
         .sortWithinPartitions(*order)
+        .localCheckpoint(eager=True)
     )
     schema = part.schema
     ovs = list(out_vals)
+    # integral value columns arrive in pandas as float64 when any row is
+    # null; hand them back to Arrow as nullable Int64 so the declared
+    # integer schema needs no unsafe float cast
+    int_ovs = {
+        o for o in ovs if isinstance(u.schema[o].dataType, IntegralType)
+    }
 
     def _fill(batches):
         carry: dict[str, object] = {o: None for o in ovs}
@@ -616,7 +654,7 @@ def _asof_fill_keyless(
                     col = col.copy()
                     col.iloc[0] = carry[o]
                 filled = col.groupby(bkts, sort=False).ffill()
-                pdf[o] = filled
+                pdf[o] = filled.astype("Int64") if o in int_ovs else filled
                 last_bkt = bkts.iloc[-1]
                 tail = filled.iloc[-1]
                 if last_bkt != cur_bkt or not pd.isna(tail):
@@ -650,13 +688,33 @@ def _asof_fill_keyless(
         shifted = carry_pdf[o].shift(1) if backward else carry_pdf[o].shift(-1)
         carry_pdf[o] = shifted.ffill() if backward else shifted.bfill()
     carry_cols = {o: f"__carry_{o}" for o in ovs}
-    carry_pdf = carry_pdf.astype(object).where(pd.notna(carry_pdf), None)
+
+    # coerce each carry value back to its DECLARED Spark type: the merge
+    # injects NaN for empty buckets, silently promoting integer columns
+    # to float64 — createDataFrame against the original bigint/int schema
+    # must see Python ints/None, not numpy floats
+    def _pyval(v, dt):
+        if v is None or pd.isna(v):
+            return None
+        if isinstance(dt, IntegralType):
+            return int(v)
+        if isinstance(dt, FractionalType) and not isinstance(dt, DecimalType):
+            return float(v)
+        return v
+
+    dts = {o: u.schema[o].dataType for o in ovs}
+    carry_rows = [
+        tuple(
+            [int(carry_pdf["__bkt"].iloc[i])]
+            + [_pyval(carry_pdf[o].iloc[i], dts[o]) for o in ovs],
+        )
+        for i in range(len(carry_pdf))
+    ]
     carry_sdf = spark.createDataFrame(
-        carry_pdf.rename(columns=carry_cols),
+        carry_rows,
         schema=(
             "__bkt int, " + ", ".join(
-                f"{carry_cols[o]} {u.schema[o].dataType.simpleString()}"
-                for o in ovs
+                f"{carry_cols[o]} {dts[o].simpleString()}" for o in ovs
             )
         ),
     )

@@ -114,6 +114,13 @@ def batch_cosine_topk(
     HOF fold): no Python workers, same results.
 
     Ties break to the lowest id, so results are deterministic.
+
+    Zero-norm vectors (cosine undefined) are EXCLUDED on both sides —
+    corpus rows with ‖v‖ = 0 are never candidates and zero-norm queries
+    return no rows. Without that rule the engines disagreed: numpy's
+    ``lexsort`` ranks NaN scores last (pruned away) while Spark's window
+    ``DESC`` ranks NaN first, so ``engine="arrow"`` and ``engine="expr"``
+    returned different top-k whenever a zero vector was present.
     """
     from pyspark.sql import Window
 
@@ -135,10 +142,13 @@ def batch_cosine_topk(
             )
         q_ids = [r[0] for r in qrows]
         qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+        nq0 = np.zeros(len(qrows))
+        for d in range(qmat.shape[1]):  # sequential fold, like norm2_expr
+            nq0 += qmat[:, d] * qmat[:, d]
+        keep_q = nq0 > 0  # zero-norm queries: cosine undefined, no rows
+        q_ids = [q_id for q_id, kq in zip(q_ids, keep_q) if kq]
+        qmat, nq = qmat[keep_q], nq0[keep_q]
         m, dim = qmat.shape
-        nq = np.zeros(m)
-        for d in range(dim):  # sequential fold, like norm2_expr
-            nq += qmat[:, d] * qmat[:, d]
         sqrt_nq = np.sqrt(nq)
 
         def _score_topk(batches):
@@ -153,6 +163,9 @@ def batch_cosine_topk(
                     col = emb[:, d]
                     na += col * col
                     dots += col[:, None] * qmat[None, :, d]
+                keep = na > 0  # zero-norm corpus rows are never candidates
+                if not keep.all():
+                    ids, na, dots = ids[keep], na[keep], dots[keep]
                 cos = dots / (np.sqrt(na)[:, None] * sqrt_nq[None, :])
                 if round_decimals is not None:
                     p = 10.0 ** round_decimals
@@ -179,12 +192,15 @@ def batch_cosine_topk(
             )
         )
     elif engine == "expr":
-        q = queries.select(F.col(qid), F.col(query_vec_col))
+        q = queries.select(F.col(qid), F.col(query_vec_col)).filter(
+            norm2_expr(F.col(query_vec_col)) > 0,
+        )
         sim = cosine_expr(F.col(vec_col), F.col(query_vec_col))
         if round_decimals is not None:
             sim = F.round(sim, round_decimals)
         scored = (
             scale_out(corpus)
+            .filter(norm2_expr(F.col(vec_col)) > 0)
             .crossJoin(F.broadcast(q))
             .select(F.col(qid), F.col(vid), sim.alias("cos_sim"))
         )

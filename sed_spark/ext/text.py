@@ -28,8 +28,13 @@ LANG_MARKERS = {
 
 
 def n_words_expr(text: Column) -> Column:
-    """Whitespace token count via length arithmetic (portable, no regex)."""
-    return F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1
+    """Whitespace token count: the number of non-empty runs between
+    spaces. Robust to consecutive / leading / trailing spaces and the
+    empty string (0 words) — the round-3 length-arithmetic formula
+    (``length - length(sans spaces) + 1``) counted space characters + 1,
+    inflating counts on messy web text. Still expr-only: the DuckDB
+    oracle mirrors it with ``list_filter(string_split_regex(...))``."""
+    return F.size(F.filter(F.split(text, " +"), lambda x: x != F.lit("")))
 
 
 def quality_features(
@@ -40,12 +45,16 @@ def quality_features(
     nw = n_words_expr(t)
     nonspace = F.length(F.replace(t, F.lit(" "), F.lit("")))
     stop = F.regexp_count(t, F.lit(LANG_MARKERS["en"]))
+    # wordless documents (empty / all-space text) get NULL ratios, not a
+    # divide-by-zero — explicit CASE so Spark-ANSI and DuckDB agree
     return df.select(
         F.col(id_col),
         F.length(t).alias("n_chars"),
         nw.alias("n_words"),
-        F.round(nonspace.cast("double") / nw, 6).alias("avg_word_len"),
-        F.round(stop.cast("double") / nw, 6).alias("stopword_ratio"),
+        F.when(nw > 0, F.round(nonspace.cast("double") / nw, 6))
+        .alias("avg_word_len"),
+        F.when(nw > 0, F.round(stop.cast("double") / nw, 6))
+        .alias("stopword_ratio"),
     )
 
 
@@ -125,8 +134,10 @@ def metrics(
         F.col(id_col),
         "n_chars",
         "n_words",
-        F.round(F.col("__nonspace").cast("double") / nw, 6).alias("avg_word_len"),
-        F.round(s["en"].cast("double") / nw, 6).alias("stopword_ratio"),
+        F.when(nw > 0, F.round(F.col("__nonspace").cast("double") / nw, 6))
+        .alias("avg_word_len"),
+        F.when(nw > 0, F.round(s["en"].cast("double") / nw, 6))
+        .alias("stopword_ratio"),
         pred.alias("pred_lang"),
         nw.alias("ws_tokens"),
         "bpe_tokens",

@@ -342,7 +342,7 @@ TEXT_METRICS_SQL = r"""
 WITH s AS (
   SELECT doc_id,
     length(text) AS n_chars,
-    length(text) - length(replace(text, ' ', '')) + 1 AS n_words,
+    len(list_filter(string_split_regex(text, ' +'), x -> x != '')) AS n_words,
     length(replace(text, ' ', '')) AS nonspace,
     len(regexp_extract_all(text, '\b(the|a|is|and|of)\b')) AS s_en,
     len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS s_de,
@@ -352,8 +352,10 @@ WITH s AS (
   FROM documents
 )
 SELECT doc_id, n_chars, n_words,
-  round(CAST(nonspace AS DOUBLE) / n_words, 6) AS avg_word_len,
-  round(CAST(s_en AS DOUBLE) / n_words, 6) AS stopword_ratio,
+  CASE WHEN n_words > 0
+    THEN round(CAST(nonspace AS DOUBLE) / n_words, 6) END AS avg_word_len,
+  CASE WHEN n_words > 0
+    THEN round(CAST(s_en AS DOUBLE) / n_words, 6) END AS stopword_ratio,
   CASE
     WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
     WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'

@@ -289,3 +289,48 @@ def test_asof_join_rejects_column_collision(spark):
     # suffix disambiguates — both columns survive
     got = asof_join(left, right, on="ts", suffix="_r").toPandas()
     assert got["v"].iloc[0] == 0.0 and got["v_r"].iloc[0] == 9.0
+
+
+def test_asof_join_keyless_bigint_value_column(spark):
+    # the seam-carry table round-trips right values through pandas, where
+    # empty buckets inject NaN and promote ints to float64 — the carry
+    # must come back as exact Python ints against the declared bigint
+    # schema (round-3 advice: only double/string values were tested)
+    import pandas as pd
+
+    from sed_spark.dfops import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"ts": [float(i) for i in range(12)]}),
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"ts": [2.5, 7.5], "v": [10 ** 12 + 1, 10 ** 12 + 2]}),
+    )
+    got = (
+        asof_join(left.repartition(5), right, on="ts")
+        .orderBy("ts")
+        .toPandas()
+    )
+    assert dict(asof_join(left, right, on="ts").dtypes)["v"] == "bigint"
+    want = [None] * 3 + [10 ** 12 + 1] * 5 + [10 ** 12 + 2] * 4
+    assert [None if pd.isna(v) else int(v) for v in got["v"]] == want
+
+
+def test_asof_join_keyless_rejects_array_value(spark):
+    import pytest
+
+    from sed_spark.dfops import asof_join
+
+    left = spark.createDataFrame([(1.0,), (2.0,)], "ts double")
+    right = spark.createDataFrame(
+        [(0.5, [1, 2])], "ts double, v array<int>",
+    )
+    with pytest.raises(ValueError, match="atomic value column types"):
+        asof_join(left, right, on="ts")
+    # the per-key window path has no such restriction
+    left_k = spark.createDataFrame([(1, 1.0)], "k int, ts double")
+    right_k = spark.createDataFrame(
+        [(1, 0.5, [1, 2])], "k int, ts double, v array<int>",
+    )
+    got = asof_join(left_k, right_k, on="ts", by="k").collect()
+    assert got[0]["v"] == [1, 2]

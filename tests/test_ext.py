@@ -358,3 +358,57 @@ def test_batch_cosine_topk_empty_queries(spark):
     out = batch_cosine_topk(df, q, k=3)
     assert out.count() == 0
     assert out.columns == ["query_id", "vec_id", "cos_sim", "rank"]
+
+
+def test_n_words_messy_whitespace(spark):
+    # round-3 verdict: the length-arithmetic word count inflated on
+    # consecutive/leading/trailing spaces and returned 1 for ""
+    from sed_spark.ext import text
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a  b"), (1, " lead"), (2, "trail "), (3, ""),
+            (4, "   "), (5, "one"), (6, "a b  c   d"),
+        ],
+        ["doc_id", "text"],
+    )
+    m = {r.doc_id: r for r in text.metrics(docs).collect()}
+    assert [m[i].n_words for i in range(7)] == [2, 1, 1, 0, 0, 1, 4]
+    # wordless docs get NULL ratios, not a divide-by-zero
+    assert m[3].avg_word_len is None and m[4].stopword_ratio is None
+    assert m[5].avg_word_len == 3.0
+    q = {r.doc_id: r for r in text.quality_features(docs).collect()}
+    assert [q[i].n_words for i in range(7)] == [2, 1, 1, 0, 0, 1, 4]
+    t = {r.doc_id: r for r in text.token_stats(docs).collect()}
+    assert [t[i].ws_tokens for i in range(7)] == [2, 1, 1, 0, 0, 1, 4]
+
+
+def test_batch_cosine_topk_zero_norm_consistent(spark):
+    # zero-norm vectors must be excluded identically by both engines
+    # (numpy lexsort ranks NaN last; the window DESC ranked NaN first)
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((20, 8)).tolist()
+    vecs[7] = [0.0] * 8  # zero-norm corpus row
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(20), "embedding": vecs}),
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [0, 1],
+                "query_vec": [vecs[3], [0.0] * 8],  # one zero-norm query
+            },
+        ),
+    )
+    out = {}
+    for engine in ("arrow", "expr"):
+        rows = similarity.batch_cosine_topk(
+            corpus, queries, k=5, engine=engine,
+        ).collect()
+        out[engine] = sorted(
+            (r.query_id, r.vec_id, r.cos_sim, r.rank) for r in rows
+        )
+    assert out["arrow"] == out["expr"]
+    got_ids = {r[1] for r in out["arrow"]}
+    assert 7 not in got_ids  # zero-norm corpus row never a candidate
+    assert {r[0] for r in out["arrow"]} == {0}  # zero-norm query: no rows

@@ -127,3 +127,18 @@ def test_dedup_clusters_algorithm_switch(spark):
         map(tuple, dedup_clusters(docs, pairs, algorithm="two-phase").collect()),
     )
     assert a == b
+
+
+def test_session_checkpoint_dir_reused(spark):
+    # reliable=True must reuse ONE session-scoped temp dir (round 3 leaked
+    # a fresh mkdtemp of checkpoint blocks per call) and register cleanup
+    import os
+
+    from sed_spark.ext.graph import _TEMP_CKPT_DIRS, _session_checkpoint_dir
+
+    sc = spark.sparkContext
+    d1 = _session_checkpoint_dir(sc)
+    d2 = _session_checkpoint_dir(sc)
+    assert d1 == d2
+    assert os.path.isdir(d1)
+    assert list(_TEMP_CKPT_DIRS.values()).count(d1) == 1
