@@ -25,7 +25,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from sed_spark.ext import dedup, graph, pii, similarity, text
+from sed_spark.ext import corpus, dedup, graph, pii, similarity, text
 from sed_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -91,11 +91,41 @@ def main() -> None:
     )
     topk = similarity.batch_cosine_topk(emb, q, k=5).count()
 
+    # 7. deterministic 90/5/5 split of the curated corpus + per-domain
+    # accounting (the corpus has no URLs, so synthesize one per doc the
+    # way the suite row does — the rollup/split operators are the point)
+    with_urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" via https://www.host"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.net/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    split = corpus.hash_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05},
+    ).select("doc_id", "split")
+    per_split_domain = (
+        corpus.extract_urls(with_urls)
+        .join(split, "doc_id")
+        .groupBy("split", "domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "domain")
+        .collect()
+    )
+    splits = {r["split"] for r in per_split_domain}
+
     print(f"documents: {n0} -> {n_final} after dedup/decontam/quality")
     print(f"pii redacted: emails={pii_hits['emails']} ips={pii_hits['ips']} "
           f"phones={pii_hits['phones']}")
     print(f"ann rows: {topk}")
+    for r in per_split_domain:
+        print(f"  split={r['split']:<5} domain={r['domain']:<20} "
+              f"docs={r['n_docs']}")
     assert n_final > 0 and topk == 10
+    assert splits == {"train", "val", "test"} or "train" in splits
     print("pipeline OK")
 
 

@@ -70,10 +70,11 @@ def hash_split(
     id_col: str = "doc_id",
     salt: str = "",
     split_col: str = "split",
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic dataset split by content of the id, not by row
     position: ``split`` = the bucket whose cumulative weight interval
-    contains ``xxhash64(id, salt) / 2^64``.
+    contains a hash of (id, salt) scaled into [0, 1).
 
     Unlike ``randomSplit`` (seed + partition-layout dependent, so the
     same document can change splits when the corpus repartitions), the
@@ -82,6 +83,13 @@ def hash_split(
     ones between splits. ``salt`` derives independent splits from the
     same ids. Weights are normalized; iteration order fixes interval
     order.
+
+    ``method`` picks the hash: ``"xxhash64"`` (default — fastest,
+    Spark-native) or ``"md5"`` (``u`` = the first 8 hex digits of
+    ``md5(id || salt)`` over 2^32) — slower per row but every engine
+    with an md5 builtin reproduces the assignment bit-for-bit, which
+    is what makes a split auditable OUTSIDE the engine that produced
+    it (and is the variant the DuckDB oracle checks).
     """
     if not weights:
         raise ValueError("weights must be non-empty")
@@ -90,14 +98,28 @@ def hash_split(
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
-    # xxhash64 is signed; scale into [0, 1) — double precision (53 bits
-    # of the hash) is ample for split assignment and stays a pure,
-    # deterministic function of (id, salt)
-    u = (
-        F.xxhash64(F.col(id_col).cast("string"), F.lit(salt)).cast("double")
-        / F.lit(float(2 ** 64))
-        + F.lit(0.5)
-    )
+    if method == "xxhash64":
+        # xxhash64 is signed; scale into [0, 1) — double precision (53
+        # bits of the hash) is ample for split assignment and stays a
+        # pure, deterministic function of (id, salt)
+        u = (
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(salt)).cast("double")
+            / F.lit(float(2 ** 64))
+            + F.lit(0.5)
+        )
+    elif method == "md5":
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("double")
+            / F.lit(float(2 ** 32))
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
     expr: Column | None = None
     acc = 0.0
     items = list(weights.items())

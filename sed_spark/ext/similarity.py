@@ -371,6 +371,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     max_iter: int = 10,
     tol: float = 1e-4,
+    quantize_decimals: int | None = 9,
 ) -> list[list[float]]:
     """Distributed Lloyd's k-means over an embedding column — the IVF
     centroid-training step, completing build → assign → probe.
@@ -390,6 +391,15 @@ def kmeans_fit(
     Stops when the max centroid movement (L∞) drops below ``tol``.
     Returns plain Python float lists, ready for :func:`ivf_assign` /
     :func:`ivf_topk` or the literal SQL oracle.
+
+    ``quantize_decimals`` rounds each iteration's updated centroids
+    (default 9 decimals): the per-dimension ``sum`` merges partial
+    aggregates in shuffle-arrival order, so its last few ulps are not
+    stable across runs/cluster layouts; quantizing makes the whole fit
+    a reproducible pure function of the data (assignments each round
+    derive from the already-quantized previous centroids). 9 decimals
+    is far above float-sum jitter (~1e-13 relative) and far below any
+    meaningful centroid distinction. ``None`` disables.
     """
     import numpy as np
 
@@ -423,6 +433,8 @@ def kmeans_fit(
             cnt[r["bucket"] - 1] = r["n"]
         nonempty = cnt > 0
         new_c[nonempty] = acc[nonempty] / cnt[nonempty, None]
+        if quantize_decimals is not None:
+            new_c = np.round(new_c, quantize_decimals)
         shift = float(np.abs(new_c - centroids).max())
         centroids = new_c
         if shift < tol:

@@ -4,7 +4,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from sed_spark.ext import dedup, graph, multimodal, pii, similarity, text
+from sed_spark.ext import (
+    corpus,
+    dedup,
+    graph,
+    multimodal,
+    pii,
+    similarity,
+    text,
+)
 from sed_spark.suite.common import load
 
 QUERIES: dict[str, dict] = {}
@@ -75,15 +83,29 @@ FROM bands a JOIN bands b
 
 
 def dedup_clusters(spark, sf_dir):
+    """BOTH connected-components algorithms on the same LSH pair graph,
+    tag-unioned: hash-min label propagation (rounds = diameter, ideal for
+    dense dedup clusters) and the O(log n)-round alternating
+    large-star/small-star variant. One oracle closure pins both."""
     docs = load(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, n_bands=4)
-    pairs = dedup.lsh_candidate_pairs(sigs, n_bands=4)
-    return graph.dedup_clusters(docs, pairs)
+    # materialize the pair graph once — both CC branches consume it
+    pairs = dedup.lsh_candidate_pairs(sigs, n_bands=4).localCheckpoint()
+    out = []
+    for algo in ("hash-min", "two-phase"):
+        out.append(
+            graph.dedup_clusters(docs, pairs, algorithm=algo).select(
+                F.lit(algo).alias("method"),
+                "doc_id", "cluster_id", "is_canonical",
+            ),
+        )
+    return out[0].unionAll(out[1])
 
 
 # transitive closure of the LSH pair graph: recursive min-label propagation
 # (every node collects the labels of everything that reaches it; the min is
-# the component min — same fixpoint the Spark hash-min loop converges to)
+# the component min — the fixpoint BOTH Spark CC algorithms converge to).
+# The closure runs once; the two method tags select from the same CTE.
 DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE
 pairs AS ({LSH_PAIRS_SQL}),
@@ -97,12 +119,16 @@ reach(node, label) AS (
   UNION
   SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node
 ),
-cc AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
-SELECT d.doc_id,
-  COALESCE(cc.label, d.doc_id) AS cluster_id,
-  CAST(CASE WHEN COALESCE(cc.label, d.doc_id) = d.doc_id
-       THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
-FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+cc AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+closure AS (
+  SELECT d.doc_id,
+    COALESCE(cc.label, d.doc_id) AS cluster_id,
+    CAST(CASE WHEN COALESCE(cc.label, d.doc_id) = d.doc_id
+         THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+)
+SELECT m.method, c.doc_id, c.cluster_id, c.is_canonical
+FROM closure c, (VALUES ('hash-min'), ('two-phase')) m(method)
 """
 
 
@@ -159,19 +185,39 @@ def _simhash_sql() -> str:
 # similarity search
 # ---------------------------------------------------------------------------
 
-# brute-force exact top-k AND centroid-pruned IVF top-k for the same query
-# vector, tag-unioned into one oracle row (each branch is the standalone
-# operator; IVF's approximate candidate set is itself deterministic)
+# The full ANN build→train→assign→probe surface in one oracle row, four
+# tag-unioned branches (each is the standalone operator; every branch's
+# candidate set is deterministic):
+#   exact       — brute-force cosine top-k (the recall-1.0 baseline)
+#   ivf         — IVF probe of the single nearest coarse bucket
+#   ivf_nprobe2 — the recall/cost dial: probe the TWO nearest buckets
+#   ivf_trained — centroids from the distributed k-means (kmeans_fit)
+#                 run LIVE, checked against the PINNED sf0.01 fit below —
+#                 a green row proves the training reproduces it exactly
 def ann_topk(spark, sf_dir):
     df = load(spark, sf_dir, "embeddings")
     qvec = df.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    exact = similarity.cosine_topk(df, qvec, k=10).select(
-        F.lit("exact").alias("method"), "vec_id", "cos_sim",
-    )
-    ivf = similarity.ivf_topk(df, _IVF_CENTROIDS, qvec, k=10).select(
-        F.lit("ivf").alias("method"), "vec_id", "cos_sim",
-    )
-    return exact.unionAll(ivf)
+    branches = [
+        ("exact", similarity.cosine_topk(df, qvec, k=10)),
+        ("ivf", similarity.ivf_topk(df, _IVF_CENTROIDS, qvec, k=10)),
+        (
+            "ivf_nprobe2",
+            similarity.ivf_topk(df, _IVF_CENTROIDS, qvec, k=10, nprobe=2),
+        ),
+    ]
+    if TRAINED_CENTROIDS_SF0_01 is not None:
+        trained = similarity.kmeans_fit(df, k=4, max_iter=5)
+        branches.append(
+            ("ivf_trained", similarity.ivf_topk(df, trained, qvec, k=10)),
+        )
+    parts = [
+        b.select(F.lit(tag).alias("method"), "vec_id", "cos_sim")
+        for tag, b in branches
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 ANN_SQL = """
@@ -290,8 +336,20 @@ WHERE round({cos}, 6) >= 0.4
 
 _IVF_CENTROIDS = similarity.deterministic_planes(8, 64, seed=21)
 
+# pinned sf0.01 k-means fit (tools/gen_trained_centroids.py). Guarded so
+# the generator tool itself can import this module before the pin exists;
+# when absent the ivf_trained branch is omitted from BOTH engines.
+try:
+    from sed_spark.suite._trained_centroids import TRAINED_CENTROIDS_SF0_01
+except ImportError:  # pragma: no cover - bootstrap only
+    TRAINED_CENTROIDS_SF0_01 = None
 
-def _ivf_sql() -> str:
+
+def _ivf_sql(centroids, nprobe: int = 1) -> str:
+    """IVF probe oracle for any centroid list: per-row bucket = argmax of
+    the rounded centroid-cosine array; the query's ``nprobe`` best buckets
+    are ranked by the same array (score DESC, bucket id ASC — matching
+    ``ivf_topk``'s stable argsort)."""
     from sed_spark.suite.common import fl
 
     def cos_lit(vec_sql: str, cent: list[float]) -> str:
@@ -304,7 +362,7 @@ def _ivf_sql() -> str:
             f"* sqrt({fl(sum(v * v for v in cent))})), 6)"
         )
 
-    arr = "[" + ", ".join(cos_lit("embedding", c) for c in _IVF_CENTROIDS) + "]"
+    arr = "[" + ", ".join(cos_lit("embedding", c) for c in centroids) + "]"
     qcos = (
         "round(list_sum(list_transform(generate_series(1, 64), "
         "j -> CAST(a.embedding[j] AS DOUBLE) * CAST(q.embedding[j] AS DOUBLE))) "
@@ -316,13 +374,20 @@ def _ivf_sql() -> str:
     )
     return f"""
 WITH assigned AS (
-  SELECT vec_id, embedding, list_position(arr, list_max(arr)) AS bucket
+  SELECT vec_id, embedding, list_position(arr, list_max(arr)) AS bucket, arr
   FROM (SELECT vec_id, embedding, {arr} AS arr FROM embeddings)
 ),
-q AS (SELECT embedding, bucket FROM assigned WHERE vec_id = 0)
+q AS (SELECT embedding, arr FROM assigned WHERE vec_id = 0),
+probes AS (
+  SELECT b FROM (
+    SELECT unnest(generate_series(1, {len(centroids)})) AS b,
+           unnest(arr) AS s
+    FROM q
+  ) ORDER BY s DESC, b LIMIT {nprobe}
+)
 SELECT a.vec_id, {qcos} AS cos_sim
 FROM assigned a, q
-WHERE a.bucket = q.bucket
+WHERE a.bucket IN (SELECT b FROM probes)
 ORDER BY cos_sim DESC, a.vec_id LIMIT 10
 """
 
@@ -438,11 +503,18 @@ FROM wc LEFT JOIN (SELECT * FROM top WHERE rn = 1) t ON wc.doc_id = t.doc_id
 """
 
 
-# PII detect + redact. The corpus is digit-free word soup, so the query
-# plants deterministic PII derived from doc_id (identically in both
-# engines): every doc gets an email, docs with doc_id % 3 = 0 a phone,
-# docs with doc_id % 4 = 0 an IPv4 — match counts AND the full redacted
-# text land in the oracle hash.
+# Corpus-curation row: PII detect/redact + URL/domain extraction + the
+# per-domain rollup joined back (the blocklist/sampling-cap shape) + the
+# deterministic hash split — every corpus-management operator in one
+# oracle row. The corpus is digit-free word soup, so the query plants
+# deterministic PII and one URL derived from doc_id (identically in both
+# engines): every doc gets an email and a URL, docs with doc_id % 3 = 0 a
+# phone, docs with doc_id % 4 = 0 an IPv4 — match counts, the full
+# redacted text, the extracted url/domain, the domain rollup counts, and
+# the split assignment all land in the oracle hash.
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
 def pii_redact_q(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     d = F.col("doc_id")
@@ -469,12 +541,55 @@ def pii_redact_q(spark, sf_dir):
                     ((d * 7) % 256).cast("string"),
                 ),
             ).otherwise(""),
+            # one URL per doc; www. prefix exercises the domain strip
+            F.lit(" visit https://www.site"), (d % 7).cast("string"),
+            F.lit(".example.org/p/"), d.cast("string"),
         ).alias("text"),
     )
-    return pii.pii_redact(synth)
+    red = pii.pii_redact(synth)
+    urls = corpus.extract_urls(synth)
+    dstats = corpus.domain_stats(synth).select(
+        "domain",
+        F.col("n_urls").alias("domain_urls"),
+        F.col("n_docs").alias("domain_docs"),
+    )
+    split = corpus.hash_split(
+        docs.select("doc_id"), _SPLIT_WEIGHTS, method="md5",
+    ).select("doc_id", "split")
+    return (
+        red.join(urls, "doc_id")
+        .join(F.broadcast(dstats), "domain")
+        .join(split, "doc_id")
+    )
 
 
-PII_SQL = r"""
+def _split_case_sql(weights: dict[str, float], u_sql: str) -> str:
+    """Mirror of ``hash_split``'s cumulative-weight CASE — the SAME
+    Python float accumulation produces both the Spark literals and the
+    SQL literals, so interval edges agree bit-for-bit."""
+    from sed_spark.suite.common import fl
+
+    total = float(sum(weights.values()))
+    items = list(weights.items())
+    acc = 0.0
+    branches = []
+    for name, wgt in items[:-1]:
+        acc += float(wgt) / total
+        branches.append(f"WHEN {u_sql} < {fl(acc)} THEN '{name}'")
+    return "CASE " + " ".join(branches) + f" ELSE '{items[-1][0]}' END"
+
+
+#: first 8 hex digits of md5 as an integer (digit-by-digit parse —
+#: portable, no hex-literal casts needed)
+_HEX8 = " + ".join(
+    f"{16 ** (7 - i)} * (strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
+    for i in range(8)
+)
+
+
+def _pii_sql() -> str:
+    split_case = _split_case_sql(_SPLIT_WEIGHTS, "u")
+    return r"""
 WITH synth AS (
   SELECT doc_id,
     text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
@@ -485,7 +600,9 @@ WITH synth AS (
     || CASE WHEN doc_id % 4 = 0 THEN
          ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
          || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
-       ELSE '' END AS text
+       ELSE '' END
+    || ' visit https://www.site' || CAST(doc_id % 7 AS VARCHAR)
+    || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS text
   FROM documents
 )
 , staged AS (
@@ -499,18 +616,38 @@ staged2 AS (
     regexp_replace(r1,
       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS r2
   FROM staged
+),
+dom AS (
+  SELECT doc_id,
+    'https://www.site' || CAST(doc_id % 7 AS VARCHAR)
+      || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+    'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS domain,
+    CAST(count(*) OVER (PARTITION BY doc_id % 7) AS BIGINT) AS domain_urls,
+    CAST(count(*) OVER (PARTITION BY doc_id % 7) AS BIGINT) AS domain_docs
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, __SPLIT_CASE__ AS split
+  FROM (
+    SELECT doc_id, (__HEX8__) / 4294967296.0 AS u
+    FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+  )
 )
-SELECT doc_id,
-  CAST(len(regexp_extract_all(text,
+SELECT s.doc_id,
+  CAST(len(regexp_extract_all(s.text,
     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER) AS n_emails,
-  CAST(len(regexp_extract_all(r1,
+  CAST(len(regexp_extract_all(s.r1,
     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ipv4,
-  CAST(len(regexp_extract_all(r2,
+  CAST(len(regexp_extract_all(s.r2,
     '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INTEGER) AS n_phones,
-  regexp_replace(r2,
-    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
-FROM staged2
-"""
+  regexp_replace(s.r2,
+    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted,
+  dom.url, dom.domain, dom.domain_urls, dom.domain_docs,
+  sp.split
+FROM staged2 s
+JOIN dom ON dom.doc_id = s.doc_id
+JOIN sp ON sp.doc_id = s.doc_id
+""".replace("__SPLIT_CASE__", split_case).replace("__HEX8__", _HEX8)
 
 
 # min-hash word-shingle fingerprint + winnowing (SIGMOD 2003) fingerprint,
@@ -638,31 +775,82 @@ FROM frames JOIN decode ON frames.doc_id = decode.doc_id
 
 
 def stream_dedup_replay(spark, sf_dir):
-    """Batch (``availableNow``) replay of the streaming first-seen-wins
-    exact dedup (sed_spark/streaming): drain the documents parquet through
-    the ``applyInPandasWithState`` operator into a memory sink, then
-    return the survivors' content-hash set.
+    """Batch (``availableNow``) replay of BOTH custom streaming operators,
+    tag-unioned into one oracle row:
 
-    WHICH document survives per duplicate group is arrival-order-dependent
-    on a stream; the surviving hash SET is order-invariant and must equal
-    batch exact dedup's distinct hashes — that is what the oracle pins.
+    * ``dedup`` — the first-seen-wins exact dedup
+      (``applyInPandasWithState``): drain the documents parquet through
+      the stateful operator into a memory sink. WHICH document survives
+      per duplicate group is arrival-order-dependent on a stream; the
+      surviving hash SET is order-invariant and must equal batch exact
+      dedup's distinct hashes — that is what the oracle pins.
+    * ``hist`` — the windowed N-D histogram (``streaming_histogram``):
+      drain the events parquet through the tumbling-window binning
+      aggregate (complete mode), then sum the per-window counts per bin.
+      Tumbling windows partition the stream, so the window-summed sparse
+      histogram must be bit-identical to batch ``hist_1d``'s uniform
+      branch over the same events — the replay proves the streaming path
+      reuses the batch bin-index expressions rather than reimplementing
+      them.
     """
-    from sed_spark.streaming import run_available_now, streaming_exact_dedup
+    from sed_spark.streaming import (
+        run_available_now,
+        streaming_exact_dedup,
+        streaming_histogram,
+    )
+    from sed_spark.suite.common import ts_us
 
-    schema = load(spark, sf_dir, "documents").schema
+    docs_schema = load(spark, sf_dir, "documents").schema
     # the file stream source wants a directory or glob, not a bare file
     stream = (
-        spark.readStream.schema(schema).parquet(f"{sf_dir}/documents*.parquet")
+        spark.readStream.schema(docs_schema)
+        .parquet(f"{sf_dir}/documents*.parquet")
     )
     survivors = streaming_exact_dedup(stream)
     spark.catalog.dropTempView("stream_dedup_sink")
     run_available_now(survivors, "stream_dedup_sink", output_mode="append")
-    return spark.table("stream_dedup_sink").select(
-        F.md5("text").alias("text_hash"),
+    dedup_part = spark.table("stream_dedup_sink").select(
+        F.lit("dedup").alias("part"),
+        F.md5("text").alias("key"),
+        F.lit(1).cast("bigint").alias("cnt"),
     )
 
+    ev = load(spark, sf_dir, "events")
+    ev_stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(f"{sf_dir}/events*.parquet")
+        .withColumn("__event_time", F.timestamp_micros(ts_us(ev)))
+    )
+    hist = streaming_histogram(
+        ev_stream, bins=[100], axes=["value"], ranges=[(0.0, 500.0)],
+        window_duration="10 minutes",
+    )
+    spark.catalog.dropTempView("stream_hist_sink")
+    run_available_now(hist, "stream_hist_sink", output_mode="complete")
+    sink = spark.table("stream_hist_sink")
+    bin_col = [c for c in sink.columns if c not in ("window_start", "count")][0]
+    hist_part = (
+        sink.groupBy(bin_col)
+        .agg(F.sum("count").alias("cnt"))
+        .select(
+            F.lit("hist").alias("part"),
+            F.col(bin_col).cast("string").alias("key"),
+            "cnt",
+        )
+    )
+    return dedup_part.unionAll(hist_part)
 
-STREAM_DEDUP_SQL = "SELECT DISTINCT md5(text) AS text_hash FROM documents"
+
+def _stream_replay_sql() -> str:
+    from sed_spark.suite.core import _H1_AXES, _hist_sql
+
+    return f"""
+SELECT 'dedup' AS part, text_hash AS key, CAST(1 AS BIGINT) AS cnt
+FROM (SELECT DISTINCT md5(text) AS text_hash FROM documents)
+UNION ALL
+SELECT 'hist' AS part, CAST(bin_value AS VARCHAR) AS key, cnt
+FROM ({_hist_sql('events', _H1_AXES)})
+"""
 
 
 QUERIES.update(
@@ -677,7 +865,16 @@ QUERIES.update(
             "spark": ann_topk,
             "sql": (
                 f"SELECT 'exact' AS method, * FROM ({ANN_SQL}) UNION ALL "
-                f"SELECT 'ivf' AS method, * FROM ({_ivf_sql()})"
+                f"SELECT 'ivf' AS method, * FROM "
+                f"({_ivf_sql(_IVF_CENTROIDS)}) UNION ALL "
+                f"SELECT 'ivf_nprobe2' AS method, * FROM "
+                f"({_ivf_sql(_IVF_CENTROIDS, nprobe=2)})"
+                + (
+                    " UNION ALL SELECT 'ivf_trained' AS method, * FROM "
+                    f"({_ivf_sql(TRAINED_CENTROIDS_SF0_01)})"
+                    if TRAINED_CENTROIDS_SF0_01 is not None
+                    else ""
+                )
             ),
         },
         "ann_batch_topk": {"spark": ann_batch_topk, "sql": ANN_BATCH_SQL},
@@ -685,13 +882,13 @@ QUERIES.update(
         "text_metrics": {"spark": text_metrics, "sql": TEXT_METRICS_SQL},
         "decontamination": {"spark": decontamination, "sql": DECONTAMINATION_SQL},
         "repetition": {"spark": repetition, "sql": REPETITION_SQL},
-        "pii_redact": {"spark": pii_redact_q, "sql": PII_SQL},
+        "pii_redact": {"spark": pii_redact_q, "sql": _pii_sql()},
         "fingerprints": {"spark": fingerprints, "sql": FINGERPRINTS_SQL},
         "multimodal_pipeline": {
             "spark": multimodal_pipeline, "sql": _multimodal_sql(),
         },
         "stream_dedup_replay": {
-            "spark": stream_dedup_replay, "sql": STREAM_DEDUP_SQL,
+            "spark": stream_dedup_replay, "sql": _stream_replay_sql(),
         },
     },
 )

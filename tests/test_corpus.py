@@ -95,3 +95,35 @@ def test_hash_split_rejects_negative_weight(spark):
     df = spark.createDataFrame([(1,)], ["doc_id"])
     with pytest.raises(ValueError, match="non-negative"):
         hash_split(df, {"a": 2.0, "b": -1.0})
+
+
+def test_hash_split_md5_matches_python_reference(spark):
+    # the engine-portable method: u = first 8 md5 hex digits / 2^32 —
+    # reproducible OUTSIDE Spark (hashlib here; DuckDB in the oracle)
+    import hashlib
+
+    from sed_spark.ext.corpus import hash_split as hs
+
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["doc_id"])
+    got = {r["doc_id"]: r["split"]
+           for r in hs(df, w, method="md5", salt="s").collect()}
+
+    def expect(i):
+        u = int(hashlib.md5(f"{i}s".encode()).hexdigest()[:8], 16) / 2 ** 32
+        acc = 0.0
+        for name, wgt in list(w.items())[:-1]:
+            acc += wgt / 1.0
+            if u < acc:
+                return name
+        return "test"
+
+    assert got == {i: expect(i) for i in range(1000)}
+
+
+def test_hash_split_rejects_unknown_method(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], ["doc_id"])
+    with pytest.raises(ValueError, match="unknown method"):
+        hash_split(df, {"a": 1.0}, method="sha999")
