@@ -298,7 +298,9 @@ def _flat_idx_expr(
     return flat
 
 
-def _dense_via_groupby(proj: DataFrame, cube: int) -> np.ndarray:
+def _dense_via_groupby(
+    proj: DataFrame, cube: int, occupancy_hint: int | None = None,
+) -> np.ndarray:
     """JVM hash aggregate, sparse Arrow collect, flat scatter.
 
     ``toArrow`` Arrow-encodes the aggregated partitions on the executors in
@@ -328,13 +330,19 @@ def _dense_via_groupby(proj: DataFrame, cube: int) -> np.ndarray:
     keep the normal partial→exchange→final plan under the session
     default. AQE may still coalesce by size afterwards.
 
-    Caveat: the trigger is CUBE size, not actual occupancy. A large
-    cube whose data concentrates in few bins (a sharp peak) would
+    Caveat: the default trigger is CUBE size, not actual occupancy. A
+    large cube whose data concentrates in few bins (a sharp peak) would
     shuffle raw rows onto few reducers here, where the plain plan's
     map-side combine would have collapsed them first — for such
-    workloads set ``GROUPBY_CELLS_PER_REDUCER = None`` (disables the
-    repartition, session default partial→final plan) or raise the
-    session's ``spark.sql.shuffle.partitions``."""
+    workloads pass ``occupancy_hint`` (an upper bound on the number of
+    occupied cells, e.g. the previous run's group count or the row
+    count): the reducer sizing then uses ``min(cube, hint)``, so a
+    peaked distribution keeps the session-default partial→final plan.
+    No sampling job is spent estimating it — an extra scan per query
+    costs more than the mis-sizing it would prevent at current
+    workloads (measured equal), so the hint is an explicit caller dial,
+    not hidden state. ``GROUPBY_CELLS_PER_REDUCER = None`` disables
+    the repartition entirely."""
     idx_t = "int" if cube <= np.iinfo(np.int32).max else "long"
     spark = proj.sparkSession
     try:
@@ -343,7 +351,8 @@ def _dense_via_groupby(proj: DataFrame, cube: int) -> np.ndarray:
         default = spark.sparkContext.defaultParallelism
     keyed = proj.select(F.col("__idx").cast(idx_t).alias("__idx"))
     if GROUPBY_CELLS_PER_REDUCER is not None:
-        want = min(1024, cube // GROUPBY_CELLS_PER_REDUCER)
+        groups = cube if occupancy_hint is None else min(cube, int(occupancy_hint))
+        want = min(1024, groups // GROUPBY_CELLS_PER_REDUCER)
         if want > default:
             keyed = keyed.repartition(want, "__idx")
     agg = keyed.groupBy("__idx").agg(
@@ -591,6 +600,7 @@ def bin_dataframe(
     jitter_seed: int | None = None,
     dtype: str = "float32",
     method: str = "auto",
+    occupancy_hint: int | None = None,
 ) -> BinnedData:
     """N-dimensional histogram, densified to a :class:`BinnedData`.
 
@@ -600,6 +610,10 @@ def bin_dataframe(
     groupby below ``CHUNKED_MIN_CUBE`` cells, chunked above), ``groupby``,
     ``chunked``, ``taskblob``, or ``blockshuffle`` — the last two are
     measured-slower alternatives kept for their docstring'd tradeoffs.
+    ``occupancy_hint`` bounds the expected number of occupied cells for
+    the groupby path's reducer sizing (see :func:`_dense_via_groupby`) —
+    pass it when the data is known to be sharply peaked relative to the
+    cube.
     """
     norm = normalize_bins(bins, axes, ranges)
     shape = tuple(ax.nbins for ax in norm)
@@ -615,7 +629,7 @@ def bin_dataframe(
     if method == "auto":
         method = "groupby" if cube <= CHUNKED_MIN_CUBE else "chunked"
     if method == "groupby":
-        dense = _dense_via_groupby(proj, cube)
+        dense = _dense_via_groupby(proj, cube, occupancy_hint=occupancy_hint)
     elif method == "chunked":
         dense = _dense_via_chunks(proj, cube)
     elif method == "taskblob":
