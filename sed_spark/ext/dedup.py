@@ -21,6 +21,7 @@ __all__ = [
     "shingles_from_words",
     "exploded_shingles",
     "exact_dedup",
+    "incremental_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "jaccard_pairs",
@@ -95,6 +96,43 @@ def exact_dedup(
     Returns (text_hash, keep_id, group_size); one shuffle on the hash.
     """
     return df.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_col: str = "text_hash",
+) -> DataFrame:
+    """Exact dedup of a NEW ingestion batch against an already-curated
+    corpus — the incremental shape every growing training set needs: the
+    prior corpus is represented ONLY by its content-hash table
+    (``seen_hashes``, one ``hash_col`` column), never rescanned.
+
+    Two steps, both keyed on the hash: an anti-join drops new documents
+    whose content the corpus already has, then the within-batch
+    hash-groupBy picks one canonical per surviving group. Returns
+    (text_hash, keep_id, group_size) for the batch's survivors — the
+    hash column doubles as the delta to append to ``seen_hashes`` for
+    the next increment.
+
+    Scale: work is O(batch) + a join against the hash table, which a
+    real deployment bucket-partitions by ``hash_col`` so the anti-join
+    is co-located (or broadcast when the corpus is small). The
+    full-corpus alternative — union + re-dedup — rescans everything per
+    increment and is exactly what this avoids.
+    """
+    hashed = new_docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias(hash_col),
+    )
+    fresh = hashed.join(
+        seen_hashes.select(hash_col), hash_col, "left_anti",
+    )
+    return fresh.groupBy(hash_col).agg(
         F.min(id_col).alias("keep_id"),
         F.count(F.lit(1)).alias("group_size"),
     )

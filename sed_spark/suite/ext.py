@@ -33,12 +33,36 @@ def _grams_sql(n: int, table: str = "documents") -> str:
 # ---------------------------------------------------------------------------
 
 def dedup_exact(spark, sf_dir):
-    return dedup.exact_dedup(load(spark, sf_dir, "documents"))
+    """Exact dedup in BOTH deployment shapes, tag-unioned: ``batch`` is
+    the full-corpus hash-groupBy; ``incremental`` treats the even-id half
+    as the already-curated corpus (represented only by its hash table)
+    and dedups the odd-id half against it — the growing-training-set
+    shape where the prior corpus is never rescanned."""
+    docs = load(spark, sf_dir, "documents")
+    batch = dedup.exact_dedup(docs).select(
+        F.lit("batch").alias("method"), "text_hash", "keep_id", "group_size",
+    )
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    new_batch = docs.filter(F.col("doc_id") % 2 == 1)
+    seen = dedup.exact_dedup(existing).select("text_hash")
+    inc = dedup.incremental_dedup(new_batch, seen).select(
+        F.lit("incremental").alias("method"),
+        "text_hash", "keep_id", "group_size",
+    )
+    return batch.unionAll(inc)
 
 
 DEDUP_EXACT_SQL = """
-SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, COUNT(*) AS group_size
+SELECT 'batch' AS method, md5(text) AS text_hash,
+       min(doc_id) AS keep_id, COUNT(*) AS group_size
 FROM documents GROUP BY md5(text)
+UNION ALL
+SELECT 'incremental' AS method, md5(text) AS text_hash,
+       min(doc_id) AS keep_id, COUNT(*) AS group_size
+FROM documents WHERE doc_id % 2 = 1
+GROUP BY md5(text)
+HAVING md5(text) NOT IN
+  (SELECT DISTINCT md5(text) FROM documents WHERE doc_id % 2 = 0)
 """
 
 

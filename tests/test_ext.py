@@ -412,3 +412,31 @@ def test_batch_cosine_topk_zero_norm_consistent(spark):
     got_ids = {r[1] for r in out["arrow"]}
     assert 7 not in got_ids  # zero-norm corpus row never a candidate
     assert {r[0] for r in out["arrow"]} == {0}  # zero-norm query: no rows
+
+
+def test_incremental_dedup_against_seen_corpus(spark):
+    from sed_spark.ext.dedup import exact_dedup, incremental_dedup
+
+    existing = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta")], ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha"),   # already in the corpus -> dropped
+            (11, "gamma"),   # fresh
+            (12, "gamma"),   # within-batch duplicate -> one canonical
+            (13, "delta"),   # fresh
+        ],
+        ["doc_id", "text"],
+    )
+    seen = exact_dedup(existing).select("text_hash")
+    got = {
+        r["keep_id"]: r["group_size"]
+        for r in incremental_dedup(new, seen).collect()
+    }
+    assert got == {11: 2, 13: 1}
+    # the surviving hashes ARE the delta for the next increment
+    nxt = incremental_dedup(
+        new, seen.unionAll(incremental_dedup(new, seen).select("text_hash")),
+    )
+    assert nxt.count() == 0
