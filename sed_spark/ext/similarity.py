@@ -27,6 +27,8 @@ __all__ = [
     "kmeans_fit",
     "ivf_assign",
     "ivf_topk",
+    "ivf_write_index",
+    "ivf_probe_index",
 ]
 
 
@@ -455,25 +457,46 @@ def ivf_topk(
     """IVF-probed ANN: score only the vectors in the query's ``nprobe``
     nearest coarse buckets. Recall/cost dial: nprobe=1 scans
     ~N/len(centroids) rows; nprobe=len(centroids) degrades to the exact
-    brute-force scan. At scale, write the assigned table partitioned by
-    ``bucket`` so the probe is a partition-pruned scan of the probed
-    buckets only, not the full table."""
+    brute-force scan. At scale, persist the assigned table partitioned
+    by ``bucket`` (:func:`ivf_write_index` / :func:`ivf_probe_index`) so
+    the probe is a partition-pruned scan of the probed buckets only, not
+    the full table."""
+    probes = _rank_probes(centroids, query_vec, nprobe, round_decimals)
+    assigned = ivf_assign(
+        df, centroids, id_col=id_col, vec_col=vec_col, round_decimals=round_decimals,
+    )
+    return _score_probed(
+        assigned, probes, query_vec, k, id_col, vec_col, round_decimals,
+    )
+
+
+def _rank_probes(
+    centroids, query_vec, nprobe: int, round_decimals: int,
+) -> list[int]:
+    """The query's ``nprobe`` nearest coarse buckets (1-indexed), ranked
+    by the same rounded-cosine rule as :func:`ivf_assign`; ties break to
+    the lowest centroid id (stable argsort over -sims)."""
     import numpy as np
 
     q = np.asarray(query_vec, dtype=np.float64)
     cents = np.asarray(centroids, dtype=np.float64)
-    # same rounded-cosine rule as ivf_assign; bucket ranking ties break
-    # to the lowest centroid id (stable argsort over -sims)
     sims = np.round(
         cents @ q / (np.sqrt((cents * cents).sum(axis=1)) * np.sqrt(q @ q)),
         round_decimals,
     )
     order = np.argsort(-sims, kind="stable")
-    probes = [int(b) + 1 for b in order[:max(1, nprobe)]]
+    return [int(b) + 1 for b in order[:max(1, nprobe)]]
 
-    assigned = ivf_assign(
-        df, centroids, id_col=id_col, vec_col=vec_col, round_decimals=round_decimals,
-    )
+
+def _score_probed(
+    assigned: DataFrame,
+    probes: list[int],
+    query_vec,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    round_decimals: int,
+) -> DataFrame:
     qarr = F.array(*[F.lit(float(v)) for v in query_vec])
     sim = F.round(cosine_expr(F.col(vec_col), qarr), round_decimals)
     cond = (
@@ -485,4 +508,56 @@ def ivf_topk(
         .select(F.col(id_col), sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def ivf_write_index(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF index: the assigned table written as parquet
+    PARTITIONED BY the coarse bucket (``path/bucket=<b>/...``).
+
+    This is the piece that turns ``nprobe`` from a filter into IO
+    savings: a probe against the written index is a partition-PRUNED
+    scan — Spark's ``PartitionFilters`` eliminate every non-probed
+    bucket directory at planning time, so query cost is
+    ~``nprobe``/``len(centroids)`` of the data READ, not just of the
+    rows scored. Build cost is the one-pass zero-shuffle assignment plus
+    the write."""
+    assigned = ivf_assign(
+        df, centroids, id_col=id_col, vec_col=vec_col,
+        round_decimals=round_decimals,
+    )
+    assigned.write.mode(mode).partitionBy("bucket").parquet(path)
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    centroids: Sequence[Sequence[float]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+    nprobe: int = 1,
+) -> DataFrame:
+    """ANN top-k against a written IVF index (:func:`ivf_write_index`).
+
+    The ``bucket`` predicate is a partition filter on the parquet scan,
+    so only the probed bucket directories are listed and read
+    (``tests/test_ext.py`` asserts the pruning on ``inputFiles()``).
+    Results are identical to :func:`ivf_topk` with the same arguments —
+    the index just changes WHERE the bucket filter is applied (storage
+    pruning vs in-plan filter)."""
+    probes = _rank_probes(centroids, query_vec, nprobe, round_decimals)
+    assigned = spark.read.parquet(path)
+    return _score_probed(
+        assigned, probes, query_vec, k, id_col, vec_col, round_decimals,
     )

@@ -577,13 +577,13 @@ def pii_redact_q(spark, sf_dir):
         F.col("n_urls").alias("domain_urls"),
         F.col("n_docs").alias("domain_docs"),
     )
-    split = corpus.hash_split(
-        docs.select("doc_id"), _SPLIT_WEIGHTS, method="md5",
-    ).select("doc_id", "split")
-    return (
-        red.join(urls, "doc_id")
-        .join(F.broadcast(dstats), "domain")
-        .join(split, "doc_id")
+    # hash_split is a pure projection — applied directly to the joined
+    # output (no join-back shuffle; the assignment is a function of the
+    # id, so WHERE it's computed doesn't matter)
+    return corpus.hash_split(
+        red.join(urls, "doc_id").join(F.broadcast(dstats), "domain"),
+        _SPLIT_WEIGHTS,
+        method="md5",
     )
 
 

@@ -440,3 +440,31 @@ def test_incremental_dedup_against_seen_corpus(spark):
         new, seen.unionAll(incremental_dedup(new, seen).select("text_hash")),
     )
     assert nxt.count() == 0
+
+
+def test_ivf_written_index_partition_pruned(spark, tmp_path, emb_df):
+    # the written index turns nprobe into IO savings: the probe must read
+    # ONLY the probed bucket directories, and return exactly what the
+    # in-plan ivf_topk filter returns
+    df, vecs = emb_df
+    cents = similarity.deterministic_planes(4, 16, seed=9)
+    path = str(tmp_path / "ivf_index")
+    similarity.ivf_write_index(df, cents, path)
+
+    q = [float(v) for v in vecs[5]]
+    probed = similarity.ivf_probe_index(spark, path, cents, q, k=5)
+    want = similarity.ivf_topk(df, cents, q, k=5).collect()
+    assert probed.collect() == want
+
+    # partition pruning: the bucket predicate must land in the scan's
+    # PartitionFilters (planning-time directory elimination), not a
+    # post-scan Filter (inputFiles() can't show this — it lists the
+    # relation's files before pruning)
+    probes = similarity._rank_probes(cents, q, 1, 6)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and f"= {probes[0]})" in pf[0]
+    # and the data filter side must NOT re-filter on bucket
+    assert "PushedFilters: []" in pf[0] or "bucket" not in (
+        pf[0].split("PushedFilters:")[-1]
+    )
