@@ -140,3 +140,18 @@ def test_binning_aggregate_is_whole_stage_codegen(spark):
     assert any(
         "HashAggregate" in line and "*(" in line for line in plan.splitlines()
     )
+
+
+def test_curation_row_broadcasts_rollup_and_projects_split(spark):
+    # the widened pii_redact suite row: the per-domain rollup must come
+    # back as a BroadcastHashJoin (dimension-sized side), and the hash
+    # split must be a projection — no Exchange keyed on the split column
+    from sed_spark.suite.ext import pii_redact_q
+
+    df = pii_redact_q(spark, SF_DIR)
+    df.collect()  # let AQE finalize join strategies
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "split" not in line, line
