@@ -16,6 +16,7 @@ __all__ = [
     "metrics",
     "fingerprint",
     "repetition_stats",
+    "pack_sequences",
 ]
 
 #: language-marker words for the n-gram language-id heuristic
@@ -306,4 +307,99 @@ def fingerprint(
         F.col(id_col),
         F.array_min(F.transform(F.col("__grams"), F.md5)).alias("fp"),
         F.size("__grams").alias("n_shingles"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_col: str = "doc_id",
+    pack_col: str = "pack_id",
+    offset_col: str = "pack_offset",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents, taken in
+    ``order_col`` order, are conceptually concatenated into one token
+    stream that is cut into fixed ``budget``-token packs (context
+    windows). Each document gets the pack its FIRST token lands in
+    (``pack_col``) and its start offset within that pack
+    (``offset_col``) — documents may straddle pack boundaries, which is
+    the standard GPT-style pretraining packing (no padding waste, no
+    bin-packing search). Exact first-fit packing (never split a
+    document) is inherently sequential; this is the formulation that
+    scales.
+
+    Scale design — the global running token sum is NOT a single
+    unpartitioned window (that funnels the corpus through one task).
+    Two-phase prefix sum, the same pattern as ``forward_fill``:
+
+    1. deterministic fixed-width range buckets of ``order_col`` (one
+       min/max scan), window cumsum WITHIN each bucket — partition-
+       parallel;
+    2. per-bucket token totals (one tiny aggregate, ≤ n_buckets rows)
+       are cumulated on the driver and broadcast back as each bucket's
+       global prefix.
+
+    ``order_col`` must be unique (it defines the stream order);
+    ``token_col`` must be non-negative integers.
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = max(spark.sparkContext.defaultParallelism, 2) * 4
+
+    lo, hi = df.agg(
+        F.min(F.col(order_col).cast("double")),
+        F.max(F.col(order_col).cast("double")),
+    ).collect()[0]
+    if lo is None:
+        return df.select(
+            "*",
+            F.lit(None).cast("bigint").alias(pack_col),
+            F.lit(None).cast("bigint").alias(offset_col),
+        ).limit(0)
+    if float(hi) == float(lo):
+        bucket = F.lit(0)
+        n_buckets = 1
+    else:
+        width = (float(hi) - float(lo)) / n_buckets
+        bucket = F.least(
+            F.floor((F.col(order_col).cast("double") - F.lit(float(lo)))
+                    / F.lit(width)),
+            F.lit(n_buckets - 1),
+        ).cast("int")
+
+    tok = F.col(token_col).cast("bigint")
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = df.withColumn("__bkt", bucket).withColumn(
+        "__cum", F.sum(tok).over(w),
+    )
+
+    totals = {
+        r["__bkt"]: r["t"]
+        for r in local.groupBy("__bkt").agg(F.sum(tok).alias("t")).collect()
+    }
+    prefix_rows, acc = [], 0
+    for b in range(n_buckets):
+        prefix_rows.append((b, acc))
+        acc += int(totals.get(b, 0) or 0)
+    prefix = spark.createDataFrame(prefix_rows, "__bkt int, __prefix bigint")
+
+    # integer DIV/% keep the arithmetic exact past 2^53 total tokens
+    # (double floor-division would not)
+    start = F.col("__prefix") + F.col("__cum") - tok  # global 0-based start
+    return (
+        local.join(F.broadcast(prefix), "__bkt")
+        .withColumn("__start", start)
+        .withColumn(pack_col, F.expr(f"__start DIV {int(budget)}"))
+        .withColumn(offset_col, F.expr(f"__start % {int(budget)}"))
+        .drop("__bkt", "__cum", "__prefix", "__start")
     )

@@ -439,10 +439,15 @@ ORDER BY cos_sim DESC, a.vec_id LIMIT 10
 # ---------------------------------------------------------------------------
 
 # quality scoring + language id + token counting, fused into one projection
-# (text.metrics) so every text-analysis operator's columns land in one
-# oracle row; the standalone operators remain in sed_spark.ext.text
+# (text.metrics), then concat-and-chunk sequence packing over the BPE-ish
+# token counts — every text-analysis operator's columns in one oracle
+# row; the standalone operators remain in sed_spark.ext.text
+_PACK_BUDGET = 512
+
+
 def text_metrics(spark, sf_dir):
-    return text.metrics(load(spark, sf_dir, "documents"))
+    m = text.metrics(load(spark, sf_dir, "documents"))
+    return text.pack_sequences(m, "bpe_tokens", budget=_PACK_BUDGET)
 
 
 TEXT_METRICS_SQL = r"""
@@ -468,8 +473,16 @@ SELECT doc_id, n_chars, n_words,
     WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
     WHEN s_fr >= s_es THEN 'fr'
     ELSE 'es' END AS pred_lang,
-  n_words AS ws_tokens, bpe_tokens
-FROM s
+  n_words AS ws_tokens, bpe_tokens,
+  start // 512 AS pack_id,
+  start % 512 AS pack_offset
+FROM (
+  SELECT *,
+    CAST(SUM(bpe_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bpe_tokens
+      AS BIGINT) AS start
+  FROM s
+)
 """
 
 

@@ -468,3 +468,41 @@ def test_ivf_written_index_partition_pruned(spark, tmp_path, emb_df):
     assert "PushedFilters: []" in pf[0] or "bucket" not in (
         pf[0].split("PushedFilters:")[-1]
     )
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    # concat-and-chunk packing: pack/offset of each document's first
+    # token must equal the single-stream prefix-sum reference, across
+    # bucket seams (the two-phase distributed prefix sum is exact)
+    from sed_spark.ext.text import pack_sequences
+
+    rng = np.random.default_rng(5)
+    toks = [int(t) for t in rng.integers(1, 900, size=300)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], ["doc_id", "n_tok"],
+    )
+    got = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(
+            df.repartition(7), "n_tok", budget=1024, n_buckets=13,
+        ).collect()
+    }
+    start = 0
+    for i, t in enumerate(toks):
+        assert got[i] == (start // 1024, start % 1024), i
+        start += t
+    # offsets always inside the pack
+    assert all(0 <= off < 1024 for _, off in got.values())
+
+
+def test_pack_sequences_empty_and_validation(spark):
+    import pytest
+
+    from sed_spark.ext.text import pack_sequences
+
+    df = spark.createDataFrame([], "doc_id bigint, n_tok int")
+    out = pack_sequences(df, "n_tok", budget=64)
+    assert out.count() == 0
+    assert {"pack_id", "pack_offset"} <= set(out.columns)
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, "n_tok", budget=0)
