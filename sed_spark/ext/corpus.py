@@ -13,7 +13,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["extract_urls", "domain_stats", "hash_split"]
+__all__ = [
+    "extract_urls",
+    "domain_stats",
+    "uniform_hash_expr",
+    "hash_split",
+    "rate_sample",
+    "cap_rates",
+]
 
 #: scheme://host[:port][/path] — the regex subset with identical
 #: Java/RE2 semantics (no lookaround, no backrefs). The host must start
@@ -64,6 +71,39 @@ def domain_stats(
     )
 
 
+def uniform_hash_expr(
+    id_col: str, salt: str = "", method: str = "xxhash64",
+) -> Column:
+    """Deterministic uniform-[0,1) value from (id, salt) — the shared
+    primitive behind :func:`hash_split` and :func:`rate_sample`.
+
+    ``"xxhash64"`` (Spark-native, fastest): the signed 64-bit hash scaled
+    into [0, 1); double precision (53 bits of the hash) is ample for
+    assignment decisions. ``"md5"``: the first 8 hex digits over 2^32 —
+    slower per row, but any engine with an md5 builtin reproduces it
+    bit-for-bit (DuckDB in the oracle, hashlib in tests), making the
+    decision auditable outside the engine that made it.
+    """
+    if method == "xxhash64":
+        return (
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(salt)).cast("double")
+            / F.lit(float(2 ** 64))
+            + F.lit(0.5)
+        )
+    if method == "md5":
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("double")
+            / F.lit(float(2 ** 32))
+        )
+    raise ValueError(f"unknown method {method!r}")
+
+
 def hash_split(
     df: DataFrame,
     weights: dict[str, float],
@@ -98,28 +138,7 @@ def hash_split(
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
-    if method == "xxhash64":
-        # xxhash64 is signed; scale into [0, 1) — double precision (53
-        # bits of the hash) is ample for split assignment and stays a
-        # pure, deterministic function of (id, salt)
-        u = (
-            F.xxhash64(F.col(id_col).cast("string"), F.lit(salt)).cast("double")
-            / F.lit(float(2 ** 64))
-            + F.lit(0.5)
-        )
-    elif method == "md5":
-        u = (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
-                    1, 8,
-                ),
-                16, 10,
-            ).cast("double")
-            / F.lit(float(2 ** 32))
-        )
-    else:
-        raise ValueError(f"unknown method {method!r}")
+    u = uniform_hash_expr(id_col, salt, method)
     expr: Column | None = None
     acc = 0.0
     items = list(weights.items())
@@ -130,3 +149,61 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def cap_rates(
+    stats: DataFrame,
+    cap: float,
+    key_col: str = "domain",
+    count_col: str = "n_docs",
+    rate_col: str = "rate",
+) -> DataFrame:
+    """Per-group keep rates that downsample every group to ~``cap``
+    members in expectation: ``rate = min(1, cap / count)``. Input is a
+    rollup like :func:`domain_stats` — dimension-table sized, so the
+    rates ride a broadcast join in :func:`rate_sample`."""
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    return stats.select(
+        F.col(key_col),
+        F.least(F.lit(1.0), F.lit(float(cap)) / F.col(count_col).cast("double"))
+        .alias(rate_col),
+    )
+
+
+def rate_sample(
+    df: DataFrame,
+    rates: DataFrame,
+    key_col: str = "domain",
+    id_col: str = "doc_id",
+    salt: str = "",
+    method: str = "xxhash64",
+    rate_col: str = "rate",
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Deterministic per-group downsampling — the source-balancing step
+    of corpus curation (cap overrepresented domains): keep a row iff
+    ``uniform_hash(id, salt) < rate(group)``.
+
+    Scale design: a broadcast join of the (dimension-sized) rate table
+    plus one projection — deliberately NOT a per-group window/rank,
+    which would shuffle the full corpus on the group key and serialize
+    each giant domain through one task (domain size is exactly the
+    skewed quantity here). The trade: groups hit ~rate·n in expectation
+    rather than an exact cap, which is what web-scale pipelines accept
+    for skew-freedom. Like :func:`hash_split`, the decision is a pure
+    function of (id, salt): stable under repartition and corpus growth,
+    and independent decisions come from different salts.
+
+    Rows whose group has no rate row are KEPT (rate defaults to 1.0 —
+    an absent domain is an uncapped domain). ``keep_col=None`` filters;
+    a column name adds an int 0/1 flag instead.
+    """
+    u = uniform_hash_expr(id_col, salt, method)
+    rated = df.join(
+        F.broadcast(rates.select(key_col, rate_col)), key_col, "left",
+    )
+    keep = u < F.coalesce(F.col(rate_col), F.lit(1.0))
+    if keep_col is None:
+        return rated.filter(keep).drop(rate_col)
+    return rated.withColumn(keep_col, keep.cast("int")).drop(rate_col)

@@ -568,6 +568,7 @@ FROM wc LEFT JOIN (SELECT * FROM top WHERE rn = 1) t ON wc.doc_id = t.doc_id
 # redacted text, the extracted url/domain, the domain rollup counts, and
 # the split assignment all land in the oracle hash.
 _SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_CAP = 40  # target docs per domain for the rate sample
 
 
 def pii_redact_q(spark, sf_dir):
@@ -608,14 +609,19 @@ def pii_redact_q(spark, sf_dir):
         F.col("n_urls").alias("domain_urls"),
         F.col("n_docs").alias("domain_docs"),
     )
-    # hash_split is a pure projection — applied directly to the joined
-    # output (no join-back shuffle; the assignment is a function of the
-    # id, so WHERE it's computed doesn't matter)
-    return corpus.hash_split(
+    # source balancing: downsample every domain toward ~_CAP docs via the
+    # skew-free broadcast-rate sample (flag, not filter, so the oracle
+    # hashes BOTH decisions); then the deterministic split — both are
+    # pure projections over the joined output, no join-back shuffles
+    rates = corpus.cap_rates(corpus.domain_stats(synth), cap=_CAP)
+    sampled = corpus.rate_sample(
         red.join(urls, "doc_id").join(F.broadcast(dstats), "domain"),
-        _SPLIT_WEIGHTS,
+        rates,
+        salt="cap",
         method="md5",
+        keep_col="kept_cap",
     )
+    return corpus.hash_split(sampled, _SPLIT_WEIGHTS, method="md5")
 
 
 def _split_case_sql(weights: dict[str, float], u_sql: str) -> str:
@@ -634,15 +640,22 @@ def _split_case_sql(weights: dict[str, float], u_sql: str) -> str:
     return "CASE " + " ".join(branches) + f" ELSE '{items[-1][0]}' END"
 
 
-#: first 8 hex digits of md5 as an integer (digit-by-digit parse —
-#: portable, no hex-literal casts needed)
-_HEX8 = " + ".join(
-    f"{16 ** (7 - i)} * (strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
-    for i in range(8)
-)
+def _hex8(col: str) -> str:
+    """First 8 hex digits of an md5 column as an integer (digit-by-digit
+    parse — portable, no hex-literal casts needed)."""
+    return " + ".join(
+        f"{16 ** (7 - i)} * "
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1)"
+        for i in range(8)
+    )
+
+
+_HEX8 = _hex8("h")
 
 
 def _pii_sql() -> str:
+    from sed_spark.suite.common import fl
+
     split_case = _split_case_sql(_SPLIT_WEIGHTS, "u")
     return r"""
 WITH synth AS (
@@ -687,6 +700,11 @@ sp AS (
     SELECT doc_id, (__HEX8__) / 4294967296.0 AS u
     FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
   )
+),
+capu AS (
+  SELECT doc_id, (__HEX8C__) / 4294967296.0 AS ucap
+  FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'cap') AS h2
+        FROM documents)
 )
 SELECT s.doc_id,
   CAST(len(regexp_extract_all(s.text,
@@ -698,11 +716,17 @@ SELECT s.doc_id,
   regexp_replace(s.r2,
     '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted,
   dom.url, dom.domain, dom.domain_urls, dom.domain_docs,
+  CAST(capu.ucap <
+    least(1.0, __CAP__ / CAST(dom.domain_docs AS DOUBLE))
+    AS INTEGER) AS kept_cap,
   sp.split
 FROM staged2 s
 JOIN dom ON dom.doc_id = s.doc_id
 JOIN sp ON sp.doc_id = s.doc_id
-""".replace("__SPLIT_CASE__", split_case).replace("__HEX8__", _HEX8)
+JOIN capu ON capu.doc_id = s.doc_id
+""".replace("__SPLIT_CASE__", split_case).replace(
+        "__HEX8C__", _hex8("h2"),
+    ).replace("__HEX8__", _HEX8).replace("__CAP__", fl(float(_CAP)))
 
 
 # min-hash word-shingle fingerprint + winnowing (SIGMOD 2003) fingerprint,

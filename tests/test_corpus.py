@@ -127,3 +127,42 @@ def test_hash_split_rejects_unknown_method(spark):
     df = spark.createDataFrame([(1,)], ["doc_id"])
     with pytest.raises(ValueError, match="unknown method"):
         hash_split(df, {"a": 1.0}, method="sha999")
+
+
+def test_rate_sample_deterministic_and_skew_free(spark):
+    from sed_spark.ext.corpus import cap_rates, rate_sample
+
+    # 3 domains: big (300 docs), medium (60), small (10)
+    rows = [(i, "big" if i < 300 else ("med" if i < 360 else "small"))
+            for i in range(370)]
+    df = spark.createDataFrame(rows, ["doc_id", "domain"])
+    stats = df.groupBy("domain").count().withColumnRenamed("count", "n_docs")
+    rates = cap_rates(stats, cap=50)
+
+    kept = rate_sample(df, rates, salt="s").collect()
+    by_dom = {}
+    for r in kept:
+        by_dom.setdefault(r["domain"], []).append(r["doc_id"])
+    # small domain entirely kept (rate clamps at 1.0)
+    assert len(by_dom["small"]) == 10
+    # big domain downsampled toward ~50 in expectation
+    assert 25 <= len(by_dom["big"]) <= 80
+    # decisions stable under repartition
+    again = {r["doc_id"] for r in
+             rate_sample(df.repartition(13), rates, salt="s").collect()}
+    assert again == {r["doc_id"] for r in kept}
+    # flag mode marks instead of filtering
+    flagged = rate_sample(df, rates, salt="s", keep_col="kept")
+    assert flagged.count() == 370
+    assert flagged.filter("kept = 1").count() == len(kept)
+
+
+def test_rate_sample_missing_group_kept(spark):
+    from sed_spark.ext.corpus import rate_sample
+
+    df = spark.createDataFrame(
+        [(1, "known"), (2, "unknown")], ["doc_id", "domain"],
+    )
+    rates = spark.createDataFrame([("known", 0.0)], ["domain", "rate"])
+    got = {r["doc_id"] for r in rate_sample(df, rates).collect()}
+    assert got == {2}  # rate 0 drops; absent domain is uncapped
