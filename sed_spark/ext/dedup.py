@@ -27,6 +27,8 @@ __all__ = [
     "jaccard_pairs",
     "simhash16",
     "benchmark_contamination",
+    "normalize_text_expr",
+    "verify_pairs_editdist",
 ]
 
 
@@ -338,3 +340,56 @@ def simhash16(
         term = F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         bits = term if bits is None else bits + term
     return sums.select(F.col(id_col), bits.cast("bigint").alias("simhash"))
+
+
+def normalize_text_expr(text: Column) -> Column:
+    """Canonical text form for dedup: lowercase, punctuation stripped,
+    whitespace runs collapsed, ends trimmed. Pure expressions (JVM
+    regex); the same four steps are reproducible in any engine with
+    regexp_replace, so normalized-hash dedup decisions stay auditable.
+    Unicode NFC normalization would slot in front as a pandas-UDF stage
+    where corpora need it (ASCII corpora do not)."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9 ]", "")
+    t = F.regexp_replace(t, r" +", " ")
+    return F.trim(t)
+
+
+def verify_pairs_editdist(
+    pairs: DataFrame,
+    docs: DataFrame,
+    max_dist: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Exact edit-distance verification of CANDIDATE pairs — the verify
+    step after LSH/Jaccard candidate generation: join each pair to its
+    two texts and compute ``levenshtein`` (JVM builtin, O(len²) per
+    pair). Returns (a_id, b_id, edit_dist), filtered to ``max_dist``
+    when given.
+
+    Scale: the quadratic-cost metric runs ONLY on the blocked candidate
+    set (LSH keeps it ~linear in corpus size), never all pairs; the two
+    text lookups are joins on the id key. When ``max_dist`` is set the
+    JVM computes the banded variant (``levenshtein(l, r, threshold)``)
+    which early-exits at the bound — O(len·max_dist) instead of
+    O(len²), the difference between feasible and not at 100 TB.
+    """
+    a_txt = docs.select(
+        F.col(id_col).alias(a_col), F.col(text_col).alias("__a_text"),
+    )
+    b_txt = docs.select(
+        F.col(id_col).alias(b_col), F.col(text_col).alias("__b_text"),
+    )
+    joined = pairs.join(a_txt, a_col).join(b_txt, b_col)
+    if max_dist is None:
+        dist = F.levenshtein(F.col("__a_text"), F.col("__b_text"))
+        out = joined.select(a_col, b_col, dist.alias("edit_dist"))
+        return out
+    dist = F.levenshtein(F.col("__a_text"), F.col("__b_text"), int(max_dist))
+    return (
+        joined.select(a_col, b_col, dist.alias("edit_dist"))
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
+    )

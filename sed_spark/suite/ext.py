@@ -49,7 +49,18 @@ def dedup_exact(spark, sf_dir):
         F.lit("incremental").alias("method"),
         "text_hash", "keep_id", "group_size",
     )
-    return batch.unionAll(inc)
+    # canonical-form dedup: normalization collapses case/punct/whitespace
+    # variants the raw hash treats as distinct
+    norm = dedup.exact_dedup(
+        docs.select(
+            "doc_id",
+            dedup.normalize_text_expr(F.col("text")).alias("text"),
+        ),
+    ).select(
+        F.lit("normalized").alias("method"),
+        "text_hash", "keep_id", "group_size",
+    )
+    return batch.unionAll(inc).unionAll(norm)
 
 
 DEDUP_EXACT_SQL = """
@@ -63,6 +74,16 @@ FROM documents WHERE doc_id % 2 = 1
 GROUP BY md5(text)
 HAVING md5(text) NOT IN
   (SELECT DISTINCT md5(text) FROM documents WHERE doc_id % 2 = 0)
+UNION ALL
+SELECT 'normalized' AS method, md5(nt) AS text_hash,
+       min(doc_id) AS keep_id, COUNT(*) AS group_size
+FROM (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text),
+      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS nt
+  FROM documents
+)
+GROUP BY md5(nt)
 """
 
 
@@ -81,11 +102,17 @@ FROM g GROUP BY doc_id
 
 
 def lsh_pairs(spark, sf_dir):
-    sigs = dedup.minhash_signatures(load(spark, sf_dir, "documents"), n_bands=4)
-    return dedup.lsh_candidate_pairs(sigs, n_bands=4)
+    """LSH candidate generation + the exact edit-distance verify step
+    over the candidates (the blocked-verify pattern: the quadratic
+    metric only ever runs on the candidate set)."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, n_bands=4)
+    pairs = dedup.lsh_candidate_pairs(sigs, n_bands=4)
+    return dedup.verify_pairs_editdist(pairs, docs)
 
 
-LSH_PAIRS_SQL = f"""
+# the bare pair set (no verify) — dedup_clusters builds its closure on it
+LSH_PAIRS_BARE_SQL = f"""
 WITH base AS ({_grams_sql(3)}),
 g AS (SELECT doc_id, unnest(grams) AS g FROM base),
 sigs AS (
@@ -103,6 +130,15 @@ bands AS (
 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+LSH_PAIRS_SQL = f"""
+WITH pairs AS ({LSH_PAIRS_BARE_SQL})
+SELECT p.a_id, p.b_id,
+  levenshtein(ta.text, tb.text) AS edit_dist
+FROM pairs p
+JOIN documents ta ON ta.doc_id = p.a_id
+JOIN documents tb ON tb.doc_id = p.b_id
 """
 
 
@@ -132,7 +168,7 @@ def dedup_clusters(spark, sf_dir):
 # The closure runs once; the two method tags select from the same CTE.
 DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE
-pairs AS ({LSH_PAIRS_SQL}),
+pairs AS ({LSH_PAIRS_BARE_SQL}),
 edges AS (
   SELECT a_id AS u, b_id AS v FROM pairs
   UNION ALL

@@ -506,3 +506,51 @@ def test_pack_sequences_empty_and_validation(spark):
     assert {"pack_id", "pack_offset"} <= set(out.columns)
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(df, "n_tok", budget=0)
+
+
+def test_verify_pairs_editdist_matches_python(spark):
+    from sed_spark.ext.dedup import verify_pairs_editdist
+
+    def lev(a, b):
+        # classic Wagner-Fischer
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    texts = ["kitten", "sitting", "kitten!", "totally different words here"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], ["a_id", "b_id"],
+    )
+    got = {(r["a_id"], r["b_id"]): r["edit_dist"]
+           for r in verify_pairs_editdist(pairs, docs).collect()}
+    assert got == {(0, i): lev(texts[0], texts[i]) for i in (1, 2, 3)}
+    # banded variant: pairs above the bound are dropped (JVM early-exit)
+    kept = {(r["a_id"], r["b_id"])
+            for r in verify_pairs_editdist(pairs, docs, max_dist=3).collect()}
+    assert kept == {(0, 1), (0, 2)}
+
+
+def test_normalize_text_expr(spark):
+    from sed_spark.ext.dedup import normalize_text_expr
+
+    rows = [
+        (0, "Hello,   World!"),
+        (1, "hello world"),
+        (2, "  HELLO ... world  "),
+        (3, "different"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["nt"]
+           for r in df.select(
+               "doc_id", normalize_text_expr(F.col("text")).alias("nt"),
+           ).collect()}
+    assert got[0] == got[1] == got[2] == "hello world"
+    assert got[3] == "different"
