@@ -117,10 +117,19 @@ def main() -> None:
     )
     splits = {r["split"] for r in per_split_domain}
 
+    # 8. pack the train split into fixed context windows (concat-and-chunk)
+    train_tok = (
+        text.token_stats(docs)
+        .join(split.filter(F.col("split") == "train"), "doc_id", "left_semi")
+    )
+    packed = text.pack_sequences(train_tok, "bpe_tokens", budget=2048)
+    n_packs = packed.agg(F.max("pack_id")).collect()[0][0] + 1
+
     print(f"documents: {n0} -> {n_final} after dedup/decontam/quality")
     print(f"pii redacted: emails={pii_hits['emails']} ips={pii_hits['ips']} "
           f"phones={pii_hits['phones']}")
     print(f"ann rows: {topk}")
+    print(f"train split packs into {n_packs} x 2048-token windows")
     for r in per_split_domain:
         print(f"  split={r['split']:<5} domain={r['domain']:<20} "
               f"docs={r['n_docs']}")
