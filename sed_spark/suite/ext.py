@@ -101,14 +101,22 @@ FROM g GROUP BY doc_id
 """
 
 
+_EDIT_BOUND = 64
+
+
 def lsh_pairs(spark, sf_dir):
-    """LSH candidate generation + the exact edit-distance verify step
-    over the candidates (the blocked-verify pattern: the quadratic
-    metric only ever runs on the candidate set)."""
+    """LSH candidate generation + the BANDED edit-distance verify over
+    the candidates (the blocked-verify pattern: the metric only ever
+    runs on the candidate set, and the bound makes it O(len·bound) per
+    pair). Every candidate row survives — pairs beyond the bound carry
+    the -1 sentinel — so the row pins candidate generation AND the
+    verify decision in one hash."""
     docs = load(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, n_bands=4)
     pairs = dedup.lsh_candidate_pairs(sigs, n_bands=4)
-    return dedup.verify_pairs_editdist(pairs, docs)
+    return dedup.verify_pairs_editdist(
+        pairs, docs, max_dist=_EDIT_BOUND, keep_exceeded=True,
+    )
 
 
 # the bare pair set (no verify) — dedup_clusters builds its closure on it
@@ -135,7 +143,8 @@ FROM bands a JOIN bands b
 LSH_PAIRS_SQL = f"""
 WITH pairs AS ({LSH_PAIRS_BARE_SQL})
 SELECT p.a_id, p.b_id,
-  levenshtein(ta.text, tb.text) AS edit_dist
+  CASE WHEN levenshtein(ta.text, tb.text) <= {_EDIT_BOUND}
+    THEN levenshtein(ta.text, tb.text) ELSE -1 END AS edit_dist
 FROM pairs p
 JOIN documents ta ON ta.doc_id = p.a_id
 JOIN documents tb ON tb.doc_id = p.b_id

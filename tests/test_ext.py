@@ -536,6 +536,11 @@ def test_verify_pairs_editdist_matches_python(spark):
     kept = {(r["a_id"], r["b_id"])
             for r in verify_pairs_editdist(pairs, docs, max_dist=3).collect()}
     assert kept == {(0, 1), (0, 2)}
+    # keep_exceeded annotates instead of dropping: -1 sentinel past bound
+    ann = {(r["a_id"], r["b_id"]): r["edit_dist"]
+           for r in verify_pairs_editdist(
+               pairs, docs, max_dist=3, keep_exceeded=True).collect()}
+    assert ann[(0, 3)] == -1 and ann[(0, 1)] == 3
 
 
 def test_normalize_text_expr(spark):
