@@ -25,6 +25,11 @@ def scale_out(df: DataFrame, factor: int = 1) -> DataFrame:
     would otherwise serialize them onto one core. At cluster scale the input
     split count exceeds ``defaultParallelism`` and this is a no-op — the
     shuffle is only paid when the data is too small for it to matter.
+
+    The ``df.rdd`` partition probe runs one analyzer pass on the driver;
+    callers apply this to BASE-TABLE SCANS (shallow plans) before building
+    on top, where that pass is microseconds — don't wrap a deep derived
+    plan with it (the probe would re-analyze the whole tree).
     """
     target = df.sparkSession.sparkContext.defaultParallelism * factor
     if df.rdd.getNumPartitions() < target:
