@@ -33,3 +33,37 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     aplan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in aplan, aplan
     assert joined.count() == 10_000
+
+
+def test_incremental_dedup_over_bucketed_hash_state(spark, tmp_path):
+    # the deployment shape incremental_dedup's docstring promises: the
+    # corpus hash table and the staged batch hashes both bucketed on the
+    # hash -> the anti-join is co-located, NO Exchange anywhere
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(500)], ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, f"doc {i}" if i < 50 else f"new {i}") for i in range(100)],
+        ["doc_id", "text"],
+    )
+    seen = corpus.select(F.md5("text").alias("text_hash"))
+    seen_t = stage_bucketed(
+        seen, "t_seen_hashes", ["text_hash"], n_buckets=8,
+        sort_cols=["text_hash"], path=str(tmp_path / "seen"),
+    )
+    staged_batch = stage_bucketed(
+        batch.select("doc_id", F.md5("text").alias("text_hash")),
+        "t_batch_hashes", ["text_hash"], n_buckets=8,
+        sort_cols=["text_hash"], path=str(tmp_path / "batch"),
+    )
+    fresh = staged_batch.hint("merge").join(seen_t, "text_hash", "left_anti")
+    fresh.collect()
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "LeftAnti" in plan
+    assert "Exchange" not in plan, plan
+    # semantics match the operator run directly on the raw tables
+    from sed_spark.ext.dedup import incremental_dedup
+
+    want = {r["keep_id"] for r in incremental_dedup(batch, seen).collect()}
+    got = {r["doc_id"] for r in fresh.collect()}
+    assert got == want == {1000 + i for i in range(50, 100)}
