@@ -1,0 +1,161 @@
+"""Operator scaling report: throughput across 100x input growth.
+
+The suite's correctness runs at small scale factors; this tool provides
+the SCALE evidence — each representative operator is run (best-of-2,
+noop sink) on expression-synthesized inputs at 10x size steps, and the
+table reports wall time, throughput, and the time ratio per 10x step
+(~10 = linear; the job-overhead floor makes small sizes look sublinear).
+Inputs are generated JVM-side (`spark.range` + md5/rand expressions), so
+the measurement is the operator, not a driver upload.
+
+    PYTHONPATH=/root/repo python tools/scaling_report.py > SCALING.md
+
+Regenerate whenever operator implementations change materially.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synth_docs(spark, n: int):
+    """Deterministic ~40-word word-soup documents, generated JVM-side.
+
+    Word w of doc d is the md5-prefix of (d*40+w) taken from a 4096-word
+    vocabulary (modulo), so shingles collide across documents the way a
+    real corpus's do.
+    """
+    from pyspark.sql import functions as F
+
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(40)),
+        lambda i: F.substring(
+            F.md5(((F.col("id") * 40 + i) % 4096).cast("string")), 1, 6,
+        ),
+    )
+    par = spark.sparkContext.defaultParallelism * 4
+    return spark.range(0, n, 1, par).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text"),
+    )
+
+
+def synth_embeddings(spark, n: int, dim: int = 64):
+    from pyspark.sql import functions as F
+
+    par = spark.sparkContext.defaultParallelism * 4
+    vec = F.array(*[F.rand(seed=100 + d) * 2 - 1 for d in range(dim)])
+    return spark.range(0, n, 1, par).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding"),
+    )
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from sed_spark.binning import sparse_histogram
+    from sed_spark.ext import corpus, dedup, similarity, text
+    from sed_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="sed-spark-scaling",
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "48g",
+            ),
+            "spark.driver.maxResultSize": "8g",
+            "spark.log.level": "ERROR",
+        },
+    )
+
+    def run_noop(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    def timed(fn, reps: int = 2) -> float:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # each entry: (operator label, sizes, builder(n) -> thunk)
+    def _text_metrics(n):
+        d = synth_docs(spark, n)
+        return lambda: run_noop(text.metrics(d))
+
+    def _dedup_exact(n):
+        d = synth_docs(spark, n)
+        return lambda: run_noop(dedup.exact_dedup(d))
+
+    def _minhash(n):
+        d = synth_docs(spark, n)
+        return lambda: run_noop(dedup.minhash_signatures(d, n_bands=4))
+
+    def _pack(n):
+        d = synth_docs(spark, n).withColumn("n_tok", F.length("text"))
+        return lambda: run_noop(
+            text.pack_sequences(d, "n_tok", budget=4096),
+        )
+
+    def _hash_split(n):
+        d = synth_docs(spark, n)
+        return lambda: run_noop(
+            corpus.hash_split(d, {"a": 0.9, "b": 0.1}),
+        )
+
+    def _hist2d(n):
+        d = spark.range(0, n, 1, spark.sparkContext.defaultParallelism * 4)
+        d = d.select(
+            (F.rand(1) * 500).alias("x"), (F.rand(2) * 500).alias("y"),
+        )
+        agg, _, _ = sparse_histogram(
+            d, bins=[100, 100], axes=["x", "y"],
+            ranges=[(0.0, 500.0), (0.0, 500.0)], count_alias="cnt",
+        )
+        return lambda: run_noop(agg)
+
+    def _batch_ann(n):
+        emb = synth_embeddings(spark, n)
+        q = emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        return lambda: run_noop(similarity.batch_cosine_topk(emb, q, k=10))
+
+    cases = [
+        ("text_metrics (fused text scan)", [10**5, 10**6, 10**7], _text_metrics),
+        ("dedup_exact (hash-groupBy)", [10**5, 10**6, 10**7], _dedup_exact),
+        ("hash_split (projection)", [10**5, 10**6, 10**7], _hash_split),
+        ("pack_sequences (2-phase prefix sum)", [10**5, 10**6, 10**7], _pack),
+        ("minhash_signatures (explode+agg)", [10**5, 10**6], _minhash),
+        ("batch_cosine_topk (arrow scorer)", [10**5, 10**6], _batch_ann),
+        ("sparse_histogram 100x100", [10**6, 10**7, 10**8], _hist2d),
+    ]
+
+    print("# Operator scaling (local[%s], best-of-2, noop sink)\n"
+          % spark.sparkContext.defaultParallelism)
+    print("Time ratio per 10x rows: ~10 = linear scaling; small sizes sit")
+    print("on the fixed job-overhead floor, so their ratios read sublinear.")
+    print("Generated by tools/scaling_report.py.\n")
+    print("| operator | rows | sec | M rows/s | 10x step ratio |")
+    print("|---|---|---|---|---|")
+    for label, sizes, builder in cases:
+        prev = None
+        for n in sizes:
+            thunk = builder(n)
+            t = timed(thunk)
+            ratio = "" if prev is None else f"{t / prev:.1f}x"
+            print(
+                f"| {label} | {n:.0e} | {t:.2f} | {n / t / 1e6:.2f} "
+                f"| {ratio} |",
+            )
+            prev = t
+        label = ""  # only print the operator once
+
+
+if __name__ == "__main__":
+    main()
