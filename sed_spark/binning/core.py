@@ -207,7 +207,24 @@ def _axis_source_projection(
                 binsize = ax.width if ax.uniform else float(ax.edges[1] - ax.edges[0])
                 # per-axis independent noise (reference bin_partition:144-166)
                 seed = None if jitter_seed is None else jitter_seed + i
-                if mode == "uniform":
+                seed_col = pars.get("seed_column")
+                if seed_col is not None:
+                    # content-keyed draw: noise is a pure function of the
+                    # row key — identical across partitionings/engines
+                    # (see dfops.apply_jitter's seed_column); uniform only
+                    if mode != "uniform":
+                        raise ValueError(
+                            "seed_column jitter supports uniform mode only",
+                        )
+                    from sed_spark.ext.corpus import uniform_hash_expr
+
+                    u = uniform_hash_expr(
+                        seed_col,
+                        salt=str(seed if seed is not None else i),
+                        method=pars.get("hash_method", "xxhash64"),
+                    )
+                    noise = u * 2.0 - 1.0
+                elif mode == "uniform":
                     noise = (F.rand(seed) if seed is not None else F.rand()) * 2.0 - 1.0
                 else:
                     noise = F.randn(seed) if seed is not None else F.randn()

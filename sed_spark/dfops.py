@@ -106,6 +106,8 @@ def apply_jitter(
     amps: float | Sequence[float] = 0.5,
     jitter_type: str = "uniform",
     seed: int | None = None,
+    seed_column: str | None = None,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Add jitter noise to one or more columns.
 
@@ -116,7 +118,15 @@ def apply_jitter(
     target column — stays inside whole-stage codegen, no UDF.
 
     ``seed`` makes the draw reproducible per partition (Spark's ``rand`` is
-    deterministic given seed + partition layout).
+    deterministic given seed + partition layout — re-partitioning the input
+    changes the draw). ``seed_column`` switches uniform jitter to a
+    CONTENT-KEYED draw: the noise is a pure function of (row key, seed)
+    via :func:`sed_spark.ext.corpus.uniform_hash_expr`, so results are
+    identical across partitionings, cluster sizes, and engines
+    (``hash_method="md5"`` is reproducible outside Spark entirely) —
+    reproducible-pipeline jitter rather than statistical jitter. Normal
+    jitter has no content-keyed form (no portable inverse-CDF), so
+    ``seed_column`` with ``jitter_type="normal"`` raises.
     """
     if isinstance(cols, str):
         cols = [cols]
@@ -129,7 +139,16 @@ def apply_jitter(
     if jitter_type not in ("uniform", "normal"):
         raise ValueError("jitter_type must be 'uniform' or 'normal'")
 
-    if jitter_type == "uniform":
+    if seed_column is not None:
+        if jitter_type != "uniform":
+            raise ValueError(
+                "seed_column (content-keyed jitter) supports uniform only",
+            )
+        from sed_spark.ext.corpus import uniform_hash_expr
+
+        u = uniform_hash_expr(seed_column, salt=str(seed or 0), method=hash_method)
+        noise = u * 2.0 - 1.0
+    elif jitter_type == "uniform":
         noise = (F.rand(seed) if seed is not None else F.rand()) * 2.0 - 1.0
     else:
         noise = F.randn(seed) if seed is not None else F.randn()

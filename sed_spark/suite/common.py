@@ -11,6 +11,18 @@ def fl(x: float) -> str:
     return repr(float(x))
 
 
+def hex8(col: str) -> str:
+    """SQL for the first 8 hex digits of an md5 column as an integer
+    (digit-by-digit parse — portable, no hex-literal casts). Mirrors the
+    Spark side of ``sed_spark.ext.corpus.uniform_hash_expr('md5')``
+    when divided by 2^32."""
+    return " + ".join(
+        f"{16 ** (7 - i)} * "
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1)"
+        for i in range(8)
+    )
+
+
 def configure(spark: SparkSession) -> None:
     """Make any session (including the driver's) read the testdata:
     TIMESTAMP(NANOS) -> int64, ms timestamps -> TIMESTAMP_NTZ."""

@@ -143,16 +143,39 @@ sql("hist_1d",
     f"UNION ALL SELECT 'edges' AS grammar, * FROM ({_edges_sql()})")
 
 
-# jitter: random — no oracle (driver records rows-only); asserts the engine's
-# jitter + binning path runs at scale
+# jitter + binning, ORACLE-CHECKED: the content-keyed draw (noise = a
+# pure function of the event id, not Spark's partition-layout-dependent
+# rand) makes the jittered histogram deterministic, so the row upgrades
+# from rows-only to a full hash-match — and the md5 hash method lets
+# DuckDB reproduce the identical noise. rand-based jitter remains the
+# statistical default (dfops.apply_jitter without seed_column) and is
+# exercised by the bench workflows.
 @q("hist_1d_jitter")
 def hist_1d_jitter(spark, sf_dir):
     df = load(spark, sf_dir, "events")
     agg, norm, bin_names = sparse_histogram(
         df, bins=[100], axes=["value"], ranges=[(0.0, 500.0)],
-        jitter=["value"], jitter_seed=42, count_alias="cnt",
+        jitter={"value": {"seed_column": "event_id", "hash_method": "md5"}},
+        jitter_seed=42, count_alias="cnt",
     )
     return agg.select(F.col(bin_names[0]).alias("bin_value"), "cnt")
+
+
+def _jitter_hist_sql() -> str:
+    from sed_spark.suite.common import hex8
+
+    # mirrors _axis_source_projection's content-keyed branch: amp 0.5 x
+    # binsize 5.0, u from md5(event_id || '42') (jitter_seed 42, axis 0)
+    u = f"(({hex8('h')}) / 4294967296.0)"
+    src = (
+        f"(SELECT (value + {fl(0.5 * 5.0)} * ({u} * 2.0 - 1.0)) AS value "
+        "FROM (SELECT value, md5(CAST(event_id AS VARCHAR) || '42') AS h "
+        "FROM events))"
+    )
+    return _hist_sql(src, _H1_AXES)
+
+
+sql("hist_1d_jitter", _jitter_hist_sql())
 
 
 # ---------------------------------------------------------------------------

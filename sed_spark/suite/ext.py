@@ -685,15 +685,7 @@ def _split_case_sql(weights: dict[str, float], u_sql: str) -> str:
     return "CASE " + " ".join(branches) + f" ELSE '{items[-1][0]}' END"
 
 
-def _hex8(col: str) -> str:
-    """First 8 hex digits of an md5 column as an integer (digit-by-digit
-    parse — portable, no hex-literal casts needed)."""
-    return " + ".join(
-        f"{16 ** (7 - i)} * "
-        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1)"
-        for i in range(8)
-    )
-
+from sed_spark.suite.common import hex8 as _hex8  # noqa: E402
 
 _HEX8 = _hex8("h")
 

@@ -334,3 +334,33 @@ def test_asof_join_keyless_rejects_array_value(spark):
     )
     got = asof_join(left_k, right_k, on="ts", by="k").collect()
     assert got[0]["v"] == [1, 2]
+
+
+def test_content_keyed_jitter_partition_invariant(spark):
+    # seed_column jitter is a pure function of the row key: identical
+    # results under any partition layout (rand-based jitter is not)
+    from sed_spark.dfops import apply_jitter
+
+    df = spark.createDataFrame(
+        [(i, float(i) * 3.0) for i in range(500)], ["event_id", "value"],
+    )
+    kw = dict(cols=["value"], cols_jittered=["vj"], amps=[0.5],
+              seed=42, seed_column="event_id")
+    a = {r["event_id"]: r["vj"] for r in apply_jitter(df, **kw).collect()}
+    b = {r["event_id"]: r["vj"]
+         for r in apply_jitter(df.repartition(13), **kw).collect()}
+    assert a == b
+    # noise is bounded by the amplitude and actually nonzero
+    devs = [abs(a[i] - i * 3.0) for i in range(500)]
+    assert max(devs) <= 0.5 and max(devs) > 0.1
+    # different seeds give different draws
+    c = {r["event_id"]: r["vj"]
+         for r in apply_jitter(df, cols=["value"], cols_jittered=["vj"],
+                               amps=[0.5], seed=7,
+                               seed_column="event_id").collect()}
+    assert c != a
+    import pytest
+
+    with pytest.raises(ValueError, match="uniform only"):
+        apply_jitter(df, cols=["value"], jitter_type="normal",
+                     seed_column="event_id")
