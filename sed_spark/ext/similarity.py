@@ -25,6 +25,7 @@ __all__ = [
     "lsh_band_buckets",
     "embedding_near_dup",
     "kmeans_fit",
+    "semantic_dedup",
     "ivf_assign",
     "ivf_topk",
     "ivf_write_index",
@@ -353,7 +354,18 @@ def ivf_assign(
     from sed_spark.ext import scale_out
 
     df = scale_out(df)
-    sims = F.array(
+    sims = _centroid_sims_expr(vec_col, centroids, round_decimals)
+    bucket = F.array_position(sims, F.array_max(sims)).cast("int")
+    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def _centroid_sims_expr(
+    vec_col: str, centroids: Sequence[Sequence[float]], round_decimals: int,
+) -> Column:
+    """Row-local array of rounded cosines to every centroid — the shared
+    quantization rule of :func:`ivf_assign` and :func:`semantic_dedup`
+    (centroids ride in the expression tree as literals, zero shuffle)."""
+    return F.array(
         *[
             F.round(
                 cosine_expr(F.col(vec_col), F.array(*[F.lit(float(v)) for v in c])),
@@ -362,8 +374,6 @@ def ivf_assign(
             for c in centroids
         ],
     )
-    bucket = F.array_position(sims, F.array_max(sims)).cast("int")
-    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
 def kmeans_fit(
@@ -442,6 +452,99 @@ def kmeans_fit(
         if shift < tol:
             break
     return centroids.tolist()
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "min_id",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication",
+    arXiv:2303.09540): k-means-cluster the embedding space, then suppress
+    within-cluster cosine-near-duplicates, keeping one representative.
+
+    Returns ``(id_col, cluster, is_kept)`` for every input row —
+    downstream dedup is ``filter(is_kept = 1)`` joined back by id.
+
+    Semantics: a document is dropped iff some HIGHER-PRIORITY document in
+    the same cluster has cosine ≥ ``threshold`` to it — a single-join
+    dominance rule, deterministic and closed-form (no iterative closure).
+    With chains a ~ b ~ c where a ≁ c, both b and c are dropped even
+    though b (c's only near-duplicate) is itself dropped; that matches
+    the paper's greedy one-pass sweep. For transitive-closure semantics
+    feed the pair graph to :func:`sed_spark.ext.graph.dedup_clusters`
+    instead.
+
+    ``keep`` picks the priority order:
+
+    * ``"min_id"`` (default) — lowest id wins; cheapest, fully
+      oracle-checkable.
+    * ``"far_from_centroid"`` — the paper's rule: within a duplicate
+      pair the document with LOWER cosine to its cluster centroid (the
+      less typical example) wins, ties to the lower id. Retains more
+      diverse examples at equal dedup rate.
+
+    Scale design: cluster assignment is :func:`ivf_assign`'s row-local
+    argmax (zero shuffle, one pass — the assigned table is checkpointed
+    so the argmax expression tree runs once, not once per join side);
+    the pairwise stage is an equi-join keyed on the cluster id, so
+    candidate generation is O(Σ cluster²) rather than O(N²) — the
+    entire point of clustering first — and `k` is chosen so clusters
+    are ~N/k ≈ shuffle-partition-sized. The dropped-id table is two
+    columns and joins back by id (AQE broadcasts it when small).
+    """
+    if keep not in ("min_id", "far_from_centroid"):
+        raise ValueError(f"unknown keep policy {keep!r}")
+    assigned = ivf_assign(
+        df, centroids, id_col=id_col, vec_col=vec_col,
+        round_decimals=round_decimals,
+    )
+    if keep == "far_from_centroid":
+        sims = _centroid_sims_expr(vec_col, centroids, round_decimals)
+        assigned = assigned.withColumn(
+            "__cent_sim", F.element_at(sims, F.col("bucket")),
+        )
+    assigned = assigned.localCheckpoint(eager=True)
+
+    prio = ["__cent_sim"] if keep == "far_from_centroid" else []
+    a = assigned.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "bucket",
+        *[F.col(c).alias(f"a{c}") for c in prio],
+    )
+    b = assigned.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "bucket",
+        *[F.col(c).alias(f"b{c}") for c in prio],
+    )
+    if keep == "min_id":
+        dominates = F.col("b_id") < F.col("a_id")
+    else:
+        dominates = (F.col("b__cent_sim") < F.col("a__cent_sim")) | (
+            (F.col("b__cent_sim") == F.col("a__cent_sim"))
+            & (F.col("b_id") < F.col("a_id"))
+        )
+    sim = F.round(cosine_expr(F.col("a_vec"), F.col("b_vec")), round_decimals)
+    dropped = (
+        a.join(b, "bucket")
+        .filter(dominates)
+        .filter(sim >= threshold)
+        .select(F.col("a_id").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return (
+        assigned.select(id_col, F.col("bucket").alias("cluster"))
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.col("__dropped").isNull().cast("int").alias("is_kept"),
+        )
+    )
 
 
 def ivf_topk(

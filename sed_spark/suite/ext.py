@@ -347,18 +347,76 @@ _NEARDUP_PLANES = similarity.deterministic_planes(16, 64)
 _NEARDUP_BANDS = 4
 
 
+_SEMDEDUP_THRESHOLD = 0.4
+
+
 def embedding_near_dup(spark, sf_dir):
-    return similarity.embedding_near_dup(
-        load(spark, sf_dir, "embeddings"),
+    """BOTH embedding-space dedup strategies on the same table,
+    tag-unioned: ``lsh`` = banded hyperplane-LSH near-duplicate pairs
+    (``(a_id, b_id, cos)`` rows); ``semdedup`` = SemDeDup cluster-then-
+    suppress keep/drop verdicts (``(vec_id, cluster, is_kept)`` rows,
+    repurposing the pair columns)."""
+    df = load(spark, sf_dir, "embeddings")
+    lsh = similarity.embedding_near_dup(
+        df,
         planes=_NEARDUP_PLANES,
         n_bands=_NEARDUP_BANDS,
         threshold=0.4,
     )
+    sem = similarity.semantic_dedup(
+        df, _IVF_CENTROIDS, threshold=_SEMDEDUP_THRESHOLD,
+    )
+    return lsh.select(
+        F.lit("lsh").alias("method"),
+        "a_id",
+        "b_id",
+        F.col("cos_sim").alias("score"),
+    ).unionAll(
+        sem.select(
+            F.lit("semdedup").alias("method"),
+            F.col("vec_id").alias("a_id"),
+            F.col("cluster").cast("long").alias("b_id"),
+            F.col("is_kept").cast("double").alias("score"),
+        ),
+    )
+
+
+def _semdedup_sql() -> str:
+    """Mirror of ``similarity.semantic_dedup(keep='min_id')``: same
+    centroid literals and argmax-bucket rule as the IVF oracle, greedy
+    lowest-id-wins dominance inside each cluster."""
+    arr = _cent_arr_sql(_IVF_CENTROIDS)
+    cos = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE))) "
+        "/ (sqrt(list_sum(list_transform(generate_series(1, 64), "
+        "j -> CAST(a.embedding[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE)))) "
+        "* sqrt(list_sum(list_transform(generate_series(1, 64), "
+        "j -> CAST(b.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE)))))"
+    )
+    return f"""
+assigned AS (
+  SELECT vec_id, embedding, list_position(arr, list_max(arr)) AS bucket
+  FROM (SELECT vec_id, embedding, {arr} AS arr FROM embeddings)
+),
+sem_dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+  WHERE round({cos}, 6) >= {_SEMDEDUP_THRESHOLD}
+),
+sem AS (
+  SELECT 'semdedup' AS method, a.vec_id AS a_id,
+         CAST(a.bucket AS BIGINT) AS b_id,
+         CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS DOUBLE) AS score
+  FROM assigned a LEFT JOIN sem_dropped d ON a.vec_id = d.vec_id
+)"""
 
 
 def _near_dup_sql() -> str:
     """Mirror of embedding_near_dup: same plane literals, same band/bucket
-    construction, same rounded-cosine threshold."""
+    construction, same rounded-cosine threshold — UNION ALL'd with the
+    SemDeDup verdict branch (``_semdedup_sql``)."""
     from sed_spark.suite.common import fl
 
     per = len(_NEARDUP_PLANES) // _NEARDUP_BANDS
@@ -396,12 +454,16 @@ pairs AS (
   SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-)
-SELECT a_id, b_id, round({cos}, 6) AS cos_sim
-FROM pairs
-JOIN embeddings ea ON ea.vec_id = a_id
-JOIN embeddings eb ON eb.vec_id = b_id
-WHERE round({cos}, 6) >= 0.4
+),
+lsh AS (
+  SELECT 'lsh' AS method, a_id, b_id, round({cos}, 6) AS score
+  FROM pairs
+  JOIN embeddings ea ON ea.vec_id = a_id
+  JOIN embeddings eb ON eb.vec_id = b_id
+  WHERE round({cos}, 6) >= 0.4
+),
+{_semdedup_sql().lstrip()}
+SELECT * FROM lsh UNION ALL SELECT * FROM sem
 """
 
 
@@ -432,24 +494,34 @@ except ImportError:  # pragma: no cover - bootstrap only
     TRAINED_CENTROIDS_SF0_01 = None
 
 
+def _cent_cos_lit(vec_sql: str, cent: list[float]) -> str:
+    """Rounded cosine of a vector column against one literal centroid —
+    the SQL mirror of ``similarity._centroid_sims_expr``'s per-centroid
+    element (same literals, same 6-decimal quantization)."""
+    from sed_spark.suite.common import fl
+
+    lits = ", ".join(fl(v) for v in cent)
+    return (
+        f"round(list_sum(list_transform(generate_series(1, 64), "
+        f"j -> CAST({vec_sql}[j] AS DOUBLE) * ([{lits}])[j])) "
+        f"/ (sqrt(list_sum(list_transform(generate_series(1, 64), "
+        f"j -> CAST({vec_sql}[j] AS DOUBLE) * CAST({vec_sql}[j] AS DOUBLE)))) "
+        f"* sqrt({fl(sum(v * v for v in cent))})), 6)"
+    )
+
+
+def _cent_arr_sql(centroids, vec_sql: str = "embedding") -> str:
+    """Array of rounded centroid cosines (bucket = ``list_position`` of
+    its max, matching ``ivf_assign``'s first-max tie-break)."""
+    return "[" + ", ".join(_cent_cos_lit(vec_sql, c) for c in centroids) + "]"
+
+
 def _ivf_sql(centroids, nprobe: int = 1) -> str:
     """IVF probe oracle for any centroid list: per-row bucket = argmax of
     the rounded centroid-cosine array; the query's ``nprobe`` best buckets
     are ranked by the same array (score DESC, bucket id ASC — matching
     ``ivf_topk``'s stable argsort)."""
-    from sed_spark.suite.common import fl
-
-    def cos_lit(vec_sql: str, cent: list[float]) -> str:
-        lits = ", ".join(fl(v) for v in cent)
-        return (
-            f"round(list_sum(list_transform(generate_series(1, 64), "
-            f"j -> CAST({vec_sql}[j] AS DOUBLE) * ([{lits}])[j])) "
-            f"/ (sqrt(list_sum(list_transform(generate_series(1, 64), "
-            f"j -> CAST({vec_sql}[j] AS DOUBLE) * CAST({vec_sql}[j] AS DOUBLE)))) "
-            f"* sqrt({fl(sum(v * v for v in cent))})), 6)"
-        )
-
-    arr = "[" + ", ".join(cos_lit("embedding", c) for c in centroids) + "]"
+    arr = _cent_arr_sql(centroids)
     qcos = (
         "round(list_sum(list_transform(generate_series(1, 64), "
         "j -> CAST(a.embedding[j] AS DOUBLE) * CAST(q.embedding[j] AS DOUBLE))) "

@@ -559,3 +559,85 @@ def test_normalize_text_expr(spark):
            ).collect()}
     assert got[0] == got[1] == got[2] == "hello world"
     assert got[3] == "different"
+
+
+def _np_semdedup(vecs, centroids, threshold, keep):
+    """Pure-numpy reference for semantic_dedup's dominance semantics."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    v = np.asarray(vecs, dtype=np.float64)
+    sims = np.round(
+        v @ cents.T
+        / (np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(cents, axis=1)),
+        6,
+    )
+    bucket = sims.argmax(axis=1)
+    cent_sim = sims[np.arange(len(v)), bucket]
+    out = {}
+    for a in range(len(v)):
+        dropped = False
+        for b in range(len(v)):
+            if a == b or bucket[a] != bucket[b]:
+                continue
+            if keep == "min_id":
+                dom = b < a
+            else:
+                dom = cent_sim[b] < cent_sim[a] or (
+                    cent_sim[b] == cent_sim[a] and b < a
+                )
+            if dom and round(_np_cos(v[a], v[b]), 6) >= threshold:
+                dropped = True
+                break
+        out[a] = (int(bucket[a]) + 1, 0 if dropped else 1)
+    return out
+
+
+@pytest.mark.parametrize("keep", ["min_id", "far_from_centroid"])
+def test_semantic_dedup_matches_numpy(emb_df, keep):
+    df, vecs = emb_df
+    cents = similarity.deterministic_planes(4, 16, seed=5)
+    got = {
+        r["vec_id"]: (r["cluster"], r["is_kept"])
+        for r in similarity.semantic_dedup(
+            df, cents, threshold=0.9, keep=keep,
+        ).collect()
+    }
+    assert got == _np_semdedup(vecs, cents, 0.9, keep)
+    # the planted near-dups (50≈10, 51≈20) must lose to their originals
+    # whenever they landed in the same cluster with min_id priority
+    if keep == "min_id":
+        for dup, orig in ((50, 10), (51, 20)):
+            if got[dup][0] == got[orig][0]:
+                assert got[orig][1] == 1
+                assert got[dup][1] == 0
+
+
+def test_semantic_dedup_far_from_centroid_keeps_atypical(spark):
+    # two same-cluster near-identical docs: the one FARTHER from the
+    # centroid must win under the paper's policy even with the higher id
+    cents = [[1.0, 0.0, 0.0, 0.0]]
+    rows = [
+        (0, [1.0, 0.01, 0.0, 0.0]),   # very typical
+        (1, [1.0, 0.09, 0.0, 0.0]),   # same dup group, less typical
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["is_kept"]
+        for r in similarity.semantic_dedup(
+            df, cents, threshold=0.99, keep="far_from_centroid",
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1}
+    # min_id keeps the other one
+    got2 = {
+        r["vec_id"]: r["is_kept"]
+        for r in similarity.semantic_dedup(
+            df, cents, threshold=0.99, keep="min_id",
+        ).collect()
+    }
+    assert got2 == {0: 1, 1: 0}
+
+
+def test_semantic_dedup_rejects_unknown_policy(emb_df):
+    df, _ = emb_df
+    with pytest.raises(ValueError, match="keep policy"):
+        similarity.semantic_dedup(df, [[1.0] * 16], keep="nope")
