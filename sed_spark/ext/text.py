@@ -3,6 +3,8 @@ document fingerprinting. All pure Column expressions."""
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -11,6 +13,9 @@ from sed_spark.ext.dedup import shingles_from_words
 __all__ = [
     "n_words_expr",
     "quality_features",
+    "hashed_weights",
+    "classifier_feature_expr",
+    "classifier_score",
     "lang_id",
     "token_stats",
     "metrics",
@@ -143,6 +148,106 @@ def metrics(
         nw.alias("ws_tokens"),
         "bpe_tokens",
     )
+
+
+def hashed_weights(dim: int, seed: int = 0) -> list[float]:
+    """Deterministic placeholder weight vector in [-1, 1) for
+    :func:`classifier_score` — Knuth multiplicative hashing of the
+    feature index. A production deployment replaces this with the
+    weights of a trained model (e.g. a CCNet/GPT-3-style fastText
+    quality classifier); the scoring plumbing is identical."""
+    return [
+        (((i + seed) * 2654435761) % 4294967296) / 4294967296 * 2 - 1
+        for i in range(dim)
+    ]
+
+
+def classifier_feature_expr(word: Column, dim: int) -> Column:
+    """Hashing-trick feature index of one token: the first 8 hex digits
+    of ``md5(word)`` as an integer, mod ``dim`` (0-based). Both engines
+    compute it bit-identically (DuckDB: ``('0x' || substr(md5(w), 1,
+    8))::UBIGINT % dim``)."""
+    return (
+        F.conv(F.substring(F.md5(word), 1, 8), 16, 10).cast("long")
+        % F.lit(dim)
+    )
+
+
+def classifier_score(
+    df: DataFrame,
+    weights: Sequence[float],
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    engine: str = "literal",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """fastText-style linear classifier scoring over hashed bag-of-words
+    features (Joulin et al., "Bag of Tricks for Efficient Text
+    Classification", EACL 2017) — the model-based document-quality
+    scorer of CCNet/GPT-3-style curation pipelines, as opposed to the
+    heuristic signals of :func:`quality_features`.
+
+    ``score = sigmoid(bias + mean over tokens of weights[h(token)])``
+    with ``h`` = :func:`classifier_feature_expr` (hashing trick, no
+    vocabulary table). Tokens are the lowercased non-empty whitespace
+    runs. Wordless documents score ``sigmoid(bias)``. Returns
+    ``(id_col, quality_score)``.
+
+    Two physical strategies, identical results:
+
+    * ``engine="literal"`` — the weight vector rides in the expression
+      tree; scoring is a pure projection, zero shuffle. Right for the
+      ~2^8–2^15 buckets of a distilled/quantized scorer.
+    * ``engine="join"`` — tokens are exploded and hash-joined against a
+      ``(feature, weight)`` table that Spark broadcasts, then mean-pooled
+      per document (map-side partial aggregation). Right when the model
+      is too wide to inline (fastText defaults to 2M buckets): the
+      weight table stays a dimension-sized broadcast instead of a
+      megabyte-scale literal replicated into every task's plan.
+    """
+    dim = len(weights)
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.lower(t), " +"), lambda x: x != F.lit(""))
+    sigmoid = lambda z: F.round(  # noqa: E731
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_decimals,
+    )
+    if engine == "literal":
+        wlit = F.array(*[F.lit(float(w)) for w in weights])
+        # element_at is 1-based; NULL-safe because h(token) < dim always
+        total = F.aggregate(
+            toks,
+            F.lit(0.0),
+            lambda acc, w: acc
+            + F.element_at(wlit, (classifier_feature_expr(w, dim) + 1).cast("int")),
+        )
+        n = F.size(toks)
+        z = F.lit(float(bias)) + F.when(n > 0, total / n).otherwise(F.lit(0.0))
+        return df.select(F.col(id_col), sigmoid(z).alias("quality_score"))
+    if engine == "join":
+        spark = df.sparkSession
+        wdf = spark.createDataFrame(
+            [(i, float(w)) for i, w in enumerate(weights)],
+            "feature long, weight double",
+        )
+        feats = df.select(
+            F.col(id_col), F.explode(toks).alias("__tok"),
+        ).select(
+            F.col(id_col),
+            classifier_feature_expr(F.col("__tok"), dim).alias("feature"),
+        )
+        pooled = (
+            feats.join(F.broadcast(wdf), "feature")
+            .groupBy(id_col)
+            .agg(F.avg("weight").alias("__mean_w"))
+        )
+        z = F.lit(float(bias)) + F.coalesce(F.col("__mean_w"), F.lit(0.0))
+        return (
+            df.select(id_col)
+            .join(pooled, id_col, "left")
+            .select(F.col(id_col), sigmoid(z).alias("quality_score"))
+        )
+    raise ValueError(f"unknown engine {engine!r}")
 
 
 def repetition_stats(

@@ -557,14 +557,43 @@ ORDER BY cos_sim DESC, a.vec_id LIMIT 10
 
 # quality scoring + language id + token counting, fused into one projection
 # (text.metrics), then concat-and-chunk sequence packing over the BPE-ish
-# token counts — every text-analysis operator's columns in one oracle
-# row; the standalone operators remain in sed_spark.ext.text
+# token counts, plus the fastText-style hashed-linear classifier score —
+# every text-analysis operator's columns in one oracle row; the
+# standalone operators remain in sed_spark.ext.text
 _PACK_BUDGET = 512
+_CLS_DIM = 128
+_CLS_BIAS = 0.1
+_CLS_WEIGHTS = text.hashed_weights(_CLS_DIM, seed=3)
 
 
 def text_metrics(spark, sf_dir):
-    m = text.metrics(load(spark, sf_dir, "documents"))
-    return text.pack_sequences(m, "bpe_tokens", budget=_PACK_BUDGET)
+    docs = load(spark, sf_dir, "documents")
+    packed = text.pack_sequences(
+        text.metrics(docs), "bpe_tokens", budget=_PACK_BUDGET,
+    )
+    score = text.classifier_score(docs, _CLS_WEIGHTS, bias=_CLS_BIAS)
+    return packed.join(score, "doc_id")
+
+
+def _cls_score_sql() -> str:
+    """Mirror of ``text.classifier_score(engine='literal')``: same weight
+    literals (exact binary fractions, repr round-trip), same md5-hex
+    feature hash, same mean-pool + sigmoid + 6-decimal rounding."""
+    from sed_spark.suite.common import fl
+
+    wlit = "[" + ", ".join(fl(w) for w in _CLS_WEIGHTS) + "]"
+    toks = "list_filter(string_split_regex(lower(text), ' +'), x -> x != '')"
+    wsum = (
+        f"list_sum(list_transform({toks}, "
+        f"w -> ({wlit})[CAST(('0x' || substr(md5(w), 1, 8))::UBIGINT "
+        f"% {_CLS_DIM} AS INTEGER) + 1]))"
+    )
+    n = f"len({toks})"
+    z = (
+        f"({fl(_CLS_BIAS)} + CASE WHEN {n} > 0 "
+        f"THEN {wsum} / {n} ELSE 0.0 END)"
+    )
+    return f"round(1.0 / (1.0 + exp(-{z})), 6)"
 
 
 TEXT_METRICS_SQL = r"""
@@ -577,7 +606,8 @@ WITH s AS (
     len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS s_de,
     len(regexp_extract_all(text, '\b(le|les|et|est|une)\b')) AS s_fr,
     len(regexp_extract_all(text, '\b(el|los|las|y|es)\b')) AS s_es,
-    len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS bpe_tokens
+    len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS bpe_tokens,
+    __CLS_SCORE__ AS quality_score
   FROM documents
 )
 SELECT doc_id, n_chars, n_words,
@@ -590,7 +620,7 @@ SELECT doc_id, n_chars, n_words,
     WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
     WHEN s_fr >= s_es THEN 'fr'
     ELSE 'es' END AS pred_lang,
-  n_words AS ws_tokens, bpe_tokens,
+  n_words AS ws_tokens, bpe_tokens, quality_score,
   start // 512 AS pack_id,
   start % 512 AS pack_offset
 FROM (
@@ -601,6 +631,7 @@ FROM (
   FROM s
 )
 """
+TEXT_METRICS_SQL = TEXT_METRICS_SQL.replace("__CLS_SCORE__", _cls_score_sql())
 
 
 # test-set decontamination: every 50th document plays the benchmark/eval

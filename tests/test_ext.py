@@ -641,3 +641,67 @@ def test_semantic_dedup_rejects_unknown_policy(emb_df):
     df, _ = emb_df
     with pytest.raises(ValueError, match="keep policy"):
         similarity.semantic_dedup(df, [[1.0] * 16], keep="nope")
+
+
+def _np_classifier(texts, weights, bias=0.0):
+    import hashlib
+    import math
+
+    out = []
+    for t in texts:
+        toks = [w for w in t.lower().split(" ") if w]
+        if toks:
+            mean_w = sum(
+                weights[int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+                        % len(weights)]
+                for w in toks
+            ) / len(toks)
+        else:
+            mean_w = 0.0
+        out.append(round(1.0 / (1.0 + math.exp(-(bias + mean_w))), 6))
+    return out
+
+
+def test_classifier_score_matches_python(spark):
+    from sed_spark.ext import text
+
+    rows = [
+        (0, "the quick brown fox"),
+        (1, "THE QUICK brown  fox"),   # case/whitespace-normalized = same score
+        (2, ""),                        # wordless -> sigmoid(bias)
+        (3, "völlig unmöglich ascii-free tökens"),
+        (4, "one"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    w = text.hashed_weights(64, seed=3)
+    expect = _np_classifier([t for _, t in rows], w, bias=0.25)
+    got = {
+        r.doc_id: r.quality_score
+        for r in text.classifier_score(docs, w, bias=0.25).collect()
+    }
+    assert [got[i] for i in range(5)] == expect
+    assert got[0] == got[1]
+    import math
+    assert got[2] == round(1 / (1 + math.exp(-0.25)), 6)
+
+
+def test_classifier_score_engines_agree(spark):
+    from sed_spark.ext import text
+
+    rng = np.random.default_rng(9)
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice(["alpha", "beta", "gamma", "delta",
+                                     "x1", "y2"], size=rng.integers(0, 12))))
+            for i in range(40)
+        ],
+        ["doc_id", "text"],
+    )
+    w = text.hashed_weights(32)
+    lit = {r.doc_id: r.quality_score
+           for r in text.classifier_score(docs, w, engine="literal").collect()}
+    join = {r.doc_id: r.quality_score
+            for r in text.classifier_score(docs, w, engine="join").collect()}
+    assert lit == join
+    with pytest.raises(ValueError, match="engine"):
+        text.classifier_score(docs, w, engine="nope")
