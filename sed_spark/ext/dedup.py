@@ -27,6 +27,8 @@ __all__ = [
     "jaccard_pairs",
     "simhash16",
     "benchmark_contamination",
+    "boilerplate_stats",
+    "strip_boilerplate",
     "normalize_text_expr",
     "verify_pairs_editdist",
 ]
@@ -308,6 +310,127 @@ def benchmark_contamination(
             (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias(
                 "is_contaminated",
             ),
+        )
+    )
+
+
+def boilerplate_stats(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Corpus-internal boilerplate detection: word n-grams occurring in
+    ≥ ``min_docs`` DISTINCT documents are boilerplate (navigation chrome,
+    license headers, templated phrases — the cross-document analog of C4's
+    repeated-line removal, Raffel et al. JMLR 2020 §2.2). Returns one row
+    per document: distinct-shingle count, boilerplate-shingle count, and
+    the boilerplate fraction.
+
+    Scale design: unlike :func:`benchmark_contamination` there is no
+    small side to broadcast — the frequent-gram table comes from the
+    corpus itself. The plan is still pair-free: one explode, one
+    (gram)-keyed count aggregate (map-side partial counts collapse
+    ubiquitous grams before the shuffle), and one equi-join back on the
+    gram key. The gram table is checkpointed so the explode runs once,
+    not once per branch. No step is ever quadratic in documents.
+    """
+    grams = exploded_shingles(
+        corpus, id_col, text_col, shingle_n, distinct=True,
+    ).localCheckpoint(eager=True)
+    # grams is (doc, g)-distinct, so count(*) per g = document frequency
+    bp = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") >= min_docs)
+        .select("g")
+        .withColumn("__bp", F.lit(1))
+    )
+    per_doc = (
+        grams.join(bp, "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("__bp", F.lit(0))).alias("n_bp"),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_bp", F.lit(0)).alias("n_bp"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.round(F.col("n_bp") / F.col("n_grams").cast("double"), 6),
+            ).otherwise(0.0).alias("bp_frac"),
+        )
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style cross-document line deduplication (Raffel et al., "Exploring
+    the Limits of Transfer Learning...", JMLR 2020 §2.2): any line (text
+    between ``sep`` occurrences, compared exactly) that appears in
+    ≥ ``min_docs`` distinct documents is removed from EVERY document.
+    Returns ``(id_col, text_col)`` with each document's surviving lines
+    rejoined by ``sep`` in their original order; fully-boilerplate
+    documents survive with empty text (filter on ``length`` downstream).
+
+    ``sep`` is a Java regex (escape metacharacters for literal
+    separators).
+
+    Scale design: explode to (doc, position, line), count document
+    frequency per line key (map-side partial counts — a line shared by a
+    million docs ships one partial per task, not a million rows), join
+    the boilerplate keys back on the line key, and reassemble with
+    ``array_sort(collect_list(struct(pos, line)))`` per document — the
+    per-document group is document-sized, never corpus-sized, and no
+    stage compares documents pairwise. The line table is checkpointed so
+    the explode runs once across the frequency and reassembly branches.
+    """
+    t = F.col(text_col)
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(t, sep, -1)).alias("__pos", "__line"),
+    ).localCheckpoint(eager=True)
+    bp = (
+        lines.select(id_col, "__line")
+        .distinct()
+        .groupBy("__line")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") >= min_docs)
+        .select("__line")
+        .withColumn("__bp", F.lit(1))
+    )
+    kept = lines.join(bp, "__line", "left").filter(F.col("__bp").isNull())
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__line")),
+                ),
+                lambda x: x["__line"],
+            ),
+            # array_join's delimiter is a literal string, not a regex —
+            # only correct when sep matches itself literally
+            sep,
+        ).alias(text_col),
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(text_col, F.lit("")).alias(text_col),
         )
     )
 

@@ -634,12 +634,22 @@ FROM (
 TEXT_METRICS_SQL = TEXT_METRICS_SQL.replace("__CLS_SCORE__", _cls_score_sql())
 
 
-# test-set decontamination: every 50th document plays the benchmark/eval
-# set; corpus docs sharing any word 3-gram with it are flagged
+# test-set decontamination (every 50th document plays the benchmark/eval
+# set; corpus docs sharing any word 3-gram with it are flagged) WIDENED
+# with corpus-internal boilerplate detection over the same 3-gram table
+# (grams in >= _BP_MIN_DOCS distinct docs are boilerplate) — both
+# cross-document n-gram scans in one oracle row, joined per document
+_BP_MIN_DOCS = 20
+
+
 def decontamination(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
-    return dedup.benchmark_contamination(docs, bench, shingle_n=3)
+    cont = dedup.benchmark_contamination(docs, bench, shingle_n=3)
+    bp = dedup.boilerplate_stats(
+        docs, shingle_n=3, min_docs=_BP_MIN_DOCS,
+    ).select("doc_id", "n_bp", "bp_frac")
+    return cont.join(bp, "doc_id")
 
 
 DECONTAMINATION_SQL = f"""
@@ -649,10 +659,15 @@ WITH cg AS (
 bg AS (
   SELECT DISTINCT g FROM cg WHERE doc_id % 50 = 0
 ),
+bpg AS (
+  SELECT g FROM cg GROUP BY g HAVING count(*) >= {_BP_MIN_DOCS}
+),
 per_doc AS (
   SELECT cg.doc_id, count(*) AS n_grams,
     CAST(sum(CASE WHEN cg.g IN (SELECT g FROM bg) THEN 1 ELSE 0 END)
-         AS BIGINT) AS n_hits
+         AS BIGINT) AS n_hits,
+    CAST(sum(CASE WHEN cg.g IN (SELECT g FROM bpg) THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_bp
   FROM cg GROUP BY cg.doc_id
 )
 SELECT d.doc_id,
@@ -661,7 +676,11 @@ SELECT d.doc_id,
   CASE WHEN COALESCE(p.n_grams, 0) > 0
     THEN round(p.n_hits / CAST(p.n_grams AS DOUBLE), 6)
     ELSE 0.0 END AS hit_frac,
-  CAST(COALESCE(p.n_hits, 0) > 0 AS INTEGER) AS is_contaminated
+  CAST(COALESCE(p.n_hits, 0) > 0 AS INTEGER) AS is_contaminated,
+  COALESCE(p.n_bp, 0) AS n_bp,
+  CASE WHEN COALESCE(p.n_grams, 0) > 0
+    THEN round(p.n_bp / CAST(p.n_grams AS DOUBLE), 6)
+    ELSE 0.0 END AS bp_frac
 FROM (SELECT doc_id FROM documents) d
 LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """

@@ -705,3 +705,91 @@ def test_classifier_score_engines_agree(spark):
     assert lit == join
     with pytest.raises(ValueError, match="engine"):
         text.classifier_score(docs, w, engine="nope")
+
+
+def test_strip_boilerplate_c4_line_dedup(spark):
+    from sed_spark.ext import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "unique zero\ncookie notice\nmore zero"),
+            (1, "cookie notice\nunique one"),
+            (2, "unique two\ncookie notice"),
+            (3, "cookie notice"),            # fully boilerplate -> ""
+            (4, "all mine\nstill mine"),
+            (5, ""),                          # empty doc survives empty
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.text
+        for r in dedup.strip_boilerplate(docs, min_docs=2).collect()
+    }
+    assert got == {
+        0: "unique zero\nmore zero",
+        1: "unique one",
+        2: "unique two",
+        3: "",
+        4: "all mine\nstill mine",
+        5: "",   # its single empty line is shared with doc 3's absence? no:
+                 # "" appears only in doc 5 -> kept, and rejoins to ""
+    }
+
+
+def test_strip_boilerplate_preserves_line_order_and_duplicate_lines(spark):
+    from sed_spark.ext import dedup
+
+    # within-doc duplicate lines are NOT cross-document boilerplate;
+    # order must be positional, not lexicographic
+    docs = spark.createDataFrame(
+        [(0, "b\na\nb\nzz"), (1, "zz\nother")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.text
+        for r in dedup.strip_boilerplate(docs, min_docs=2).collect()
+    }
+    assert got == {0: "b\na\nb", 1: "other"}
+
+
+def test_boilerplate_stats_matches_python(spark):
+    from sed_spark.ext import dedup
+
+    texts = {
+        0: "the quick brown fox jumps over dog",
+        1: "the quick brown cat naps all day",
+        2: "the quick brown fox jumps again now",
+        3: "completely different words here only once",
+        4: "x",   # shorter than one shingle -> zero grams
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), ["doc_id", "text"],
+    )
+    n, min_docs = 3, 2
+    gram_sets = {
+        i: {
+            " ".join(ws[j:j + n])
+            for ws in [t.split()]
+            for j in range(len(ws) - n + 1)
+        }
+        for i, t in texts.items()
+    }
+    from collections import Counter
+    df_counts = Counter(g for s in gram_sets.values() for g in s)
+    expect = {}
+    for i, s in gram_sets.items():
+        nb = sum(1 for g in s if df_counts[g] >= min_docs)
+        expect[i] = (
+            len(s), nb, round(nb / len(s), 6) if s else 0.0,
+        )
+    got = {
+        r.doc_id: (r.n_grams, r.n_bp, r.bp_frac)
+        for r in dedup.boilerplate_stats(
+            docs, shingle_n=n, min_docs=min_docs,
+        ).collect()
+    }
+    assert got == expect
+    assert got[4] == (0, 0, 0.0)
+    # "the quick brown" is in 3 docs -> boilerplate for all three
+    assert all(got[i][1] >= 1 for i in (0, 1, 2))
+    assert got[3][1] == 0
