@@ -637,9 +637,30 @@ TEXT_METRICS_SQL = TEXT_METRICS_SQL.replace("__CLS_SCORE__", _cls_score_sql())
 # test-set decontamination (every 50th document plays the benchmark/eval
 # set; corpus docs sharing any word 3-gram with it are flagged) WIDENED
 # with corpus-internal boilerplate detection over the same 3-gram table
-# (grams in >= _BP_MIN_DOCS distinct docs are boilerplate) — both
-# cross-document n-gram scans in one oracle row, joined per document
+# (grams in >= _BP_MIN_DOCS distinct docs are boilerplate) AND C4-style
+# cross-document line dedup (strip_boilerplate) over a deterministic
+# line structure — all three cross-document scans in one oracle row
 _BP_MIN_DOCS = 20
+_LINE_MIN_DOCS = 10
+_LINE_WORDS = 2
+
+
+def _lines_expr(text):
+    """Deterministic line structure for the single-line corpus: words
+    grouped into ``_LINE_WORDS``-word lines joined by newlines. Both
+    engines build the identical text from the same constants, so the
+    C4 line-dedup verdicts can be compared hash-for-hash."""
+    w = F.split(text, " ")
+    n_lines = F.ceil(F.size(w) / F.lit(float(_LINE_WORDS))).cast("int")
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - F.lit(1)),
+            lambda i: F.array_join(
+                F.slice(w, i * _LINE_WORDS + 1, F.lit(_LINE_WORDS)), " ",
+            ),
+        ),
+        "\n",
+    )
 
 
 def decontamination(spark, sf_dir):
@@ -649,7 +670,25 @@ def decontamination(spark, sf_dir):
     bp = dedup.boilerplate_stats(
         docs, shingle_n=3, min_docs=_BP_MIN_DOCS,
     ).select("doc_id", "n_bp", "bp_frac")
-    return cont.join(bp, "doc_id")
+    # C4 line dedup: lines shared by >= _LINE_MIN_DOCS distinct docs are
+    # stripped from every doc; the surviving text's digest + kept-line
+    # count land in the oracle hash (positional reassembly included)
+    lined = docs.select("doc_id", _lines_expr(F.col("text")).alias("text"))
+    n_lines = lined.select(
+        "doc_id", F.size(F.split("text", "\n", -1)).alias("n_lines"),
+    )
+    stripped = dedup.strip_boilerplate(
+        lined, sep="\n", min_docs=_LINE_MIN_DOCS,
+    ).select(
+        "doc_id",
+        F.md5("text").alias("line_dedup_md5"),
+        F.when(F.length("text") > 0, F.size(F.split("text", "\n", -1)))
+        .otherwise(0)
+        .alias("n_kept_lines"),
+    )
+    return cont.join(bp, "doc_id").join(n_lines, "doc_id").join(
+        stripped, "doc_id",
+    )
 
 
 DECONTAMINATION_SQL = f"""
@@ -669,6 +708,31 @@ per_doc AS (
     CAST(sum(CASE WHEN cg.g IN (SELECT g FROM bpg) THEN 1 ELSE 0 END)
          AS BIGINT) AS n_bp
   FROM cg GROUP BY cg.doc_id
+),
+lined AS (
+  SELECT doc_id,
+    list_transform(
+      generate_series(1, CAST(ceil(len(w) / {_LINE_WORDS}.0) AS INT)),
+      i -> array_to_string(
+        w[(i-1)*{_LINE_WORDS}+1:(i-1)*{_LINE_WORDS}+{_LINE_WORDS}], ' '))
+      AS lines
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+ll AS (
+  SELECT doc_id, pos, lines[pos] AS line FROM (
+    SELECT doc_id, lines, unnest(generate_series(1, len(lines))) AS pos
+    FROM lined
+  )
+),
+bpl AS (
+  SELECT line FROM (SELECT DISTINCT doc_id, line FROM ll)
+  GROUP BY line HAVING count(*) >= {_LINE_MIN_DOCS}
+),
+keptl AS (SELECT * FROM ll WHERE line NOT IN (SELECT line FROM bpl)),
+reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS stext,
+         count(*) AS n_kept
+  FROM keptl GROUP BY doc_id
 )
 SELECT d.doc_id,
   COALESCE(p.n_grams, 0) AS n_grams,
@@ -680,9 +744,14 @@ SELECT d.doc_id,
   COALESCE(p.n_bp, 0) AS n_bp,
   CASE WHEN COALESCE(p.n_grams, 0) > 0
     THEN round(p.n_bp / CAST(p.n_grams AS DOUBLE), 6)
-    ELSE 0.0 END AS bp_frac
+    ELSE 0.0 END AS bp_frac,
+  CAST(len(lined.lines) AS INTEGER) AS n_lines,
+  md5(COALESCE(reb.stext, '')) AS line_dedup_md5,
+  CAST(COALESCE(reb.n_kept, 0) AS INTEGER) AS n_kept_lines
 FROM (SELECT doc_id FROM documents) d
 LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+JOIN lined ON lined.doc_id = d.doc_id
+LEFT JOIN reb ON reb.doc_id = d.doc_id
 """
 
 
