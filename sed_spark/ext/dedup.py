@@ -29,6 +29,7 @@ __all__ = [
     "benchmark_contamination",
     "boilerplate_stats",
     "strip_boilerplate",
+    "duplicate_spans",
     "normalize_text_expr",
     "verify_pairs_editdist",
 ]
@@ -432,6 +433,112 @@ def strip_boilerplate(
             F.col(id_col),
             F.coalesce(text_col, F.lit("")).alias(text_col),
         )
+    )
+
+
+def duplicate_spans(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate-span statistics (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): every length-``window`` token window is a candidate
+    substring; a window whose content occurs in ≥ ``min_docs`` DISTINCT
+    documents is a duplicated span. Returns one row per document —
+    ``(id, n_tokens, n_windows, n_dup_windows, covered_tokens,
+    dup_span_frac)`` — where ``covered_tokens`` is the size of the UNION
+    of all duplicated spans (overlaps merged), i.e. the paper's
+    "fraction of the document that is duplicated text".
+
+    Scale design: the reference algorithm builds a corpus-wide suffix
+    array — inherently sequential and memory-bound. Fixing the match
+    length at ``window`` (the paper's dedup threshold) turns it into a
+    pure dataflow: tokenize → rolling window hash (expr-only) →
+    posexplode → document-frequency aggregate on the hash key (map-side
+    partial counts collapse ubiquitous windows before the shuffle) →
+    join-back → per-document interval union via gaps-and-islands window
+    functions (running max of span end, partitioned by document). No
+    pair join, no global order, every stage keyed or document-local.
+    """
+    from pyspark.sql.window import Window
+
+    from sed_spark.ext import scale_out
+
+    words = scale_out(corpus).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__words"),
+    )
+    n_tok = F.size("__words")
+    n_win = n_tok - (window - 1)
+    win_hash = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(F.col("__words"), i + 1, window)),
+        ),
+    )
+    wins = words.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(n_win > 0, win_hash).otherwise(
+                F.expr("CAST(array() AS array<string>)"),
+            ),
+        ).alias("__pos", "__h"),
+    )
+    # document frequency per window content; (doc, h)-distinct first so a
+    # window repeated WITHIN one document does not count as cross-document
+    dup = (
+        wins.select(id_col, "__h")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__h")
+    )
+    dwin = wins.join(dup, "__h").select(id_col, "__pos")
+    # interval union: spans [pos, pos+window) merged per document via
+    # gaps-and-islands — a new island starts where pos exceeds the running
+    # max of all previous span ends
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    prev_end = F.max(F.col("__pos") + window).over(
+        w.rowsBetween(Window.unboundedPreceding, -1),
+    )
+    islands = dwin.withColumn(
+        "__island",
+        F.sum(
+            F.when(prev_end.isNull() | (F.col("__pos") > prev_end), 1)
+            .otherwise(0),
+        ).over(w),
+    )
+    per_island = islands.groupBy(id_col, "__island").agg(
+        F.min("__pos").alias("__s"),
+        F.max(F.col("__pos") + window).alias("__e"),
+        F.count(F.lit(1)).alias("__nw"),
+    )
+    per_doc = per_island.groupBy(id_col).agg(
+        F.sum(F.col("__e") - F.col("__s")).alias("covered_tokens"),
+        F.sum("__nw").alias("n_dup_windows"),
+    )
+    base = words.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.greatest(n_win, F.lit(0)).alias("n_windows"),
+    )
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        "n_windows",
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        ).otherwise(0.0).alias("dup_span_frac"),
     )
 
 

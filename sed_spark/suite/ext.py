@@ -957,13 +957,22 @@ JOIN capu ON capu.doc_id = s.doc_id
     ).replace("__HEX8__", _HEX8).replace("__CAP__", fl(float(_CAP)))
 
 
-# min-hash word-shingle fingerprint + winnowing (SIGMOD 2003) fingerprint,
-# equi-joined on doc_id into one oracle row
+# min-hash word-shingle fingerprint + winnowing (SIGMOD 2003) fingerprint
+# + exact-substring duplicate-span coverage (Lee et al. 2022) — all three
+# rolling-window document scans equi-joined on doc_id into one oracle row
+# (the span windows are word-5-grams, same granularity as the fingerprint)
+_SPAN_WINDOW = 5
+
+
 def fingerprints(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     fp = text.fingerprint(docs)
     wn = text.winnow_fingerprint(docs, k=8, w=4)
-    return fp.join(wn, "doc_id")
+    ds = dedup.duplicate_spans(docs, window=_SPAN_WINDOW, min_docs=2).select(
+        "doc_id", "n_windows", "n_dup_windows", "covered_tokens",
+        "dup_span_frac",
+    )
+    return fp.join(wn, "doc_id").join(ds, "doc_id")
 
 
 # word-5-gram min-md5 fingerprint joined with winnow_fingerprint(k=8, w=4):
@@ -997,9 +1006,61 @@ wn AS (
   SELECT doc_id, md5(array_to_string(sel, '')) AS winnow_digest,
     CAST(len(sel) AS INTEGER) AS n_selected
   FROM d
+),
+sw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+swins AS (
+  SELECT doc_id, pos - 1 AS pos,
+    md5(array_to_string(w[pos:pos+{_SPAN_WINDOW - 1}], ' ')) AS h
+  FROM (
+    SELECT doc_id, w,
+      unnest(generate_series(1, len(w) - {_SPAN_WINDOW - 1})) AS pos
+    FROM sw WHERE len(w) >= {_SPAN_WINDOW}
+  )
+),
+sdup AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM swins)
+  GROUP BY h HAVING count(*) >= 2
+),
+sd AS (SELECT doc_id, pos FROM swins WHERE h IN (SELECT h FROM sdup)),
+sg AS (
+  SELECT doc_id, pos,
+    max(pos + {_SPAN_WINDOW}) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM sd
+),
+sisl AS (
+  SELECT doc_id, pos,
+    SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM sg
+),
+spi AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos + {_SPAN_WINDOW}) AS e,
+    count(*) AS nw
+  FROM sisl GROUP BY doc_id, island
+),
+spd AS (
+  SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS covered,
+    CAST(sum(nw) AS BIGINT) AS ndw
+  FROM spi GROUP BY doc_id
+),
+spans AS (
+  SELECT sw.doc_id,
+    CAST(len(sw.w) AS INTEGER) AS n_tokens,
+    CAST(GREATEST(len(sw.w) - {_SPAN_WINDOW - 1}, 0) AS INTEGER) AS n_windows,
+    COALESCE(spd.ndw, 0) AS n_dup_windows,
+    COALESCE(spd.covered, 0) AS covered_tokens,
+    CASE WHEN len(sw.w) > 0
+      THEN round(COALESCE(spd.covered, 0) / CAST(len(sw.w) AS DOUBLE), 6)
+      ELSE 0.0 END AS dup_span_frac
+  FROM sw LEFT JOIN spd ON sw.doc_id = spd.doc_id
 )
-SELECT fp.doc_id, fp.fp, fp.n_shingles, wn.winnow_digest, wn.n_selected
-FROM fp JOIN wn ON fp.doc_id = wn.doc_id
+SELECT fp.doc_id, fp.fp, fp.n_shingles, wn.winnow_digest, wn.n_selected,
+  spans.n_windows, spans.n_dup_windows, spans.covered_tokens,
+  spans.dup_span_frac
+FROM fp
+JOIN wn ON fp.doc_id = wn.doc_id
+JOIN spans ON fp.doc_id = spans.doc_id
 """
 
 

@@ -793,3 +793,36 @@ def test_boilerplate_stats_matches_python(spark):
     # "the quick brown" is in 3 docs -> boilerplate for all three
     assert all(got[i][1] >= 1 for i in (0, 1, 2))
     assert got[3][1] == 0
+
+
+def test_duplicate_spans_interval_union(spark):
+    from sed_spark.ext import dedup
+
+    # docs 0 and 1 share the run "a b c d" (two overlapping 3-windows:
+    # [0,3) and [1,4) -> one merged island covering 4 tokens) and the
+    # disjoint window "x y z"; doc 2 shares nothing.
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d q q q x y z"),
+            (1, "p a b c d p p x y z"),
+            (2, "m n o m n o m n o m"),  # self-repeats only: not cross-doc
+            (3, "t u"),                   # shorter than the window
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (
+            r.n_tokens, r.n_windows, r.n_dup_windows,
+            r.covered_tokens, r.dup_span_frac,
+        )
+        for r in dedup.duplicate_spans(docs, window=3, min_docs=2).collect()
+    }
+    # doc 0: dup windows at pos 0,1 ("a b c","b c d") and pos 7 ("x y z")
+    #   islands [0,4) + [7,10) -> 7 covered tokens of 10
+    assert got[0] == (10, 8, 3, 7, 0.7)
+    # doc 1: dup windows at pos 1,2 and pos 7 -> [1,5) + [7,10) -> 7
+    assert got[1] == (10, 8, 3, 7, 0.7)
+    # doc 2: its windows repeat within the doc only -> distinct-doc df is 1
+    assert got[2] == (10, 8, 0, 0, 0.0)
+    # doc 3: no windows at all
+    assert got[3] == (2, 0, 0, 0, 0.0)
