@@ -16,6 +16,8 @@ __all__ = [
     "hashed_weights",
     "classifier_feature_expr",
     "classifier_score",
+    "dsir_fit",
+    "dsir_score",
     "lang_id",
     "token_stats",
     "metrics",
@@ -248,6 +250,101 @@ def classifier_score(
             .select(F.col(id_col), sigmoid(z).alias("quality_score"))
         )
     raise ValueError(f"unknown engine {engine!r}")
+
+
+def dsir_fit(
+    target: DataFrame,
+    raw: DataFrame,
+    dim: int = 128,
+    shingle_n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[float]:
+    """DSIR importance-resampling fit (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): hashed
+    word n-gram bag-of-features, add-1-smoothed categorical models of
+    the TARGET (the distribution you want more of — e.g. an eval set or
+    high-quality seed corpus) and the RAW pool. Returns
+    ``log(p_target[b] / p_raw[b])`` per feature bucket as plain Python
+    floats — dimension-sized by contract (the paper uses 10⁴ buckets),
+    never corpus-sized.
+
+    Scale design: one explode + hash-bucket projection and one B-sized
+    count aggregate per distribution (map-side partial counts collapse
+    each bucket to one partial per task before the shuffle). The corpus
+    itself is never collected; only the two B-sized count tables reach
+    the driver, where the smoothing and the log happen once in Python so
+    the ratios are literal constants downstream.
+    """
+    import math
+
+    def bucket_counts(df: DataFrame) -> dict[int, int]:
+        from sed_spark.ext.dedup import exploded_shingles
+
+        grams = exploded_shingles(df, id_col, text_col, shingle_n)
+        rows = (
+            grams.select(
+                classifier_feature_expr(F.col("g"), dim).alias("b"),
+            )
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        return {int(r.b): int(r.c) for r in rows}
+
+    ct, cr = bucket_counts(target), bucket_counts(raw)
+    tot_t = sum(ct.values()) + dim
+    tot_r = sum(cr.values()) + dim
+    return [
+        math.log((ct.get(b, 0) + 1) / tot_t)
+        - math.log((cr.get(b, 0) + 1) / tot_r)
+        for b in range(dim)
+    ]
+
+
+def dsir_score(
+    df: DataFrame,
+    logratios: Sequence[float],
+    shingle_n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Apply a :func:`dsir_fit` to a corpus: per-document importance
+    log-weight ``Σ_f log(p_target[h(f)] / p_raw[h(f)])`` over the
+    document's word ``shingle_n``-grams. Downstream, Gumbel-top-k over
+    these weights is the paper's importance resample — combine with
+    :func:`sed_spark.ext.corpus.rate_sample` for the deterministic
+    variant.
+
+    Pure projection, zero shuffle: the log-ratio vector rides in the
+    expression tree (literal array), each document folds its in-order
+    gram list through an ``aggregate`` HOF — the summation order is the
+    document's token order, so any engine mirroring these constants
+    reproduces the double bit-for-bit before the final rounding.
+    Returns ``(id_col, n_feats, dsir_logweight)``.
+    """
+    from sed_spark.ext import scale_out
+
+    dim = len(logratios)
+    lit = F.array(*[F.lit(float(v)) for v in logratios])
+    words = scale_out(df).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__words"),
+    )
+    grams = shingles_from_words(F.col("__words"), shingle_n)
+    total = F.aggregate(
+        grams,
+        F.lit(0.0),
+        lambda acc, g: acc
+        + F.element_at(
+            lit, (classifier_feature_expr(g, dim) + 1).cast("int"),
+        ),
+    )
+    return words.select(
+        F.col(id_col),
+        F.size(grams).alias("n_feats"),
+        F.round(total, round_decimals).alias("dsir_logweight"),
+    )
 
 
 def repetition_stats(

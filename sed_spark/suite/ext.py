@@ -564,6 +564,31 @@ _PACK_BUDGET = 512
 _CLS_DIM = 128
 _CLS_BIAS = 0.1
 _CLS_WEIGHTS = text.hashed_weights(_CLS_DIM, seed=3)
+_DSIR_DIM = 128
+_DSIR_N = 2
+
+# pinned sf0.01 DSIR fit (tools/gen_dsir_logratios.py) — same live-vs-pin
+# contract as the trained IVF centroids: the Spark side fits LIVE, the
+# oracle carries the pinned literals, a green row proves the distributed
+# fit reproduces them exactly. Guarded for bootstrap (pin absent ⇒ the
+# dsir columns are omitted from BOTH engines).
+try:
+    from sed_spark.suite._dsir_logratios import DSIR_LOGRATIOS_SF0_01
+except ImportError:  # pragma: no cover - bootstrap only
+    DSIR_LOGRATIOS_SF0_01 = None
+
+#: per-process cache of the live fit, keyed by sf_dir (fitting is the
+#: offline step of a DSIR deployment; the score is the per-doc query)
+_DSIR_FIT_CACHE: dict[str, list[float]] = {}
+
+
+def _dsir_fit_cached(docs, sf_dir: str) -> list[float]:
+    if sf_dir not in _DSIR_FIT_CACHE:
+        _DSIR_FIT_CACHE[sf_dir] = text.dsir_fit(
+            docs.filter(F.col("doc_id") % 50 == 0), docs,
+            dim=_DSIR_DIM, shingle_n=_DSIR_N,
+        )
+    return _DSIR_FIT_CACHE[sf_dir]
 
 
 def text_metrics(spark, sf_dir):
@@ -572,7 +597,13 @@ def text_metrics(spark, sf_dir):
         text.metrics(docs), "bpe_tokens", budget=_PACK_BUDGET,
     )
     score = text.classifier_score(docs, _CLS_WEIGHTS, bias=_CLS_BIAS)
-    return packed.join(score, "doc_id")
+    out = packed.join(score, "doc_id")
+    if DSIR_LOGRATIOS_SF0_01 is not None:
+        dsir = text.dsir_score(
+            docs, _dsir_fit_cached(docs, sf_dir), shingle_n=_DSIR_N,
+        )
+        out = out.join(dsir, "doc_id")
+    return out
 
 
 def _cls_score_sql() -> str:
@@ -632,6 +663,36 @@ FROM (
 )
 """
 TEXT_METRICS_SQL = TEXT_METRICS_SQL.replace("__CLS_SCORE__", _cls_score_sql())
+
+
+def _dsir_sql() -> str:
+    """Mirror of ``text.dsir_score`` over the pinned sf0.01 fit: same
+    log-ratio literals (repr round-trip), same md5-hex feature hash, the
+    per-document sum folds the grams in document order in both engines."""
+    from sed_spark.suite.common import fl
+
+    lits = ", ".join(fl(v) for v in DSIR_LOGRATIOS_SF0_01)
+    bucket = (
+        f"CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT % {_DSIR_DIM} "
+        "AS INTEGER) + 1"
+    )
+    return f"""
+SELECT doc_id,
+  CAST(len(grams) AS INTEGER) AS n_feats,
+  round(COALESCE(list_sum(list_transform(grams,
+    g -> ([{lits}])[{bucket}])), 0.0), 6) AS dsir_logweight
+FROM ({_grams_sql(_DSIR_N)})
+"""
+
+
+def _text_metrics_sql_full() -> str:
+    if DSIR_LOGRATIOS_SF0_01 is None:  # pragma: no cover - bootstrap only
+        return TEXT_METRICS_SQL
+    return (
+        f"SELECT base.*, d.n_feats, d.dsir_logweight "
+        f"FROM ({TEXT_METRICS_SQL}) base JOIN ({_dsir_sql()}) d "
+        "USING (doc_id)"
+    )
 
 
 # test-set decontamination (every 50th document plays the benchmark/eval
@@ -1247,7 +1308,7 @@ QUERIES.update(
         },
         "ann_batch_topk": {"spark": ann_batch_topk, "sql": ANN_BATCH_SQL},
         "embedding_near_dup": {"spark": embedding_near_dup, "sql": _near_dup_sql()},
-        "text_metrics": {"spark": text_metrics, "sql": TEXT_METRICS_SQL},
+        "text_metrics": {"spark": text_metrics, "sql": _text_metrics_sql_full()},
         "decontamination": {"spark": decontamination, "sql": DECONTAMINATION_SQL},
         "repetition": {"spark": repetition, "sql": REPETITION_SQL},
         "pii_redact": {"spark": pii_redact_q, "sql": _pii_sql()},

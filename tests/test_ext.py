@@ -826,3 +826,55 @@ def test_duplicate_spans_interval_union(spark):
     assert got[2] == (10, 8, 0, 0, 0.0)
     # doc 3: no windows at all
     assert got[3] == (2, 0, 0, 0, 0.0)
+
+
+def test_dsir_fit_and_score_match_python(spark):
+    import hashlib
+    import math
+
+    from sed_spark.ext import text
+
+    target_rows = [(0, "a b a b"), (1, "a b c")]
+    raw_rows = [(0, "a b a b"), (1, "a b c"), (2, "c d e f"), (3, "f g")]
+    dim = 16
+
+    def grams(t):
+        w = t.split(" ")
+        return [f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % dim
+
+    def counts(rows):
+        c = {}
+        for _, t in rows:
+            for g in grams(t):
+                b = bucket(g)
+                c[b] = c.get(b, 0) + 1
+        return c
+
+    ct, cr = counts(target_rows), counts(raw_rows)
+    tot_t, tot_r = sum(ct.values()) + dim, sum(cr.values()) + dim
+    expect_ratios = [
+        math.log((ct.get(b, 0) + 1) / tot_t)
+        - math.log((cr.get(b, 0) + 1) / tot_r)
+        for b in range(dim)
+    ]
+
+    tgt = spark.createDataFrame(target_rows, ["doc_id", "text"])
+    raw = spark.createDataFrame(raw_rows, ["doc_id", "text"])
+    got_ratios = text.dsir_fit(tgt, raw, dim=dim)
+    assert got_ratios == expect_ratios  # exact: integer counts + same log
+
+    got = {
+        r.doc_id: (r.n_feats, r.dsir_logweight)
+        for r in text.dsir_score(raw, got_ratios).collect()
+    }
+    for i, t in raw_rows:
+        gs = grams(t)
+        acc = 0.0
+        for g in gs:  # left-to-right fold, matching the aggregate HOF
+            acc += expect_ratios[bucket(g)]
+        assert got[i] == (len(gs), round(acc, 6))
+    # target-like docs must outweigh off-target docs
+    assert got[0][1] > got[2][1] and got[1][1] > got[3][1]
