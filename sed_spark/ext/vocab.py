@@ -1,0 +1,183 @@
+"""Tokenizer-training support: corpus vocabulary statistics and BPE merge
+candidates.
+
+A tokenizer-training pipeline over a 100 TB corpus never iterates the
+corpus per merge — it aggregates once into a vocabulary-sized word-count
+table and trains on that (Sennrich et al., "Neural Machine Translation of
+Rare Words with Subword Units", ACL 2016 — their learner runs on a word
+frequency dict, not raw text). These operators produce exactly that
+shape:
+
+* :func:`word_doc_freq` — the one corpus-sized aggregation (two-stage,
+  map-side partials, no count-distinct expand).
+* :func:`bpe_pair_counts` — the first BPE merge iteration, computed from
+  the VOCABULARY table: the explode is vocabulary-sized, not corpus-sized.
+* :func:`vocab_doc_stats` / :func:`doc_top_pair` — per-document rarity
+  and merge-candidate signals (join back on the word / pair key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "char_pairs_expr",
+    "word_doc_freq",
+    "bpe_pair_counts",
+    "vocab_doc_stats",
+    "doc_top_pair",
+]
+
+
+def char_pairs_expr(word: Column) -> Column:
+    """Adjacent character pairs of a word as an array (the BPE merge
+    candidates of one symbol sequence before any merge has been applied).
+    Words shorter than 2 characters yield an empty array."""
+    n = F.length(word) - 1
+    return F.when(
+        n > 0,
+        F.transform(F.sequence(F.lit(1), n), lambda i: word.substr(i, F.lit(2))),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def word_doc_freq(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary table ``(word, tf, df)``: total occurrences and
+    the number of distinct documents containing the word.
+
+    Scale design: two-stage aggregation — (doc, word) counts first
+    (map-side partial counts collapse within-document repeats before the
+    shuffle), then a vocabulary-keyed rollup where ``count(*)`` over the
+    (doc, word)-distinct rows IS the document frequency. No
+    ``count(distinct ...)`` expand, and the second shuffle's input is
+    already collapsed to one row per (doc, word).
+    """
+    from sed_spark.ext import scale_out
+
+    w = scale_out(df).select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    per_doc = w.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("__c"))
+    return per_doc.groupBy("word").agg(
+        F.sum("__c").cast("long").alias("tf"),
+        F.count(F.lit(1)).alias("df"),
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus-weighted adjacent character-pair frequencies ``(pair, cnt)``
+    — the statistic the first BPE merge iteration maximizes (Sennrich et
+    al. 2016). Pass a precomputed :func:`word_doc_freq` table to reuse it
+    across iterations.
+
+    Scale design: computed from the vocabulary table, never the corpus —
+    the pair explode touches |vocab| rows, and each pair's count is the
+    tf-weighted sum (one vocabulary-sized shuffle on the pair key).
+    """
+    if vocab is None:
+        vocab = word_doc_freq(df, id_col, text_col)
+    pairs = vocab.select(
+        "tf", F.explode(char_pairs_expr(F.col("word"))).alias("pair"),
+    )
+    return pairs.groupBy("pair").agg(F.sum("tf").cast("long").alias("cnt"))
+
+
+def vocab_doc_stats(
+    df: DataFrame,
+    vocab: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document corpus-rarity statistics against the vocabulary table:
+    ``rarest_word_df`` (document frequency of the document's rarest word)
+    and ``df_sum`` (sum of document frequencies over the document's
+    DISTINCT words) — integer-exact signals (hapax-dense garbage scores a
+    low ``rarest_word_df``; boilerplate-heavy text a high one), engine- and
+    order-independent by construction.
+
+    Scale design: (doc, word)-distinct explode, equi-join on the word key
+    against the vocabulary (dimension-sized relative to the corpus — AQE
+    broadcasts it when it fits, otherwise both sides shuffle on the word
+    key), then one document-keyed aggregate.
+    """
+    from sed_spark.ext import scale_out
+
+    if vocab is None:
+        vocab = word_doc_freq(df, id_col, text_col)
+    dw = (
+        scale_out(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("word"),
+        )
+        .distinct()
+    )
+    return (
+        dw.join(vocab.select("word", "df"), "word")
+        .groupBy(id_col)
+        .agg(
+            F.min("df").alias("rarest_word_df"),
+            F.sum("df").cast("long").alias("df_sum"),
+        )
+    )
+
+
+def doc_top_pair(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Each document's most frequent adjacent character pair (over every
+    word occurrence; ties broken lexicographically) — the document-local
+    merge candidate. Joined against :func:`bpe_pair_counts` on the pair
+    key, it pins the corpus-level table through a per-document probe.
+
+    Returns ``(id_col, top_pair, top_pair_count)``; documents with no
+    pair (all single-character words) get ``('', 0)``.
+    """
+    from pyspark.sql.window import Window
+
+    from sed_spark.ext import scale_out
+
+    pairs = scale_out(df).select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    ).select(
+        F.col(id_col),
+        F.explode(char_pairs_expr(F.col("word"))).alias("pair"),
+    )
+    counted = pairs.groupBy(id_col, "pair").agg(
+        F.count(F.lit(1)).alias("__c"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__c").desc(), F.col("pair").asc(),
+    )
+    top = (
+        counted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("pair").alias("top_pair"),
+            F.col("__c").alias("top_pair_count"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("top_pair", F.lit("")).alias("top_pair"),
+            F.coalesce("top_pair_count", F.lit(0)).cast("long")
+            .alias("top_pair_count"),
+        )
+    )

@@ -12,6 +12,7 @@ from sed_spark.ext import (
     pii,
     similarity,
     text,
+    vocab,
 )
 from sed_spark.suite.common import load
 
@@ -817,9 +818,27 @@ LEFT JOIN reb ON reb.doc_id = d.doc_id
 
 
 # Gopher-style repetition filters: duplicate-word fraction + top-bigram
-# character coverage (Rae et al. 2021 §A1.1)
+# character coverage (Rae et al. 2021 §A1.1) WIDENED with the
+# tokenizer-training operators: per-doc corpus-rarity stats pin the
+# (word, tf, df) vocabulary table, and each doc's top character pair is
+# joined against the corpus BPE pair-count table — the per-doc probe
+# pins the corpus-level merge-candidate statistics
 def repetition(spark, sf_dir):
-    return text.repetition_stats(load(spark, sf_dir, "documents"))
+    docs = load(spark, sf_dir, "documents")
+    rep = text.repetition_stats(docs)
+    v = vocab.word_doc_freq(docs)
+    vd = vocab.vocab_doc_stats(docs, v)
+    pc = vocab.bpe_pair_counts(docs, vocab=v)
+    tp = (
+        vocab.doc_top_pair(docs)
+        .join(pc.withColumnRenamed("pair", "top_pair"), "top_pair", "left")
+        .select(
+            "doc_id", "top_pair", "top_pair_count",
+            F.coalesce("cnt", F.lit(0)).cast("long")
+            .alias("top_pair_corpus_cnt"),
+        )
+    )
+    return rep.join(vd, "doc_id").join(tp, "doc_id")
 
 
 REPETITION_SQL = """
@@ -845,13 +864,56 @@ top AS (
     round(cnt * length(g) / CAST(nc AS DOUBLE), 6) AS top_ngram_char_frac,
     row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rn
   FROM gc
+),
+wx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+v AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS tf,
+    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM wx GROUP BY word
+),
+vd AS (
+  SELECT doc_id, min(df) AS rarest_word_df, CAST(sum(df) AS BIGINT) AS df_sum
+  FROM (SELECT DISTINCT doc_id, word FROM wx) dw JOIN v USING (word)
+  GROUP BY doc_id
+),
+pc AS (
+  SELECT pair, CAST(sum(tf) AS BIGINT) AS cnt FROM (
+    SELECT tf, unnest(list_transform(generate_series(1, length(word) - 1),
+      i -> substr(word, i, 2))) AS pair
+    FROM v WHERE length(word) >= 2
+  ) GROUP BY pair
+),
+dp AS (
+  SELECT doc_id, pair, count(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, length(word) - 1),
+      i -> substr(word, i, 2))) AS pair
+    FROM wx WHERE length(word) >= 2
+  ) GROUP BY doc_id, pair
+),
+tp0 AS (
+  SELECT doc_id, pair, c,
+    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, pair ASC) AS rn
+  FROM dp
+),
+tp AS (
+  SELECT d.doc_id, COALESCE(t1.pair, '') AS top_pair,
+    CAST(COALESCE(t1.c, 0) AS BIGINT) AS top_pair_count,
+    CAST(COALESCE(pc.cnt, 0) AS BIGINT) AS top_pair_corpus_cnt
+  FROM (SELECT doc_id FROM documents) d
+  LEFT JOIN (SELECT * FROM tp0 WHERE rn = 1) t1 ON d.doc_id = t1.doc_id
+  LEFT JOIN pc ON pc.pair = t1.pair
 )
 SELECT wc.doc_id, wc.n_words, wc.n_distinct_words,
   round(1.0 - n_distinct_words / CAST(n_words AS DOUBLE), 6) AS dup_word_frac,
   COALESCE(t.top_ngram, '') AS top_ngram,
   COALESCE(t.top_ngram_count, 0) AS top_ngram_count,
-  COALESCE(t.top_ngram_char_frac, 0.0) AS top_ngram_char_frac
-FROM wc LEFT JOIN (SELECT * FROM top WHERE rn = 1) t ON wc.doc_id = t.doc_id
+  COALESCE(t.top_ngram_char_frac, 0.0) AS top_ngram_char_frac,
+  vd.rarest_word_df, vd.df_sum,
+  tp.top_pair, tp.top_pair_count, tp.top_pair_corpus_cnt
+FROM wc
+LEFT JOIN (SELECT * FROM top WHERE rn = 1) t ON wc.doc_id = t.doc_id
+JOIN vd ON vd.doc_id = wc.doc_id
+JOIN tp ON tp.doc_id = wc.doc_id
 """
 
 

@@ -878,3 +878,39 @@ def test_dsir_fit_and_score_match_python(spark):
         assert got[i] == (len(gs), round(acc, 6))
     # target-like docs must outweigh off-target docs
     assert got[0][1] > got[2][1] and got[1][1] > got[3][1]
+
+
+def test_vocab_tokenizer_support_ops(spark):
+    from sed_spark.ext import vocab
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aa bb aa"),
+            (1, "aa cc"),
+            (2, "dd"),
+            (3, "e e e"),  # single-char word: no pairs
+        ],
+        ["doc_id", "text"],
+    )
+    v = {r.word: (r.tf, r.df) for r in vocab.word_doc_freq(docs).collect()}
+    assert v == {
+        "aa": (3, 2), "bb": (1, 1), "cc": (1, 1), "dd": (1, 1), "e": (3, 1),
+    }
+
+    # pair counts are tf-weighted over the VOCAB (aa->'aa' tf 3, bb 1, ...)
+    pc = {r.pair: r.cnt for r in vocab.bpe_pair_counts(docs).collect()}
+    assert pc == {"aa": 3, "bb": 1, "cc": 1, "dd": 1}
+
+    vd = {
+        r.doc_id: (r.rarest_word_df, r.df_sum)
+        for r in vocab.vocab_doc_stats(docs).collect()
+    }
+    # doc 0 distinct words {aa, bb}: min df 1, sum 3; doc 3 {e}: (1, 1)
+    assert vd == {0: (1, 3), 1: (1, 3), 2: (1, 1), 3: (1, 1)}
+
+    tp = {
+        r.doc_id: (r.top_pair, r.top_pair_count)
+        for r in vocab.doc_top_pair(docs).collect()
+    }
+    # doc 0: 'aa' appears twice (two occurrences of the word), 'bb' once
+    assert tp == {0: ("aa", 2), 1: ("aa", 1), 2: ("dd", 1), 3: ("", 0)}
