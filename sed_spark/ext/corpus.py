@@ -20,6 +20,7 @@ __all__ = [
     "hash_split",
     "rate_sample",
     "cap_rates",
+    "gumbel_topk",
 ]
 
 #: scheme://host[:port][/path] — the regex subset with identical
@@ -168,6 +169,54 @@ def cap_rates(
         F.col(key_col),
         F.least(F.lit(1.0), F.lit(float(cap)) / F.col(count_col).cast("double"))
         .alias(rate_col),
+    )
+
+
+def gumbel_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    method: str = "md5",
+    key_col: str = "gumbel_key",
+    keep_col: str = "is_sampled",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Deterministic Gumbel-top-k sampling without replacement,
+    proportional to ``exp(weight_col)`` (the Gumbel-max trick over
+    log-weights; with a :func:`sed_spark.ext.text.dsir_score` column this
+    IS the DSIR importance resample). Each row's key is
+    ``weight + Gumbel(0,1)`` with the Gumbel noise derived from a hash of
+    ``(id, salt)`` — reproducible across runs, cluster sizes, and engines,
+    unlike ``rand()``-based samplers. Adds ``key_col`` (rounded) and an
+    int 0/1 ``keep_col`` flag for the k largest keys.
+
+    Scale design: two passes, no corpus-wide shuffle — the selection
+    threshold comes from a top-k (``TakeOrderedAndProject``: per-partition
+    top-k, k·P rows to the driver), then one flag projection against the
+    broadcast scalar. Deliberately NOT a global window rank, which would
+    funnel the corpus through one task. Exact-k caveat: rounded-key ties
+    AT the threshold are all kept.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = uniform_hash_expr(id_col, salt, method)
+    # midpoint offset: u = (h + 0.5) / 2^bits lands strictly inside (0, 1)
+    # so neither log can hit 0 or -inf
+    half = 0.5 / (2.0 ** (32 if method == "md5" else 64))
+    gumbel = -F.log(-F.log(u + F.lit(half)))
+    key = F.round(F.col(weight_col) + gumbel, round_decimals)
+    keyed = df.withColumn(key_col, key)
+    kth = (
+        keyed.select(key_col)
+        .orderBy(F.col(key_col).desc())
+        .limit(k)
+        .agg(F.min(key_col))
+        .collect()[0][0]
+    )
+    return keyed.withColumn(
+        keep_col, (F.col(key_col) >= F.lit(float(kth))).cast("int"),
     )
 
 

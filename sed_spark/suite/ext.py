@@ -567,6 +567,8 @@ _CLS_BIAS = 0.1
 _CLS_WEIGHTS = text.hashed_weights(_CLS_DIM, seed=3)
 _DSIR_DIM = 128
 _DSIR_N = 2
+_DSIR_K = 100
+_DSIR_SALT = "dsir"
 
 # pinned sf0.01 DSIR fit (tools/gen_dsir_logratios.py) — same live-vs-pin
 # contract as the trained IVF centroids: the Spark side fits LIVE, the
@@ -603,7 +605,15 @@ def text_metrics(spark, sf_dir):
         dsir = text.dsir_score(
             docs, _dsir_fit_cached(docs, sf_dir), shingle_n=_DSIR_N,
         )
-        out = out.join(dsir, "doc_id")
+        # the DSIR resample itself: Gumbel-top-k over the log-weights
+        # (md5 variant so the oracle reproduces the noise bit-for-bit)
+        out = corpus.gumbel_topk(
+            out.join(dsir, "doc_id"),
+            "dsir_logweight",
+            k=_DSIR_K,
+            salt=_DSIR_SALT,
+            method="md5",
+        )
     return out
 
 
@@ -689,11 +699,34 @@ FROM ({_grams_sql(_DSIR_N)})
 def _text_metrics_sql_full() -> str:
     if DSIR_LOGRATIOS_SF0_01 is None:  # pragma: no cover - bootstrap only
         return TEXT_METRICS_SQL
-    return (
+    joined = (
         f"SELECT base.*, d.n_feats, d.dsir_logweight "
         f"FROM ({TEXT_METRICS_SQL}) base JOIN ({_dsir_sql()}) d "
         "USING (doc_id)"
     )
+    # Gumbel-top-k resample mirror: u = (hex8(md5(id||salt)) + 0.5)/2^32
+    # (division by a power of two is exact, so both engines' doubles are
+    # bit-identical before the ln); DuckDB's natural log is ln, not log
+    gk = (
+        f"round(t.dsir_logweight + (-ln(-ln(((({_hex8('h')}) + 0.5) "
+        "/ 4294967296.0)))), 6)"
+    )
+    return f"""
+WITH tm AS ({joined}),
+keyed AS (
+  SELECT t.*, {gk} AS gumbel_key
+  FROM tm t JOIN (
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '{_DSIR_SALT}') AS h
+    FROM documents
+  ) hh ON t.doc_id = hh.doc_id
+),
+thr AS (
+  SELECT min(gumbel_key) AS kth
+  FROM (SELECT gumbel_key FROM keyed ORDER BY gumbel_key DESC LIMIT {_DSIR_K})
+)
+SELECT keyed.*, CAST(keyed.gumbel_key >= thr.kth AS INTEGER) AS is_sampled
+FROM keyed, thr
+"""
 
 
 # test-set decontamination (every 50th document plays the benchmark/eval

@@ -166,3 +166,45 @@ def test_rate_sample_missing_group_kept(spark):
     rates = spark.createDataFrame([("known", 0.0)], ["domain", "rate"])
     got = {r["doc_id"] for r in rate_sample(df, rates).collect()}
     assert got == {2}  # rate 0 drops; absent domain is uncapped
+
+
+def test_gumbel_topk_deterministic_and_weighted(spark):
+    import hashlib
+    import math
+
+    from sed_spark.ext import corpus
+
+    n = 60
+    rows = [(i, float(i % 5)) for i in range(n)]  # weights 0..4
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+
+    def key(i, w, salt="s"):
+        h = int(hashlib.md5(f"{i}{salt}".encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 2**32
+        return round(w + -math.log(-math.log(u)), 6)
+
+    expect_keys = {i: key(i, w) for i, w in rows}
+    kth = sorted(expect_keys.values(), reverse=True)[9]
+
+    got = corpus.gumbel_topk(df, "w", k=10, salt="s").collect()
+    for r in got:
+        assert r.gumbel_key == expect_keys[r.doc_id]
+        assert r.is_sampled == int(r.gumbel_key >= kth)
+    assert sum(r.is_sampled for r in got) == 10
+    # selection is biased toward the heavy weights
+    heavy = sum(1 for r in got if r.is_sampled and r.w >= 3.0)
+    assert heavy >= 6
+
+    # same salt -> same sample; different salt -> (almost surely) different
+    again = corpus.gumbel_topk(df, "w", k=10, salt="s").collect()
+    assert {r.doc_id for r in again if r.is_sampled} == {
+        r.doc_id for r in got if r.is_sampled
+    }
+    other = corpus.gumbel_topk(df, "w", k=10, salt="t").collect()
+    assert {r.doc_id for r in other if r.is_sampled} != {
+        r.doc_id for r in got if r.is_sampled
+    }
+
+    import pytest
+    with pytest.raises(ValueError, match="k must be positive"):
+        corpus.gumbel_topk(df, "w", k=0)
