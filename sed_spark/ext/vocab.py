@@ -27,6 +27,10 @@ __all__ = [
     "bpe_pair_counts",
     "vocab_doc_stats",
     "doc_top_pair",
+    "symbols_expr",
+    "bpe_apply_expr",
+    "bpe_train",
+    "bpe_token_counts",
 ]
 
 
@@ -180,4 +184,152 @@ def doc_top_pair(
             F.coalesce("top_pair_count", F.lit(0)).cast("long")
             .alias("top_pair_count"),
         )
+    )
+
+
+def symbols_expr(word: Column) -> Column:
+    """A word as its initial symbol sequence: one single-character symbol
+    per character (the state BPE training starts from; no end-of-word
+    marker — a documented simplification vs Sennrich et al.'s ``</w>``)."""
+    return F.when(
+        F.length(word) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda i: word.substr(i, F.lit(1)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def bpe_apply_expr(symbols: Column, merges) -> Column:
+    """Apply an ordered BPE merge list to a symbol-array column, entirely
+    in expressions. Each merge is one ``aggregate`` fold over the array:
+    append the next symbol, or — when the accumulator's last symbol is the
+    merge's left and the incoming one its right — replace the last symbol
+    with the fusion. The fold is left-to-right and never re-examines a
+    freshly fused symbol, which is exactly the non-overlapping scan of the
+    reference algorithm (``[a,a,a]`` + merge ``(a,a)`` → ``[aa, a]``)."""
+    def make_step(a: str, b: str):
+        fused = a + b
+
+        def step(acc, x):
+            hit = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b))
+            )
+            return F.when(
+                hit,
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(fused)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return step
+
+    out = symbols
+    for a, b in merges:
+        out = F.aggregate(
+            out, F.expr("CAST(array() AS array<string>)"), make_step(a, b),
+        )
+    return out
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+) -> list[tuple[str, str]]:
+    """Distributed BPE tokenizer training (Sennrich et al., ACL 2016):
+    iteratively fuse the corpus's most frequent adjacent symbol pair.
+    Returns the ordered merge list (ties broken lexicographically, so the
+    fit is deterministic). Stops early when no pair remains.
+
+    Scale design: the corpus is aggregated ONCE into the (word, tf)
+    vocabulary table (:func:`word_doc_freq`); every merge iteration runs
+    on that vocabulary-sized table — one pair-count aggregate (map-side
+    partials) whose top-1 row reaches the driver, then one expression-only
+    fold updating the symbol arrays, checkpointed so plans don't stack.
+    100 TB of text never gets re-read or re-shuffled after the first
+    aggregate, matching how reference BPE learners run on a frequency
+    dict rather than raw text.
+    """
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    if vocab is None:
+        vocab = word_doc_freq(df, id_col, text_col)
+    sym = vocab.select(
+        "tf", symbols_expr(F.col("word")).alias("sym"),
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts = (
+            sym.select(
+                "tf",
+                F.explode(
+                    F.when(
+                        F.size("sym") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size("sym") - 2),
+                            lambda i: F.struct(
+                                F.element_at(F.col("sym"), (i + 1).cast("int"))
+                                .alias("l"),
+                                F.element_at(F.col("sym"), (i + 2).cast("int"))
+                                .alias("r"),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.expr(
+                            "CAST(array() AS array<struct<l:string,r:string>>)",
+                        ),
+                    ),
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("tf").alias("cnt"))
+        )
+        top = pair_counts.orderBy(
+            F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc(),
+        ).limit(1).collect()
+        if not top:
+            break
+        a, b = top[0].l, top[0].r
+        merges.append((a, b))
+        sym = sym.select(
+            "tf", bpe_apply_expr(F.col("sym"), [(a, b)]).alias("sym"),
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document token count under a trained BPE merge list — the
+    context-window accounting a packing/budgeting stage needs. The merges
+    are applied once per VOCABULARY word (expression fold, vocabulary-
+    sized), then each document sums its word occurrences' subtoken counts
+    through an equi-join on the word key: the corpus is never re-tokenized
+    row by row. Returns ``(id_col, n_bpe_tokens)``."""
+    from sed_spark.ext import scale_out
+
+    if vocab is None:
+        vocab = word_doc_freq(df, id_col, text_col)
+    per_word = vocab.select(
+        "word",
+        F.size(bpe_apply_expr(symbols_expr(F.col("word")), merges))
+        .alias("__n_sub"),
+    )
+    w = scale_out(df).select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    return (
+        w.join(per_word, "word")
+        .groupBy(id_col)
+        .agg(F.sum("__n_sub").cast("long").alias("n_bpe_tokens"))
     )

@@ -580,9 +580,29 @@ try:
 except ImportError:  # pragma: no cover - bootstrap only
     DSIR_LOGRATIOS_SF0_01 = None
 
+# pinned sf0.01 BPE expectations (tools/gen_bpe_expected.py) — a pure-
+# Python Sennrich-reference implementation, INDEPENDENT of the Spark
+# trainer: the Spark side trains live and must land on these counts.
+try:
+    from sed_spark.suite._bpe_expected import (
+        BPE_COUNTS_SF0_01,
+        BPE_N_MERGES,
+    )
+except ImportError:  # pragma: no cover - bootstrap only
+    BPE_COUNTS_SF0_01 = None
+    BPE_N_MERGES = 12
+
 #: per-process cache of the live fit, keyed by sf_dir (fitting is the
 #: offline step of a DSIR deployment; the score is the per-doc query)
 _DSIR_FIT_CACHE: dict[str, list[float]] = {}
+
+_BPE_FIT_CACHE: dict[str, list] = {}
+
+
+def _bpe_fit_cached(docs, sf_dir: str) -> list:
+    if sf_dir not in _BPE_FIT_CACHE:
+        _BPE_FIT_CACHE[sf_dir] = vocab.bpe_train(docs, BPE_N_MERGES)
+    return _BPE_FIT_CACHE[sf_dir]
 
 
 def _dsir_fit_cached(docs, sf_dir: str) -> list[float]:
@@ -614,6 +634,11 @@ def text_metrics(spark, sf_dir):
             salt=_DSIR_SALT,
             method="md5",
         )
+    if BPE_COUNTS_SF0_01 is not None:
+        # live distributed BPE training; the oracle carries per-doc counts
+        # from the independent pure-Python reference implementation
+        bpe = vocab.bpe_token_counts(docs, _bpe_fit_cached(docs, sf_dir))
+        out = out.join(bpe, "doc_id")
     return out
 
 
@@ -725,8 +750,24 @@ thr AS (
   FROM (SELECT gumbel_key FROM keyed ORDER BY gumbel_key DESC LIMIT {_DSIR_K})
 )
 SELECT keyed.*, CAST(keyed.gumbel_key >= thr.kth AS INTEGER) AS is_sampled
-FROM keyed, thr
-"""
+{_bpe_col_sql()}FROM keyed, thr
+{_bpe_join_sql()}"""
+
+
+def _bpe_col_sql() -> str:
+    if BPE_COUNTS_SF0_01 is None:  # pragma: no cover - bootstrap only
+        return ""
+    return ", CAST(bpe.cnt AS BIGINT) AS n_bpe_tokens\n"
+
+
+def _bpe_join_sql() -> str:
+    if BPE_COUNTS_SF0_01 is None:  # pragma: no cover - bootstrap only
+        return ""
+    values = ", ".join(f"({d}, {c})" for d, c in BPE_COUNTS_SF0_01)
+    return (
+        f"JOIN (VALUES {values}) AS bpe(doc_id, cnt) "
+        "ON bpe.doc_id = keyed.doc_id\n"
+    )
 
 
 # test-set decontamination (every 50th document plays the benchmark/eval

@@ -914,3 +914,79 @@ def test_vocab_tokenizer_support_ops(spark):
     }
     # doc 0: 'aa' appears twice (two occurrences of the word), 'bb' once
     assert tp == {0: ("aa", 2), 1: ("aa", 1), 2: ("dd", 1), 3: ("", 0)}
+
+
+def _py_bpe_train(word_tf, n_merges):
+    """Pure-Python Sennrich-style reference (no end-of-word marker)."""
+    sym = {w: [c for c in w] for w in word_tf}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, tf in word_tf.items():
+            s = sym[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + tf
+        if not counts:
+            break
+        top = max(counts.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0][0]], ))
+        # deterministic: max count, then lexicographically smallest (l, r)
+        best_cnt = max(counts.values())
+        cands = sorted(p for p, c in counts.items() if c == best_cnt)
+        a, b = cands[0]
+        merges.append((a, b))
+        for w in sym:
+            s, out = sym[w], []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            sym[w] = out
+    return merges, sym
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from sed_spark.ext import vocab
+
+    docs = spark.createDataFrame(
+        [
+            (0, "low lower low"),
+            (1, "lowest low newer"),
+            (2, "wider new newer"),
+        ],
+        ["doc_id", "text"],
+    )
+    word_tf = {}
+    for _, t in [(0, "low lower low"), (1, "lowest low newer"),
+                 (2, "wider new newer")]:
+        for w in t.split(" "):
+            word_tf[w] = word_tf.get(w, 0) + 1
+
+    for k in (1, 3, 6):
+        expect_merges, expect_sym = _py_bpe_train(dict(word_tf), k)
+        got = vocab.bpe_train(docs, n_merges=k)
+        assert got == expect_merges, f"k={k}"
+
+    merges, expect_sym = _py_bpe_train(dict(word_tf), 6)
+    counts = {
+        r.doc_id: r.n_bpe_tokens
+        for r in vocab.bpe_token_counts(docs, merges).collect()
+    }
+    def doc_count(t):
+        return sum(len(expect_sym[w]) for w in t.split(" "))
+    assert counts == {
+        0: doc_count("low lower low"),
+        1: doc_count("lowest low newer"),
+        2: doc_count("wider new newer"),
+    }
+
+    # overlap semantics: [a,a,a] + merge (a,a) -> [aa, a]
+    d2 = spark.createDataFrame([(0, "aaa")], ["doc_id", "text"])
+    m = vocab.bpe_train(d2, n_merges=1)
+    assert m == [("a", "a")]
+    c2 = vocab.bpe_token_counts(d2, m).collect()
+    assert c2[0].n_bpe_tokens == 2
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_merges"):
+        vocab.bpe_train(docs, n_merges=0)
