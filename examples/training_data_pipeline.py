@@ -12,6 +12,9 @@ The standard LLM-corpus shape, each stage a sed_spark ext operator:
 4. quality + repetition filters (Gopher-style)
 5. PII redaction
 6. similarity search sanity check over the embeddings table
+7. deterministic train/val/test split + per-domain accounting
+8. DSIR importance weights + Gumbel-top-k resample
+9. BPE tokenizer training + token counting + sequence packing
 
 Every stage is a DataFrame→DataFrame transform, so the whole pipeline is
 one lazy plan until the final counts — at 100 TB the same code runs with
@@ -25,7 +28,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from sed_spark.ext import corpus, dedup, graph, pii, similarity, text
+from sed_spark.ext import corpus, dedup, graph, pii, similarity, text, vocab
 from sed_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -117,23 +120,36 @@ def main() -> None:
     )
     splits = {r["split"] for r in per_split_domain}
 
-    # 8. pack the train split into fixed context windows (concat-and-chunk)
-    train_tok = (
-        text.token_stats(docs)
-        .join(split.filter(F.col("split") == "train"), "doc_id", "left_semi")
+    # 8. DSIR: fit target=benchmark vs raw=corpus, score every doc, then
+    # Gumbel-top-k importance resample (deterministic, salt-keyed)
+    ratios = text.dsir_fit(bench, docs, dim=64)
+    weighted = corpus.gumbel_topk(
+        text.dsir_score(docs, ratios), "dsir_logweight", k=50, salt="ex",
     )
-    packed = text.pack_sequences(train_tok, "bpe_tokens", budget=2048)
+    n_resampled = weighted.filter(F.col("is_sampled") == 1).count()
+
+    # 9. train a BPE tokenizer on the curated corpus; count train-split
+    # tokens under the learned merges, then pack into context windows
+    merges = vocab.bpe_train(docs, n_merges=8)
+    bpe_tok = vocab.bpe_token_counts(docs, merges)
+    train_tok = bpe_tok.join(
+        split.filter(F.col("split") == "train"), "doc_id", "left_semi",
+    )
+    packed = text.pack_sequences(train_tok, "n_bpe_tokens", budget=2048)
     n_packs = packed.agg(F.max("pack_id")).collect()[0][0] + 1
 
     print(f"documents: {n0} -> {n_final} after dedup/decontam/quality")
     print(f"pii redacted: emails={pii_hits['emails']} ips={pii_hits['ips']} "
           f"phones={pii_hits['phones']}")
     print(f"ann rows: {topk}")
+    print(f"dsir resample kept {n_resampled} docs")
+    print(f"bpe merges: {merges}")
     print(f"train split packs into {n_packs} x 2048-token windows")
     for r in per_split_domain:
         print(f"  split={r['split']:<5} domain={r['domain']:<20} "
               f"docs={r['n_docs']}")
     assert n_final > 0 and topk == 10
+    assert n_resampled >= 50 and len(merges) == 8
     assert splits == {"train", "val", "test"} or "train" in splits
     print("pipeline OK")
 
