@@ -155,3 +155,69 @@ def test_curation_row_broadcasts_rollup_and_projects_split(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "split" not in line, line
+
+
+def test_dsir_score_is_single_projection_no_shuffle(spark):
+    # the literal-array fold must stay a pure projection: no Exchange
+    # beyond the tiny scale_out round-robin, no join, no aggregate
+    from sed_spark.ext.text import dsir_score
+    from sed_spark.suite.common import load
+
+    ratios = [float(i % 7) - 3.0 for i in range(128)]
+    plan = _plan(dsir_score(load(spark, SF_DIR, "documents"), ratios))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan and "HashAggregate" not in plan
+
+
+def test_duplicate_spans_windows_partition_by_doc(spark):
+    # the gaps-and-islands stage must be a window PARTITIONED on doc_id
+    # (document-local), and no join in the plan may be a cartesian product
+    from sed_spark.ext.dedup import duplicate_spans
+    from sed_spark.suite.common import load
+
+    df = duplicate_spans(load(spark, SF_DIR, "documents"), window=5)
+    df.collect()  # let AQE finalize
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if "Window [" in line or "RunningWindowFunction" in line:
+            assert "doc_id" in line, line
+
+
+def test_gumbel_topk_uses_take_ordered_not_global_window(spark):
+    # the threshold pass must be a TakeOrderedAndProject (per-partition
+    # top-k), and the flag pass must not contain a global (empty-key)
+    # window or a single-partition Exchange
+    from sed_spark.ext.corpus import gumbel_topk
+    from sed_spark.suite.common import load
+
+    docs = load(spark, SF_DIR, "documents").withColumn("w", F.rand(3))
+    keyed = docs.withColumn(
+        "gumbel_key", F.round(F.col("w"), 6),
+    )
+    thresh_plan = _plan(
+        keyed.select("gumbel_key").orderBy(F.col("gumbel_key").desc()).limit(5),
+    )
+    assert "TakeOrderedAndProject" in thresh_plan
+    out = gumbel_topk(docs, "w", k=5)
+    plan = _plan(out)
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_bpe_token_counts_joins_on_word_key(spark):
+    # the corpus is tokenized through the vocabulary join: every hash
+    # Exchange partitions on word or doc_id, never an unkeyed shuffle
+    from sed_spark.ext.vocab import bpe_token_counts
+    from sed_spark.suite.common import load
+
+    df = bpe_token_counts(
+        load(spark, SF_DIR, "documents"), [("a", "b"), ("c", "d")],
+    )
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert ("word" in line) or ("doc_id" in line), line

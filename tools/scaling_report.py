@@ -57,7 +57,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from sed_spark.binning import sparse_histogram
-    from sed_spark.ext import corpus, dedup, similarity, text
+    from sed_spark.ext import corpus, dedup, similarity, text, vocab
     from sed_spark.session import get_spark
 
     spark = get_spark(
@@ -126,6 +126,33 @@ def main() -> None:
         )
         return lambda: run_noop(similarity.batch_cosine_topk(emb, q, k=10))
 
+    def _dup_spans(n):
+        d = synth_docs(spark, n)
+        return lambda: run_noop(dedup.duplicate_spans(d, window=5))
+
+    def _dsir(n):
+        d = synth_docs(spark, n)
+        ratios = [((i * 2654435761) % 1000) / 500.0 - 1.0 for i in range(128)]
+        return lambda: run_noop(text.dsir_score(d, ratios))
+
+    def _word_doc_freq(n):
+        d = synth_docs(spark, n)
+        return lambda: run_noop(vocab.word_doc_freq(d))
+
+    def _bpe_counts(n):
+        d = synth_docs(spark, n)
+        # fixed 8-merge list over hex-digit symbols (application cost;
+        # training itself is vocabulary-sized, not corpus-sized)
+        merges = [("a", "b"), ("0", "1"), ("c", "d"), ("2", "3"),
+                  ("e", "f"), ("4", "5"), ("ab", "cd"), ("6", "7")]
+        return lambda: run_noop(vocab.bpe_token_counts(d, merges))
+
+    def _gumbel(n):
+        d = synth_docs(spark, n).withColumn("w", F.rand(5))
+        return lambda: run_noop(
+            corpus.gumbel_topk(d, "w", k=100, method="xxhash64"),
+        )
+
     cases = [
         ("text_metrics (fused text scan)", [10**5, 10**6, 10**7], _text_metrics),
         ("dedup_exact (hash-groupBy)", [10**5, 10**6, 10**7], _dedup_exact),
@@ -134,6 +161,11 @@ def main() -> None:
         ("minhash_signatures (explode+agg)", [10**5, 10**6], _minhash),
         ("batch_cosine_topk (arrow scorer)", [10**5, 10**6], _batch_ann),
         ("sparse_histogram 100x100", [10**6, 10**7, 10**8], _hist2d),
+        ("duplicate_spans (windows+islands)", [10**5, 10**6], _dup_spans),
+        ("dsir_score (literal-fold projection)", [10**5, 10**6, 10**7], _dsir),
+        ("word_doc_freq (2-stage agg)", [10**5, 10**6, 10**7], _word_doc_freq),
+        ("bpe_token_counts (vocab join-back)", [10**5, 10**6, 10**7], _bpe_counts),
+        ("gumbel_topk (2-pass sample)", [10**5, 10**6, 10**7], _gumbel),
     ]
 
     print("# Operator scaling (local[%s], best-of-2, noop sink)\n"
