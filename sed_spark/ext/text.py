@@ -16,6 +16,7 @@ __all__ = [
     "hashed_weights",
     "classifier_feature_expr",
     "classifier_score",
+    "chunk_documents",
     "dsir_fit",
     "dsir_score",
     "lang_id",
@@ -250,6 +251,62 @@ def classifier_score(
             .select(F.col(id_col), sigmoid(z).alias("quality_score"))
         )
     raise ValueError(f"unknown engine {engine!r}")
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping fixed-size document chunking — the retrieval/embedding
+    prep step (RAG pipelines embed chunks, not documents): windows of
+    ``chunk_tokens`` whitespace tokens starting every
+    ``chunk_tokens - overlap`` tokens, the last window clamped at the
+    document end. Returns one row per chunk:
+    ``(id_col, chunk_idx, n_chunks, chunk_text, n_chunk_tokens)``.
+
+    Pure expressions — tokenize, per-row ``transform`` over the chunk
+    starts, one ``posexplode``. No shuffle: chunking is row-local, and
+    the output inherits the input partitioning (chunks of one document
+    stay in one partition for downstream embedding batches).
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}",
+        )
+    from sed_spark.ext import scale_out
+
+    stride = chunk_tokens - overlap
+    words = scale_out(df).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__words"),
+    )
+    n = F.size("__words")
+    # one chunk when n <= chunk_tokens, else enough strides to cover n
+    n_chunks = F.when(
+        n <= chunk_tokens, F.lit(1),
+    ).otherwise(
+        F.lit(1)
+        + F.ceil((n - chunk_tokens) / F.lit(float(stride))).cast("int"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.slice(F.col("__words"), i * stride + 1, chunk_tokens),
+    )
+    return words.select(
+        F.col(id_col),
+        n_chunks.alias("n_chunks"),
+        F.posexplode(chunks).alias("chunk_idx", "__chunk"),
+    ).select(
+        F.col(id_col),
+        "chunk_idx",
+        "n_chunks",
+        F.array_join("__chunk", " ").alias("chunk_text"),
+        F.size("__chunk").alias("n_chunk_tokens"),
+    )
 
 
 def dsir_fit(

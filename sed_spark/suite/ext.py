@@ -1155,10 +1155,13 @@ JOIN capu ON capu.doc_id = s.doc_id
 
 
 # min-hash word-shingle fingerprint + winnowing (SIGMOD 2003) fingerprint
-# + exact-substring duplicate-span coverage (Lee et al. 2022) — all three
-# rolling-window document scans equi-joined on doc_id into one oracle row
-# (the span windows are word-5-grams, same granularity as the fingerprint)
+# + exact-substring duplicate-span coverage (Lee et al. 2022) + RAG-style
+# overlapping chunking (per-doc digest of the ordered chunk hashes pins
+# every chunk boundary AND every chunk's content) — all four rolling-
+# window document scans equi-joined on doc_id into one oracle row
 _SPAN_WINDOW = 5
+_CHUNK_TOKENS = 16
+_CHUNK_OVERLAP = 4
 
 
 def fingerprints(spark, sf_dir):
@@ -1169,7 +1172,33 @@ def fingerprints(spark, sf_dir):
         "doc_id", "n_windows", "n_dup_windows", "covered_tokens",
         "dup_span_frac",
     )
-    return fp.join(wn, "doc_id").join(ds, "doc_id")
+    ch = text.chunk_documents(
+        docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP,
+    )
+    chd = (
+        ch.select(
+            "doc_id", "n_chunks", "chunk_idx",
+            F.md5("chunk_text").alias("__h"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_chunks").alias("n_chunks"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_idx", "__h")),
+                        ),
+                        lambda x: x["__h"],
+                    ),
+                    "",
+                ),
+            ).alias("chunks_digest"),
+        )
+    )
+    return (
+        fp.join(wn, "doc_id").join(ds, "doc_id").join(chd, "doc_id")
+    )
 
 
 # word-5-gram min-md5 fingerprint joined with winnow_fingerprint(k=8, w=4):
@@ -1251,13 +1280,38 @@ spans AS (
       THEN round(COALESCE(spd.covered, 0) / CAST(len(sw.w) AS DOUBLE), 6)
       ELSE 0.0 END AS dup_span_frac
   FROM sw LEFT JOIN spd ON sw.doc_id = spd.doc_id
+),
+cn AS (
+  SELECT doc_id, w,
+    CASE WHEN len(w) <= {_CHUNK_TOKENS} THEN 1
+      ELSE 1 + CAST(ceil((len(w) - {_CHUNK_TOKENS})
+                          / {_CHUNK_TOKENS - _CHUNK_OVERLAP}.0) AS INT)
+    END AS n_chunks
+  FROM sw
+),
+cex AS (
+  SELECT doc_id, n_chunks, i AS chunk_idx,
+    md5(array_to_string(
+      w[(i*{_CHUNK_TOKENS - _CHUNK_OVERLAP})+1
+        :(i*{_CHUNK_TOKENS - _CHUNK_OVERLAP})+{_CHUNK_TOKENS}], ' ')) AS h
+  FROM (
+    SELECT doc_id, w, n_chunks,
+      unnest(generate_series(0, n_chunks - 1)) AS i
+    FROM cn
+  )
+),
+chd AS (
+  SELECT doc_id, CAST(max(n_chunks) AS INTEGER) AS n_chunks,
+    md5(string_agg(h, '' ORDER BY chunk_idx)) AS chunks_digest
+  FROM cex GROUP BY doc_id
 )
 SELECT fp.doc_id, fp.fp, fp.n_shingles, wn.winnow_digest, wn.n_selected,
   spans.n_windows, spans.n_dup_windows, spans.covered_tokens,
-  spans.dup_span_frac
+  spans.dup_span_frac, chd.n_chunks, chd.chunks_digest
 FROM fp
 JOIN wn ON fp.doc_id = wn.doc_id
 JOIN spans ON fp.doc_id = spans.doc_id
+JOIN chd ON fp.doc_id = chd.doc_id
 """
 
 

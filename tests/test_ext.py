@@ -990,3 +990,42 @@ def test_bpe_train_matches_python_reference(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n_merges"):
         vocab.bpe_train(docs, n_merges=0)
+
+
+def test_chunk_documents_overlap_and_clamping(spark):
+    from sed_spark.ext import text
+
+    words20 = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(0, words20), (1, "a b c"), (2, "solo")],
+        ["doc_id", "text"],
+    )
+    rows = text.chunk_documents(
+        docs, chunk_tokens=8, overlap=2,
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for v in by_doc.values():
+        v.sort(key=lambda r: r.chunk_idx)
+
+    # doc 0: 20 tokens, stride 6 -> starts 0, 6, 12 -> 3 chunks
+    w = words20.split(" ")
+    assert [r.n_chunks for r in by_doc[0]] == [3, 3, 3]
+    assert by_doc[0][0].chunk_text == " ".join(w[0:8])
+    assert by_doc[0][1].chunk_text == " ".join(w[6:14])
+    assert by_doc[0][2].chunk_text == " ".join(w[12:20])  # clamped to end
+    assert by_doc[0][2].n_chunk_tokens == 8
+    # consecutive chunks share exactly `overlap` tokens
+    assert by_doc[0][0].chunk_text.split(" ")[-2:] == w[6:8]
+
+    # short docs: one chunk, whole text
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_text == "a b c"
+    assert by_doc[1][0].n_chunk_tokens == 3
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "solo"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        text.chunk_documents(docs, chunk_tokens=8, overlap=8)
+    with _pytest.raises(ValueError, match="chunk_tokens"):
+        text.chunk_documents(docs, chunk_tokens=0)
