@@ -478,6 +478,11 @@ def duplicate_spans(
             F.concat_ws(" ", F.slice(F.col("__words"), i + 1, window)),
         ),
     )
+    # checkpointed: the window table feeds both the document-frequency
+    # aggregate and the join-back, and the two branches' first exchanges
+    # differ ((id,h) vs h) so Spark cannot reuse one — without this the
+    # tokenize+hash explode would run twice (same rationale as
+    # boilerplate_stats' gram table)
     wins = words.select(
         F.col(id_col),
         F.posexplode(
@@ -485,7 +490,7 @@ def duplicate_spans(
                 F.expr("CAST(array() AS array<string>)"),
             ),
         ).alias("__pos", "__h"),
-    )
+    ).localCheckpoint(eager=True)
     # document frequency per window content; (doc, h)-distinct first so a
     # window repeated WITHIN one document does not count as cross-document
     dup = (
