@@ -23,7 +23,9 @@ __all__ = [
     "exact_dedup",
     "incremental_dedup",
     "minhash_signatures",
+    "melt_bands",
     "lsh_candidate_pairs",
+    "incremental_lsh_pairs",
     "jaccard_pairs",
     "simhash16",
     "benchmark_contamination",
@@ -165,16 +167,15 @@ def minhash_signatures(
     return grams.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def melt_bands(
     signatures: DataFrame,
     id_col: str = "doc_id",
     n_bands: int = 4,
 ) -> DataFrame:
-    """LSH banding: documents sharing ANY band signature become a candidate
-    pair. Melt bands → self-equi-join on (band, sig) → distinct pairs.
-    The join shuffles on (band, sig) — each bucket is a near-duplicate
-    cluster, so fanout is bounded by cluster sizes, not n²."""
-    melted = signatures.select(
+    """``(id, band, sig)`` rows from a :func:`minhash_signatures` table —
+    the LSH *index* shape: persisted/bucketed on (band, sig), it is what a
+    growing-corpus deployment keeps around between ingestion batches."""
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -185,6 +186,18 @@ def lsh_candidate_pairs(
             ),
         ).alias("bs"),
     ).select(id_col, "bs.band", "bs.sig")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+) -> DataFrame:
+    """LSH banding: documents sharing ANY band signature become a candidate
+    pair. Melt bands → self-equi-join on (band, sig) → distinct pairs.
+    The join shuffles on (band, sig) — each bucket is a near-duplicate
+    cluster, so fanout is bounded by cluster sizes, not n²."""
+    melted = melt_bands(signatures, id_col, n_bands)
     a, b = melted.alias("a"), melted.alias("b")
     return (
         a.join(
@@ -198,6 +211,50 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+
+
+def incremental_lsh_pairs(
+    new_signatures: DataFrame,
+    index_bands: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs for a NEW ingestion batch against a
+    growing corpus — the incremental counterpart of
+    :func:`lsh_candidate_pairs`, completing the deployment shape
+    :func:`incremental_dedup` provides for exact dedup: the existing
+    corpus is represented ONLY by its banded signature index
+    (:func:`melt_bands` output, ``(id, band, sig)``), never rescanned or
+    re-shingled. Returns the union of batch-vs-index pairs and
+    within-batch pairs as ``(a_id, b_id)`` with ``a_id < b_id``.
+
+    Scale design: the new batch's melted bands equi-join the index on
+    (band, sig) — when the index table is bucketed/partitioned on that
+    key the batch side shuffles alone; the within-batch self-join touches
+    batch-sized data only. Appending the batch's bands to the index
+    afterwards keeps the next ingestion incremental too.
+    """
+    nb = melt_bands(new_signatures, id_col, n_bands)
+    a, b = nb.alias("a"), index_bands.alias("b")
+    cross = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.sig") == F.col("b.sig")),
+    ).select(
+        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("a_id"),
+        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("b_id"),
+    ).filter(F.col("a_id") != F.col("b_id"))
+    within_a, within_b = nb.alias("a"), nb.alias("b")
+    within = within_a.join(
+        within_b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.sig") == F.col("b.sig"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("a_id"),
+        F.col(f"b.{id_col}").alias("b_id"),
+    )
+    return cross.unionAll(within).distinct()
 
 
 def jaccard_pairs(

@@ -106,17 +106,37 @@ _EDIT_BOUND = 64
 
 
 def lsh_pairs(spark, sf_dir):
-    """LSH candidate generation + the BANDED edit-distance verify over
-    the candidates (the blocked-verify pattern: the metric only ever
-    runs on the candidate set, and the bound makes it O(len·bound) per
-    pair). Every candidate row survives — pairs beyond the bound carry
-    the -1 sentinel — so the row pins candidate generation AND the
+    """LSH candidate generation in BOTH deployment shapes, tag-unioned,
+    each followed by the BANDED edit-distance verify over its candidates
+    (the blocked-verify pattern: the metric only ever runs on the
+    candidate set, and the bound makes it O(len·bound) per pair):
+    ``batch`` = the full-corpus self-join; ``incremental`` = the even-id
+    half plays the already-indexed corpus (represented ONLY by its melted
+    band table) and the odd-id half is the new ingestion batch —
+    batch-vs-index plus within-batch pairs, the prior corpus never
+    re-shingled. Every candidate row survives — pairs beyond the bound
+    carry the -1 sentinel — so the row pins candidate generation AND the
     verify decision in one hash."""
     docs = load(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, n_bands=4)
     pairs = dedup.lsh_candidate_pairs(sigs, n_bands=4)
-    return dedup.verify_pairs_editdist(
+    batch = dedup.verify_pairs_editdist(
         pairs, docs, max_dist=_EDIT_BOUND, keep_exceeded=True,
+    )
+    index = dedup.melt_bands(
+        sigs.filter(F.col("doc_id") % 2 == 0), n_bands=4,
+    )
+    new_sigs = sigs.filter(F.col("doc_id") % 2 == 1)
+    ipairs = dedup.incremental_lsh_pairs(new_sigs, index, n_bands=4)
+    inc = dedup.verify_pairs_editdist(
+        ipairs, docs, max_dist=_EDIT_BOUND, keep_exceeded=True,
+    )
+    return batch.select(
+        F.lit("batch").alias("method"), "a_id", "b_id", "edit_dist",
+    ).unionAll(
+        inc.select(
+            F.lit("incremental").alias("method"), "a_id", "b_id", "edit_dist",
+        ),
     )
 
 
@@ -141,14 +161,24 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 """
 
+# the incremental branch's pair set equals the batch pairs touching at
+# least one odd (new-batch) document: per-doc minhash signatures are
+# independent of HOW the corpus is split, so batch-vs-index + within-batch
+# is exactly that restriction of the full self-join
 LSH_PAIRS_SQL = f"""
-WITH pairs AS ({LSH_PAIRS_BARE_SQL})
-SELECT p.a_id, p.b_id,
-  CASE WHEN levenshtein(ta.text, tb.text) <= {_EDIT_BOUND}
-    THEN levenshtein(ta.text, tb.text) ELSE -1 END AS edit_dist
-FROM pairs p
-JOIN documents ta ON ta.doc_id = p.a_id
-JOIN documents tb ON tb.doc_id = p.b_id
+WITH pairs AS ({LSH_PAIRS_BARE_SQL}),
+verified AS (
+  SELECT p.a_id, p.b_id,
+    CASE WHEN levenshtein(ta.text, tb.text) <= {_EDIT_BOUND}
+      THEN levenshtein(ta.text, tb.text) ELSE -1 END AS edit_dist
+  FROM pairs p
+  JOIN documents ta ON ta.doc_id = p.a_id
+  JOIN documents tb ON tb.doc_id = p.b_id
+)
+SELECT 'batch' AS method, a_id, b_id, edit_dist FROM verified
+UNION ALL
+SELECT 'incremental' AS method, a_id, b_id, edit_dist FROM verified
+WHERE a_id % 2 = 1 OR b_id % 2 = 1
 """
 
 

@@ -1029,3 +1029,37 @@ def test_chunk_documents_overlap_and_clamping(spark):
         text.chunk_documents(docs, chunk_tokens=8, overlap=8)
     with _pytest.raises(ValueError, match="chunk_tokens"):
         text.chunk_documents(docs, chunk_tokens=0)
+
+
+def test_incremental_lsh_pairs_match_batch_restriction(spark):
+    from sed_spark.ext import dedup
+
+    # word-soup docs with planted near-dups across the even/odd boundary
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + " extra"),            # near-dup of 0 (new batch)
+            (2, "completely different words here nothing shared at all"),
+            (3, base + " tail"),             # near-dup of 0/1 (new batch)
+            (4, "completely different words here nothing shared at all"),
+            (5, "another unrelated document with its own vocabulary set"),
+        ],
+        ["doc_id", "text"],
+    )
+    sigs = dedup.minhash_signatures(docs, n_bands=4)
+    batch = {
+        (r.a_id, r.b_id)
+        for r in dedup.lsh_candidate_pairs(sigs, n_bands=4).collect()
+    }
+    index = dedup.melt_bands(sigs.filter(F.col("doc_id") % 2 == 0), n_bands=4)
+    inc = {
+        (r.a_id, r.b_id)
+        for r in dedup.incremental_lsh_pairs(
+            sigs.filter(F.col("doc_id") % 2 == 1), index, n_bands=4,
+        ).collect()
+    }
+    # incremental = batch pairs touching at least one odd (new) doc
+    assert inc == {p for p in batch if p[0] % 2 == 1 or p[1] % 2 == 1}
+    assert (0, 1) in inc and (1, 3) in inc     # cross and within-batch
+    assert (2, 4) in batch and (2, 4) not in inc  # old-old pair excluded
