@@ -215,6 +215,8 @@ def gumbel_topk(
         .agg(F.min(key_col))
         .collect()[0][0]
     )
+    if kth is None:  # fewer than 1 row (or all-null weights): nothing flagged
+        return keyed.withColumn(keep_col, F.lit(0))
     return keyed.withColumn(
         keep_col, (F.col(key_col) >= F.lit(float(kth))).cast("int"),
     )

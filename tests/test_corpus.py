@@ -208,3 +208,11 @@ def test_gumbel_topk_deterministic_and_weighted(spark):
     import pytest
     with pytest.raises(ValueError, match="k must be positive"):
         corpus.gumbel_topk(df, "w", k=0)
+
+
+def test_gumbel_topk_empty_input(spark):
+    from sed_spark.ext import corpus
+
+    empty = spark.createDataFrame([], "doc_id long, w double")
+    got = corpus.gumbel_topk(empty, "w", k=3).collect()
+    assert got == []
