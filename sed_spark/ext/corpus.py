@@ -20,6 +20,7 @@ __all__ = [
     "hash_split",
     "rate_sample",
     "cap_rates",
+    "exact_cap_sample",
     "gumbel_topk",
 ]
 
@@ -170,6 +171,46 @@ def cap_rates(
         F.least(F.lit(1.0), F.lit(float(cap)) / F.col(count_col).cast("double"))
         .alias(rate_col),
     )
+
+
+def exact_cap_sample(
+    df: DataFrame,
+    cap: int,
+    key_col: str = "domain",
+    id_col: str = "doc_id",
+    salt: str = "",
+    method: str = "xxhash64",
+    keep_col: str | None = None,
+) -> DataFrame:
+    """EXACT per-group cap: keep the ``cap`` rows of each group whose
+    hash of (id, salt) ranks smallest — deterministic (stable across
+    runs, repartitions, and corpus growth: a new document only ever
+    displaces the current worst-ranked member, never reshuffles the
+    whole group) and exactly ``min(cap, |group|)`` per group.
+
+    The skew trade, explicitly: this is a per-group window rank, so the
+    corpus shuffles on ``key_col`` and each group is ranked within one
+    task — one giant domain serializes through one core. Use
+    :func:`rate_sample` (broadcast rates, no window) when group sizes
+    are heavy-tailed and an expected cap suffices; use this when the cap
+    must be exact and groups are known to be bounded (e.g. after a
+    blocklist pass, or per-shard quotas).
+
+    ``keep_col=None`` filters; a column name adds an int 0/1 flag.
+    """
+    from pyspark.sql.window import Window
+
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    u = uniform_hash_expr(id_col, salt, method)
+    w = Window.partitionBy(key_col).orderBy(
+        u.asc(), F.col(id_col).asc(),
+    )
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    keep = F.col("__rn") <= cap
+    if keep_col is None:
+        return ranked.filter(keep).drop("__rn")
+    return ranked.withColumn(keep_col, keep.cast("int")).drop("__rn")
 
 
 def gumbel_topk(

@@ -1072,10 +1072,12 @@ def pii_redact_q(spark, sf_dir):
         F.col("n_urls").alias("domain_urls"),
         F.col("n_docs").alias("domain_docs"),
     )
-    # source balancing: downsample every domain toward ~_CAP docs via the
-    # skew-free broadcast-rate sample (flag, not filter, so the oracle
-    # hashes BOTH decisions); then the deterministic split — both are
-    # pure projections over the joined output, no join-back shuffles
+    # source balancing, BOTH strategies flagged side by side (the oracle
+    # hashes every decision): the skew-free broadcast-rate sample
+    # (expected ~_CAP per domain, no window) and the exact per-domain cap
+    # (window rank on the SAME audit hash — exactly min(cap, |domain|)
+    # kept); then the deterministic split — rate/split stay pure
+    # projections, the exact cap pays one keyed window by design
     rates = corpus.cap_rates(corpus.domain_stats(synth), cap=_CAP)
     sampled = corpus.rate_sample(
         red.join(urls, "doc_id").join(F.broadcast(dstats), "domain"),
@@ -1084,7 +1086,10 @@ def pii_redact_q(spark, sf_dir):
         method="md5",
         keep_col="kept_cap",
     )
-    return corpus.hash_split(sampled, _SPLIT_WEIGHTS, method="md5")
+    capped = corpus.exact_cap_sample(
+        sampled, cap=_CAP, salt="cap", method="md5", keep_col="kept_exact",
+    )
+    return corpus.hash_split(capped, _SPLIT_WEIGHTS, method="md5")
 
 
 def _split_case_sql(weights: dict[str, float], u_sql: str) -> str:
@@ -1174,6 +1179,9 @@ SELECT s.doc_id,
   CAST(capu.ucap <
     least(1.0, __CAP__ / CAST(dom.domain_docs AS DOUBLE))
     AS INTEGER) AS kept_cap,
+  CAST(CASE WHEN row_number() OVER (
+      PARTITION BY dom.domain ORDER BY capu.ucap, s.doc_id) <= __CAPN__
+    THEN 1 ELSE 0 END AS INTEGER) AS kept_exact,
   sp.split
 FROM staged2 s
 JOIN dom ON dom.doc_id = s.doc_id
@@ -1181,7 +1189,9 @@ JOIN sp ON sp.doc_id = s.doc_id
 JOIN capu ON capu.doc_id = s.doc_id
 """.replace("__SPLIT_CASE__", split_case).replace(
         "__HEX8C__", _hex8("h2"),
-    ).replace("__HEX8__", _HEX8).replace("__CAP__", fl(float(_CAP)))
+    ).replace("__HEX8__", _HEX8).replace(
+        "__CAPN__", str(_CAP),
+    ).replace("__CAP__", fl(float(_CAP)))
 
 
 # min-hash word-shingle fingerprint + winnowing (SIGMOD 2003) fingerprint

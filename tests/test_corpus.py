@@ -216,3 +216,56 @@ def test_gumbel_topk_empty_input(spark):
     empty = spark.createDataFrame([], "doc_id long, w double")
     got = corpus.gumbel_topk(empty, "w", k=3).collect()
     assert got == []
+
+
+def test_exact_cap_sample_exact_and_stable(spark):
+    import hashlib
+
+    from sed_spark.ext import corpus
+
+    rows = [(i, "d%d" % (i % 3)) for i in range(30)]  # 3 domains x 10
+    df = spark.createDataFrame(rows, ["doc_id", "domain"])
+
+    def u(i, salt="s"):
+        return int(hashlib.md5(f"{i}{salt}".encode()).hexdigest()[:8], 16) / 2**32
+
+    kept = {
+        r.doc_id
+        for r in corpus.exact_cap_sample(
+            df, cap=4, salt="s", method="md5",
+        ).collect()
+    }
+    # exactly 4 per domain, and exactly the 4 smallest hashes per domain
+    for d in range(3):
+        members = [i for i, dom in rows if dom == f"d{d}"]
+        expect = set(sorted(members, key=lambda i: (u(i), i))[:4])
+        assert expect == {i for i in kept if i % 3 == d}
+
+    # growth stability: adding new docs never evicts a kept doc unless the
+    # newcomer ranks into the top-4 of its domain
+    rows2 = rows + [(100 + i, "d%d" % (i % 3)) for i in range(6)]
+    df2 = spark.createDataFrame(rows2, ["doc_id", "domain"])
+    kept2 = {
+        r.doc_id
+        for r in corpus.exact_cap_sample(
+            df2, cap=4, salt="s", method="md5",
+        ).collect()
+    }
+    def dom_of(i):
+        return (i - 100) % 3 if i >= 100 else i % 3
+
+    for d in range(3):
+        members = [i for i, dom in rows2 if dom == f"d{d}"]
+        expect = set(sorted(members, key=lambda i: (u(i), i))[:4])
+        assert expect == {i for i in kept2 if dom_of(i) == d}
+
+    # flag variant keeps every row
+    flagged = corpus.exact_cap_sample(
+        df, cap=4, salt="s", method="md5", keep_col="kept",
+    )
+    assert flagged.count() == 30
+    assert flagged.agg(F.sum("kept")).collect()[0][0] == 12
+
+    import pytest
+    with pytest.raises(ValueError, match="cap must be positive"):
+        corpus.exact_cap_sample(df, cap=0)
