@@ -942,7 +942,13 @@ def repetition(spark, sf_dir):
             .alias("top_pair_corpus_cnt"),
         )
     )
-    return rep.join(vd, "doc_id").join(tp, "doc_id")
+    # CCNet-shape LM gate: bigram LM trained on the even half scores
+    # EVERY document (odd docs can hit unseen bigrams) — integer-exact
+    lm = vocab.bigram_counts(docs.filter(F.col("doc_id") % 2 == 0))
+    fam = vocab.lm_familiarity(docs, lm).select(
+        "doc_id", "n_unseen", "seen_cnt_sum",
+    )
+    return rep.join(vd, "doc_id").join(tp, "doc_id").join(fam, "doc_id")
 
 
 REPETITION_SQL = """
@@ -1006,6 +1012,24 @@ tp AS (
   FROM (SELECT doc_id FROM documents) d
   LEFT JOIN (SELECT * FROM tp0 WHERE rn = 1) t1 ON d.doc_id = t1.doc_id
   LEFT JOIN pc ON pc.pair = t1.pair
+),
+lmt AS (
+  SELECT g AS gk, CAST(count(*) AS BIGINT) AS cnt
+  FROM g WHERE doc_id % 2 = 0 GROUP BY g
+),
+fam0 AS (
+  SELECT g.doc_id,
+    CAST(sum(CASE WHEN lmt.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_unseen,
+    CAST(sum(COALESCE(lmt.cnt, 0)) AS BIGINT) AS seen_cnt_sum
+  FROM g LEFT JOIN lmt ON g.g = lmt.gk GROUP BY g.doc_id
+),
+fam AS (
+  SELECT d0.doc_id,
+    COALESCE(f.n_unseen, 0) AS n_unseen,
+    COALESCE(f.seen_cnt_sum, 0) AS seen_cnt_sum
+  FROM (SELECT doc_id FROM documents) d0
+  LEFT JOIN fam0 f ON d0.doc_id = f.doc_id
 )
 SELECT wc.doc_id, wc.n_words, wc.n_distinct_words,
   round(1.0 - n_distinct_words / CAST(n_words AS DOUBLE), 6) AS dup_word_frac,
@@ -1013,11 +1037,13 @@ SELECT wc.doc_id, wc.n_words, wc.n_distinct_words,
   COALESCE(t.top_ngram_count, 0) AS top_ngram_count,
   COALESCE(t.top_ngram_char_frac, 0.0) AS top_ngram_char_frac,
   vd.rarest_word_df, vd.df_sum,
-  tp.top_pair, tp.top_pair_count, tp.top_pair_corpus_cnt
+  tp.top_pair, tp.top_pair_count, tp.top_pair_corpus_cnt,
+  fam.n_unseen, fam.seen_cnt_sum
 FROM wc
 LEFT JOIN (SELECT * FROM top WHERE rn = 1) t ON wc.doc_id = t.doc_id
 JOIN vd ON vd.doc_id = wc.doc_id
 JOIN tp ON tp.doc_id = wc.doc_id
+JOIN fam ON fam.doc_id = wc.doc_id
 """
 
 

@@ -1063,3 +1063,31 @@ def test_incremental_lsh_pairs_match_batch_restriction(spark):
     assert inc == {p for p in batch if p[0] % 2 == 1 or p[1] % 2 == 1}
     assert (0, 1) in inc and (1, 3) in inc     # cross and within-batch
     assert (2, 4) in batch and (2, 4) not in inc  # old-old pair excluded
+
+
+def test_lm_familiarity_integer_exact(spark):
+    from sed_spark.ext import vocab
+
+    ref = spark.createDataFrame(
+        [(0, "a b a b c"), (2, "a b x")],
+        ["doc_id", "text"],
+    )
+    # reference LM bigram counts: "a b"x3, "b a"x1, "b c"x1, "b x"x1
+    lm = {r.g: r.cnt for r in vocab.bigram_counts(ref).collect()}
+    assert lm == {"a b": 3, "b a": 1, "b c": 1, "b x": 1}
+
+    new = spark.createDataFrame(
+        [
+            (1, "a b c"),     # "a b"(3) seen, "b c"(1) seen -> sum 4
+            (3, "z q a b"),   # "z q","q a" unseen, "a b" seen -> 2 unseen
+            (5, "solo"),      # no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_unseen, r.seen_cnt_sum)
+        for r in vocab.lm_familiarity(
+            new, vocab.bigram_counts(ref),
+        ).collect()
+    }
+    assert got == {1: (2, 0, 4), 3: (3, 2, 3), 5: (0, 0, 0)}
