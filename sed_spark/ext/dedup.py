@@ -32,6 +32,8 @@ __all__ = [
     "boilerplate_stats",
     "strip_boilerplate",
     "duplicate_spans",
+    "strip_duplicate_spans",
+    "minhash_jaccard_estimate",
     "normalize_text_expr",
     "verify_pairs_editdist",
 ]
@@ -255,6 +257,45 @@ def incremental_lsh_pairs(
         F.col(f"b.{id_col}").alias("b_id"),
     )
     return cross.unionAll(within).distinct()
+
+
+def minhash_jaccard_estimate(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    est_col: str = "jaccard_est",
+) -> DataFrame:
+    """Jaccard similarity ESTIMATE for candidate pairs from the MinHash
+    signatures already computed for banding: the fraction of equal
+    band-min signatures (E[sig_a == sig_b] = exact Jaccard, so the mean
+    over bands is an unbiased estimator with resolution ``1/n_bands``).
+    The cheap screen between candidate generation and the exact verify:
+    signature equality costs O(n_bands) per pair, no text access at all —
+    pairs below a screen threshold never pay the
+    :func:`verify_pairs_editdist` / exact-Jaccard join.
+
+    Two id-keyed joins against the (document-sized) signature table; the
+    estimate itself is a projection. Appends ``est_col`` to ``pairs``.
+    """
+    a_sig = signatures.select(
+        F.col(id_col).alias(a_col),
+        *[F.col(f"sig_{b}").alias(f"__a{b}") for b in range(n_bands)],
+    )
+    b_sig = signatures.select(
+        F.col(id_col).alias(b_col),
+        *[F.col(f"sig_{b}").alias(f"__b{b}") for b in range(n_bands)],
+    )
+    joined = pairs.join(a_sig, a_col).join(b_sig, b_col)
+    matches = sum(
+        (F.col(f"__a{b}") == F.col(f"__b{b}")).cast("int")
+        for b in range(n_bands)
+    )
+    return joined.select(
+        *pairs.columns, (matches / F.lit(float(n_bands))).alias(est_col),
+    )
 
 
 def jaccard_pairs(
@@ -493,33 +534,18 @@ def strip_boilerplate(
     )
 
 
-def duplicate_spans(
+def _span_islands(
     corpus: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    window: int = 5,
-    min_docs: int = 2,
-) -> DataFrame:
-    """Exact-substring duplicate-span statistics (Lee et al.,
-    "Deduplicating Training Data Makes Language Models Better",
-    arXiv:2107.06499): every length-``window`` token window is a candidate
-    substring; a window whose content occurs in ≥ ``min_docs`` DISTINCT
-    documents is a duplicated span. Returns one row per document —
-    ``(id, n_tokens, n_windows, n_dup_windows, covered_tokens,
-    dup_span_frac)`` — where ``covered_tokens`` is the size of the UNION
-    of all duplicated spans (overlaps merged), i.e. the paper's
-    "fraction of the document that is duplicated text".
-
-    Scale design: the reference algorithm builds a corpus-wide suffix
-    array — inherently sequential and memory-bound. Fixing the match
-    length at ``window`` (the paper's dedup threshold) turns it into a
-    pure dataflow: tokenize → rolling window hash (expr-only) →
-    posexplode → document-frequency aggregate on the hash key (map-side
-    partial counts collapse ubiquitous windows before the shuffle) →
-    join-back → per-document interval union via gaps-and-islands window
-    functions (running max of span end, partitioned by document). No
-    pair join, no global order, every stage keyed or document-local.
-    """
+    id_col: str,
+    text_col: str,
+    window: int,
+    min_docs: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of :func:`duplicate_spans` / :func:`strip_duplicate_spans`:
+    returns ``(words, per_island)`` where ``words`` is the tokenized corpus
+    and ``per_island`` has one merged duplicated interval per row —
+    ``(id, __s, __e, __nw)`` with ``[__s, __e)`` token spans and the
+    window count per island."""
     from pyspark.sql.window import Window
 
     from sed_spark.ext import scale_out
@@ -578,6 +604,42 @@ def duplicate_spans(
         F.max(F.col("__pos") + window).alias("__e"),
         F.count(F.lit(1)).alias("__nw"),
     )
+    return words, per_island
+
+
+def duplicate_spans(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate-span statistics (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): every length-``window`` token window is a candidate
+    substring; a window whose content occurs in ≥ ``min_docs`` DISTINCT
+    documents is a duplicated span. Returns one row per document —
+    ``(id, n_tokens, n_windows, n_dup_windows, covered_tokens,
+    dup_span_frac)`` — where ``covered_tokens`` is the size of the UNION
+    of all duplicated spans (overlaps merged), i.e. the paper's
+    "fraction of the document that is duplicated text".
+    :func:`strip_duplicate_spans` REMOVES the spans instead.
+
+    Scale design: the reference algorithm builds a corpus-wide suffix
+    array — inherently sequential and memory-bound. Fixing the match
+    length at ``window`` (the paper's dedup threshold) turns it into a
+    pure dataflow: tokenize → rolling window hash (expr-only) →
+    posexplode → document-frequency aggregate on the hash key (map-side
+    partial counts collapse ubiquitous windows before the shuffle) →
+    join-back → per-document interval union via gaps-and-islands window
+    functions (running max of span end, partitioned by document). No
+    pair join, no global order, every stage keyed or document-local.
+    """
+    words, per_island = _span_islands(
+        corpus, id_col, text_col, window, min_docs,
+    )
+    n_tok = F.size("__words")
+    n_win = n_tok - (window - 1)
     per_doc = per_island.groupBy(id_col).agg(
         F.sum(F.col("__e") - F.col("__s")).alias("covered_tokens"),
         F.sum("__nw").alias("n_dup_windows"),
@@ -601,6 +663,48 @@ def duplicate_spans(
                 6,
             ),
         ).otherwise(0.0).alias("dup_span_frac"),
+    )
+
+
+def strip_duplicate_spans(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """REMOVE exact-substring duplicate spans (the action Lee et al.
+    arXiv:2107.06499 actually take — :func:`duplicate_spans` is the
+    measuring variant): every token covered by a cross-document duplicated
+    window is dropped, the survivors rejoined in their original order.
+    Returns ``(id_col, text_col)``; fully-duplicated documents survive
+    with empty text.
+
+    Scale design: on top of the :func:`_span_islands` dataflow, the merged
+    intervals are collected PER DOCUMENT (document-sized arrays, never
+    corpus-sized), joined back on the id key, and the removal is one
+    expression — an index-aware ``filter`` over the token array testing
+    membership against the interval list. No second explode, no window.
+    """
+    words, per_island = _span_islands(
+        corpus, id_col, text_col, window, min_docs,
+    )
+    ivs = per_island.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("__s").alias("s"), F.col("__e").alias("e")),
+        ).alias("__ivs"),
+    )
+    empty_ivs = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+    covered = F.coalesce(F.col("__ivs"), empty_ivs)
+    kept = F.filter(
+        F.col("__words"),
+        lambda x, i: ~F.exists(
+            covered, lambda iv: (i >= iv["s"]) & (i < iv["e"]),
+        ),
+    )
+    return words.join(ivs, id_col, "left").select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias(text_col),
     )
 
 

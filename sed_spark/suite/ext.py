@@ -131,12 +131,13 @@ def lsh_pairs(spark, sf_dir):
     inc = dedup.verify_pairs_editdist(
         ipairs, docs, max_dist=_EDIT_BOUND, keep_exceeded=True,
     )
-    return batch.select(
-        F.lit("batch").alias("method"), "a_id", "b_id", "edit_dist",
-    ).unionAll(
-        inc.select(
-            F.lit("incremental").alias("method"), "a_id", "b_id", "edit_dist",
-        ),
+    # the estimate-before-verify dial: signature-equality Jaccard
+    # estimate rides next to the exact edit distance on every pair
+    batch = dedup.minhash_jaccard_estimate(batch, sigs, n_bands=4)
+    inc = dedup.minhash_jaccard_estimate(inc, sigs, n_bands=4)
+    cols = ["a_id", "b_id", "edit_dist", "jaccard_est"]
+    return batch.select(F.lit("batch").alias("method"), *cols).unionAll(
+        inc.select(F.lit("incremental").alias("method"), *cols),
     )
 
 
@@ -165,19 +166,35 @@ FROM bands a JOIN bands b
 # least one odd (new-batch) document: per-doc minhash signatures are
 # independent of HOW the corpus is split, so batch-vs-index + within-batch
 # is exactly that restriction of the full self-join
+_SIG_EQ_SUM = " + ".join(
+    f"(CASE WHEN sa.sig_{b} = sb.sig_{b} THEN 1 ELSE 0 END)" for b in range(4)
+)
+
 LSH_PAIRS_SQL = f"""
 WITH pairs AS ({LSH_PAIRS_BARE_SQL}),
+base2 AS ({_grams_sql(3)}),
+g2 AS (SELECT doc_id, unnest(grams) AS g FROM base2),
+sigs2 AS (
+  SELECT doc_id,
+    min(md5('0|' || g)) AS sig_0, min(md5('1|' || g)) AS sig_1,
+    min(md5('2|' || g)) AS sig_2, min(md5('3|' || g)) AS sig_3
+  FROM g2 GROUP BY doc_id
+),
 verified AS (
   SELECT p.a_id, p.b_id,
     CASE WHEN levenshtein(ta.text, tb.text) <= {_EDIT_BOUND}
-      THEN levenshtein(ta.text, tb.text) ELSE -1 END AS edit_dist
+      THEN levenshtein(ta.text, tb.text) ELSE -1 END AS edit_dist,
+    ({_SIG_EQ_SUM}) / 4.0 AS jaccard_est
   FROM pairs p
   JOIN documents ta ON ta.doc_id = p.a_id
   JOIN documents tb ON tb.doc_id = p.b_id
+  JOIN sigs2 sa ON sa.doc_id = p.a_id
+  JOIN sigs2 sb ON sb.doc_id = p.b_id
 )
-SELECT 'batch' AS method, a_id, b_id, edit_dist FROM verified
+SELECT 'batch' AS method, a_id, b_id, edit_dist, jaccard_est FROM verified
 UNION ALL
-SELECT 'incremental' AS method, a_id, b_id, edit_dist FROM verified
+SELECT 'incremental' AS method, a_id, b_id, edit_dist, jaccard_est
+FROM verified
 WHERE a_id % 2 = 1 OR b_id % 2 = 1
 """
 
@@ -1238,6 +1255,9 @@ def fingerprints(spark, sf_dir):
         "doc_id", "n_windows", "n_dup_windows", "covered_tokens",
         "dup_span_frac",
     )
+    stripped = dedup.strip_duplicate_spans(
+        docs, window=_SPAN_WINDOW, min_docs=2,
+    ).select("doc_id", F.md5("text").alias("span_stripped_md5"))
     ch = text.chunk_documents(
         docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP,
     )
@@ -1264,6 +1284,7 @@ def fingerprints(spark, sf_dir):
     )
     return (
         fp.join(wn, "doc_id").join(ds, "doc_id").join(chd, "doc_id")
+        .join(stripped, "doc_id")
     )
 
 
@@ -1370,14 +1391,36 @@ chd AS (
   SELECT doc_id, CAST(max(n_chunks) AS INTEGER) AS n_chunks,
     md5(string_agg(h, '' ORDER BY chunk_idx)) AS chunks_digest
   FROM cex GROUP BY doc_id
+),
+stok AS (
+  SELECT doc_id, pos - 1 AS pos, w[pos] AS word FROM (
+    SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos FROM sw
+  )
+),
+skept AS (
+  SELECT t.doc_id, t.pos, t.word
+  FROM stok t
+  LEFT JOIN spi ON spi.doc_id = t.doc_id
+    AND t.pos >= spi.s AND t.pos < spi.e
+  WHERE spi.doc_id IS NULL
+),
+sstr AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS stext
+  FROM skept GROUP BY doc_id
+),
+sstrip AS (
+  SELECT sw.doc_id, md5(COALESCE(sstr.stext, '')) AS span_stripped_md5
+  FROM sw LEFT JOIN sstr ON sw.doc_id = sstr.doc_id
 )
 SELECT fp.doc_id, fp.fp, fp.n_shingles, wn.winnow_digest, wn.n_selected,
   spans.n_windows, spans.n_dup_windows, spans.covered_tokens,
-  spans.dup_span_frac, chd.n_chunks, chd.chunks_digest
+  spans.dup_span_frac, chd.n_chunks, chd.chunks_digest,
+  sstrip.span_stripped_md5
 FROM fp
 JOIN wn ON fp.doc_id = wn.doc_id
 JOIN spans ON fp.doc_id = spans.doc_id
 JOIN chd ON fp.doc_id = chd.doc_id
+JOIN sstrip ON fp.doc_id = sstrip.doc_id
 """
 
 

@@ -1091,3 +1091,53 @@ def test_lm_familiarity_integer_exact(spark):
         ).collect()
     }
     assert got == {1: (2, 0, 4), 3: (3, 2, 3), 5: (0, 0, 0)}
+
+
+def test_strip_duplicate_spans_removes_covered_tokens(spark):
+    from sed_spark.ext import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d q q q x y z"),
+            (1, "p a b c d p p x y z"),
+            (2, "m n o m n o m n o m"),
+            (3, "t u"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.text
+        for r in dedup.strip_duplicate_spans(
+            docs, window=3, min_docs=2,
+        ).collect()
+    }
+    # doc 0: islands [0,4) and [7,10) removed -> tokens 4..6 survive
+    assert got[0] == "q q q"
+    # doc 1: islands [1,5) and [7,10) removed -> tokens 0,5,6 survive
+    assert got[1] == "p p p"
+    # docs with no cross-document spans are untouched
+    assert got[2] == "m n o m n o m n o m"
+    assert got[3] == "t u"
+
+
+def test_minhash_jaccard_estimate_counts_equal_bands(spark):
+    from sed_spark.ext import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),  # identical
+            (2, "a wholly different sentence with other words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    sigs = dedup.minhash_signatures(docs, n_bands=4)
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2)], ["a_id", "b_id"],
+    )
+    got = {
+        (r.a_id, r.b_id): r.jaccard_est
+        for r in dedup.minhash_jaccard_estimate(pairs, sigs).collect()
+    }
+    assert got[(0, 1)] == 1.0   # identical docs: all 4 band sigs equal
+    assert got[(0, 2)] == 0.0   # disjoint shingle sets: none equal
