@@ -21,6 +21,7 @@ __all__ = [
     "rate_sample",
     "cap_rates",
     "exact_cap_sample",
+    "quantile_gates",
     "gumbel_topk",
 ]
 
@@ -171,6 +172,48 @@ def cap_rates(
         F.least(F.lit(1.0), F.lit(float(cap)) / F.col(count_col).cast("double"))
         .alias(rate_col),
     )
+
+
+def quantile_gates(
+    df: DataFrame,
+    col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    exact: bool = False,
+    keep_col: str | None = None,
+    relative_error: float = 1e-4,
+) -> DataFrame:
+    """Percentile-band gate: keep rows whose ``col`` lies inside the
+    [``lo_q``, ``hi_q``] quantile band — the standard distribution-tail
+    trim of corpus curation ("drop the shortest/longest x% of documents",
+    outlier removal on any numeric signal).
+
+    Two passes: the thresholds are ONE aggregate (two driver scalars),
+    the gate is one broadcast-threshold projection — never a global sort
+    or rank of the corpus. ``exact=False`` (default, the 100 TB path)
+    uses ``approx_percentile`` — Spark's one-pass bounded-memory
+    quantile sketch, error ≤ ``relative_error`` rank units.
+    ``exact=True`` computes true linear-interpolated percentiles
+    (``percentile`` buffers the column per partition — audit/oracle mode
+    for bounded data, not the default at scale).
+
+    ``keep_col=None`` filters; a column name adds an int 0/1 flag.
+    """
+    if not (0.0 <= lo_q <= hi_q <= 1.0):
+        raise ValueError(f"need 0 <= lo_q <= hi_q <= 1, got {lo_q}, {hi_q}")
+    if exact:
+        agg = F.percentile(F.col(col), F.lit([float(lo_q), float(hi_q)]))
+    else:
+        agg = F.percentile_approx(
+            F.col(col),
+            [float(lo_q), float(hi_q)],
+            max(1, int(1.0 / relative_error)),
+        )
+    lo, hi = (float(v) for v in df.agg(agg).collect()[0][0])
+    keep = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    if keep_col is None:
+        return df.filter(keep)
+    return df.withColumn(keep_col, keep.cast("int"))
 
 
 def exact_cap_sample(

@@ -186,6 +186,8 @@ sql("hist_1d_jitter", _jitter_hist_sql())
 # oracle row (each branch is the standalone operator; the tag keys the hash)
 @q("filters")
 def filters(spark, sf_dir):
+    from sed_spark.ext.corpus import quantile_gates
+
     df = load(spark, sf_dir, "events")
     by_value = dfops.apply_filter(df, "value", 100.0, 400.0).select(
         F.lit("range").alias("which"), "event_id", "value",
@@ -193,7 +195,12 @@ def filters(spark, sf_dir):
     by_index = dfops.apply_filter(
         df, "index", 2000.0, 7500.0, index_column="event_id",
     ).select(F.lit("index").alias("which"), "event_id", "value")
-    return by_value.unionAll(by_index)
+    # distribution-tail trim: exact percentile band (audit mode — the
+    # approx sketch is the scale default but is engine-specific)
+    by_quant = quantile_gates(df, "value", 0.05, 0.95, exact=True).select(
+        F.lit("quantile").alias("which"), "event_id", "value",
+    )
+    return by_value.unionAll(by_index).unionAll(by_quant)
 
 
 sql("filters",
@@ -201,7 +208,12 @@ sql("filters",
     "WHERE value > 100.0 AND value < 400.0 "
     "UNION ALL "
     "SELECT 'index' AS which, event_id, value FROM events "
-    "WHERE event_id > 2000.0 AND event_id < 7500.0")
+    "WHERE event_id > 2000.0 AND event_id < 7500.0 "
+    "UNION ALL "
+    "SELECT 'quantile' AS which, event_id, value FROM events, "
+    "(SELECT quantile_cont(value, 0.05) AS lo, "
+    "quantile_cont(value, 0.95) AS hi FROM events) q "
+    "WHERE value >= q.lo AND value <= q.hi")
 
 
 # ---------------------------------------------------------------------------

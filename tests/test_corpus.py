@@ -269,3 +269,32 @@ def test_exact_cap_sample_exact_and_stable(spark):
     import pytest
     with pytest.raises(ValueError, match="cap must be positive"):
         corpus.exact_cap_sample(df, cap=0)
+
+
+def test_quantile_gates_trims_tails(spark):
+    import numpy as np
+
+    from sed_spark.ext import corpus
+
+    vals = [float(v) for v in range(1, 101)]  # 1..100
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               ["doc_id", "x"])
+    kept = corpus.quantile_gates(df, "x", 0.10, 0.90, exact=True).collect()
+    lo, hi = np.percentile(vals, 10), np.percentile(vals, 90)
+    assert {r.x for r in kept} == {v for v in vals if lo <= v <= hi}
+
+    flagged = corpus.quantile_gates(
+        df, "x", 0.10, 0.90, exact=True, keep_col="in_band",
+    )
+    assert flagged.count() == 100
+    assert flagged.agg(F.sum("in_band")).collect()[0][0] == len(kept)
+
+    # the approx sketch stays within its rank-error contract
+    approx = corpus.quantile_gates(
+        df, "x", 0.10, 0.90, relative_error=1e-4,
+    ).collect()
+    assert abs(len(approx) - len(kept)) <= 2
+
+    import pytest
+    with pytest.raises(ValueError, match="lo_q"):
+        corpus.quantile_gates(df, "x", 0.9, 0.1)
