@@ -67,3 +67,43 @@ def test_incremental_dedup_over_bucketed_hash_state(spark, tmp_path):
     want = {r["keep_id"] for r in incremental_dedup(batch, seen).collect()}
     got = {r["doc_id"] for r in fresh.collect()}
     assert got == want == {1000 + i for i in range(50, 100)}
+
+
+def test_incremental_lsh_index_bucketed_removes_index_shuffle(spark, tmp_path):
+    # the deployment shape incremental_lsh_pairs' docstring promises: the
+    # corpus's band index persisted bucketed on (band, sig) -> the
+    # batch-vs-index join reads the index pre-shuffled, so only the new
+    # batch's (tiny) band table pays an Exchange
+    from sed_spark.ext import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} common tail words here") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    sigs = dedup.minhash_signatures(docs, n_bands=4)
+    even_bands = dedup.melt_bands(sigs.filter(F.col("doc_id") % 2 == 0))
+    new_sigs = sigs.filter(F.col("doc_id") % 2 == 1)
+
+    def n_exchanges(df):
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning")
+
+    plain = n_exchanges(
+        dedup.incremental_lsh_pairs(new_sigs, even_bands),
+    )
+    index_t = stage_bucketed(
+        even_bands, "t_lsh_index", ["band", "sig"], n_buckets=8,
+        sort_cols=["band", "sig"], path=str(tmp_path / "lsh_index"),
+    )
+    bucketed = n_exchanges(
+        dedup.incremental_lsh_pairs(new_sigs, index_t.hint("merge")),
+    )
+    assert bucketed < plain, (bucketed, plain)
+
+    # results identical either way
+    a = {(r.a_id, r.b_id) for r in
+         dedup.incremental_lsh_pairs(new_sigs, even_bands).collect()}
+    b = {(r.a_id, r.b_id) for r in
+         dedup.incremental_lsh_pairs(new_sigs, index_t).collect()}
+    assert a == b
