@@ -1525,6 +1525,7 @@ def stream_dedup_replay(spark, sf_dir):
         run_available_now,
         streaming_exact_dedup,
         streaming_histogram,
+        timed_table_stream,
     )
     from sed_spark.suite.common import ts_us
 
@@ -1566,7 +1567,20 @@ def stream_dedup_replay(spark, sf_dir):
             "cnt",
         )
     )
-    return dedup_part.unionAll(hist_part)
+
+    # third stateful operator: the live timed table (tumbling 1 s count
+    # windows). Complete-mode availableNow replay must equal the batch
+    # per-second rollup — the streaming path reuses the epoch-aligned
+    # window semantics, not a second implementation.
+    timed = timed_table_stream(ev_stream, time_unit=1.0)
+    spark.catalog.dropTempView("stream_timed_sink")
+    run_available_now(timed, "stream_timed_sink", output_mode="complete")
+    timed_part = spark.table("stream_timed_sink").select(
+        F.lit("timed").alias("part"),
+        F.unix_timestamp("window_start").cast("string").alias("key"),
+        F.col("events").cast("bigint").alias("cnt"),
+    )
+    return dedup_part.unionAll(hist_part).unionAll(timed_part)
 
 
 def _stream_replay_sql() -> str:
@@ -1578,6 +1592,11 @@ FROM (SELECT DISTINCT md5(text) AS text_hash FROM documents)
 UNION ALL
 SELECT 'hist' AS part, CAST(bin_value AS VARCHAR) AS key, cnt
 FROM ({_hist_sql('events', _H1_AXES)})
+UNION ALL
+SELECT 'timed' AS part,
+  CAST(epoch_us(ts) // 1000000 AS VARCHAR) AS key,
+  CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY epoch_us(ts) // 1000000
 """
 
 
