@@ -20,6 +20,7 @@ __all__ = [
     "hash_split",
     "rate_sample",
     "cap_rates",
+    "mixture_rates",
     "exact_cap_sample",
     "quantile_gates",
     "gumbel_topk",
@@ -171,6 +172,50 @@ def cap_rates(
         F.col(key_col),
         F.least(F.lit(1.0), F.lit(float(cap)) / F.col(count_col).cast("double"))
         .alias(rate_col),
+    )
+
+
+def mixture_rates(
+    stats: DataFrame,
+    target_fracs: dict[str, float],
+    key_col: str = "domain",
+    count_col: str = "n_docs",
+    rate_col: str = "rate",
+) -> DataFrame:
+    """Per-group keep rates that resample the corpus toward a TARGET
+    MIXTURE (the static data-mixture step: given desired per-source
+    proportions, downsample so the surviving corpus matches them). The
+    output corpus size is the largest achievable without upsampling:
+    ``S = min_g(n_g / t_g)``, and ``rate_g = t_g * S / n_g`` (the
+    binding group keeps everything; every other group downsamples to its
+    share). Feed the result to :func:`rate_sample` like :func:`cap_rates`.
+
+    Groups absent from ``target_fracs`` get rate 0 (dropped — a mixture
+    is a whitelist); fractions are normalized. Driver-side math on the
+    dimension-sized rollup only.
+    """
+    fracs = {k: float(v) for k, v in target_fracs.items()}
+    total = sum(fracs.values())
+    if total <= 0 or any(v < 0 for v in fracs.values()):
+        raise ValueError(f"target fractions must be non-negative and sum > 0, got {target_fracs}")
+    fracs = {k: v / total for k, v in fracs.items()}
+    rows = {
+        r[0]: int(r[1])
+        for r in stats.select(key_col, count_col).collect()
+        if r[0] in fracs and fracs[r[0]] > 0
+    }
+    if not rows:
+        return stats.select(
+            F.col(key_col), F.lit(0.0).alias(rate_col),
+        )
+    s = min(n / fracs[g] for g, n in rows.items())
+    rate_map = {g: min(1.0, fracs[g] * s / n) for g, n in rows.items()}
+    mapping = F.create_map(
+        *[F.lit(x) for kv in rate_map.items() for x in kv],
+    )
+    return stats.select(
+        F.col(key_col),
+        F.coalesce(mapping[F.col(key_col)], F.lit(0.0)).alias(rate_col),
     )
 
 

@@ -1075,6 +1075,12 @@ JOIN fam ON fam.doc_id = wc.doc_id
 # the split assignment all land in the oracle hash.
 _SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 _CAP = 40  # target docs per domain for the rate sample
+#: target mixture for mixture_rates (normalized internally) — non-uniform
+#: so the rates genuinely differ per domain
+_MIX_FRACS = {
+    f"site{k}.example.org": w
+    for k, w in zip(range(7), (1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 2.0))
+}
 
 
 def pii_redact_q(spark, sf_dir):
@@ -1132,7 +1138,12 @@ def pii_redact_q(spark, sf_dir):
     capped = corpus.exact_cap_sample(
         sampled, cap=_CAP, salt="cap", method="md5", keep_col="kept_exact",
     )
-    return corpus.hash_split(capped, _SPLIT_WEIGHTS, method="md5")
+    # data-mixture resampling toward the _MIX_FRACS target proportions
+    mrates = corpus.mixture_rates(corpus.domain_stats(synth), _MIX_FRACS)
+    mixed = corpus.rate_sample(
+        capped, mrates, salt="mix", method="md5", keep_col="kept_mix",
+    )
+    return corpus.hash_split(mixed, _SPLIT_WEIGHTS, method="md5")
 
 
 def _split_case_sql(weights: dict[str, float], u_sql: str) -> str:
@@ -1160,6 +1171,13 @@ def _pii_sql() -> str:
     from sed_spark.suite.common import fl
 
     split_case = _split_case_sql(_SPLIT_WEIGHTS, "u")
+    # normalized mixture targets: SAME Python floats as mixture_rates
+    # (keys are 'site{k}.example.org'; k = doc_id % 7)
+    mix_total = float(sum(_MIX_FRACS.values()))
+    t_case = "CASE k " + " ".join(
+        f"WHEN {k} THEN {fl(_MIX_FRACS[f'site{k}.example.org'] / mix_total)}"
+        for k in range(7)
+    ) + " END"
     return r"""
 WITH synth AS (
   SELECT doc_id,
@@ -1208,6 +1226,20 @@ capu AS (
   SELECT doc_id, (__HEX8C__) / 4294967296.0 AS ucap
   FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'cap') AS h2
         FROM documents)
+),
+dcount AS (
+  SELECT doc_id % 7 AS k, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY doc_id % 7
+),
+mr0 AS (SELECT k, n, __T_CASE__ AS t FROM dcount),
+mrate AS (
+  SELECT k, least(1.0, (t * (SELECT min(n / t) FROM mr0)) / n) AS mrate
+  FROM mr0
+),
+mixu AS (
+  SELECT doc_id, (__HEX8M__) / 4294967296.0 AS umix
+  FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'mix') AS h3
+        FROM documents)
 )
 SELECT s.doc_id,
   CAST(len(regexp_extract_all(s.text,
@@ -1225,13 +1257,18 @@ SELECT s.doc_id,
   CAST(CASE WHEN row_number() OVER (
       PARTITION BY dom.domain ORDER BY capu.ucap, s.doc_id) <= __CAPN__
     THEN 1 ELSE 0 END AS INTEGER) AS kept_exact,
+  CAST(mixu.umix < mrate.mrate AS INTEGER) AS kept_mix,
   sp.split
 FROM staged2 s
 JOIN dom ON dom.doc_id = s.doc_id
 JOIN sp ON sp.doc_id = s.doc_id
 JOIN capu ON capu.doc_id = s.doc_id
+JOIN mixu ON mixu.doc_id = s.doc_id
+JOIN mrate ON mrate.k = s.doc_id % 7
 """.replace("__SPLIT_CASE__", split_case).replace(
         "__HEX8C__", _hex8("h2"),
+    ).replace("__HEX8M__", _hex8("h3")).replace(
+        "__T_CASE__", t_case,
     ).replace("__HEX8__", _HEX8).replace(
         "__CAPN__", str(_CAP),
     ).replace("__CAP__", fl(float(_CAP)))

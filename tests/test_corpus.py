@@ -298,3 +298,41 @@ def test_quantile_gates_trims_tails(spark):
     import pytest
     with pytest.raises(ValueError, match="lo_q"):
         corpus.quantile_gates(df, "x", 0.9, 0.1)
+
+
+def test_mixture_rates_hits_target_proportions(spark):
+    from sed_spark.ext import corpus
+
+    stats = spark.createDataFrame(
+        [("a", 1000), ("b", 100), ("c", 400), ("d", 50)],
+        ["domain", "n_docs"],
+    )
+    # target 50/25/25 over a,b,c; d not in the mixture -> dropped
+    target = {"a": 0.5, "b": 0.25, "c": 0.25}
+    rates = {r.domain: r.rate for r in
+             corpus.mixture_rates(stats, target).collect()}
+    # binding group: b (100/0.25 = 400 = S) -> keeps everything
+    assert rates["b"] == 1.0
+    assert rates["d"] == 0.0
+    # expected sizes: a = 0.5*400 = 200 of 1000, c = 0.25*400 = 100 of 400
+    assert abs(rates["a"] * 1000 - 200) < 1e-9
+    assert abs(rates["c"] * 400 - 100) < 1e-9
+    # surviving mixture matches the target exactly in expectation
+    surv = {g: rates[g] * n for g, n in
+            [("a", 1000), ("b", 100), ("c", 400)]}
+    tot = sum(surv.values())
+    assert abs(surv["a"] / tot - 0.5) < 1e-9
+    assert abs(surv["b"] / tot - 0.25) < 1e-9
+
+    # unnormalized weights give the same rates
+    rates2 = {r.domain: r.rate for r in
+              corpus.mixture_rates(stats, {"a": 2, "b": 1, "c": 1}).collect()}
+    assert rates2 == rates
+
+    import pytest
+    with pytest.raises(ValueError, match="non-negative"):
+        corpus.mixture_rates(stats, {"a": -1.0})
+    # no overlap between stats and mixture -> all-zero rates
+    zero = {r.domain: r.rate for r in
+            corpus.mixture_rates(stats, {"zzz": 1.0}).collect()}
+    assert set(zero.values()) == {0.0}
