@@ -16,6 +16,8 @@ __all__ = [
     "hashed_weights",
     "classifier_feature_expr",
     "classifier_score",
+    "html_to_text_expr",
+    "extract_html_text",
     "chunk_documents",
     "dsir_fit",
     "dsir_score",
@@ -251,6 +253,62 @@ def classifier_score(
             .select(F.col(id_col), sigmoid(z).alias("quality_score"))
         )
     raise ValueError(f"unknown engine {engine!r}")
+
+
+#: HTML entities decoded by html_to_text_expr (the named set whose
+#: Java/RE2 replacement semantics are identical; numeric character
+#: references are out of scope and documented as such)
+HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # LAST, so "&amp;lt;" decodes to the literal "&lt;"
+]
+
+
+def html_to_text_expr(html: Column) -> Column:
+    """Plain text from an HTML column — the first preprocessing step of
+    every web-corpus pipeline (C4/CCNet run a text extractor before any
+    quality or dedup stage). Expression-only regex stages with identical
+    Java/RE2 semantics (no lookaround, lazy quantifiers only):
+
+    1. drop ``<script>``/``<style>`` elements WITH their contents
+       (``(?is)`` dot-matches-newline, case-insensitive),
+    2. drop HTML comments,
+    3. every remaining tag becomes a space (block boundaries must not
+       glue words together),
+    4. decode the named entities in :data:`HTML_ENTITIES` — ``&amp;``
+       last so double-escaped entities stay literal,
+    5. collapse whitespace runs and trim.
+
+    A deliberate regex extractor, not an HTML parser: at 100 TB the
+    extractor must be a projection; malformed markup degrades to extra
+    whitespace rather than failures. Numeric character references and
+    full entity tables are a lookup-table pass away and out of scope.
+    """
+    out = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"<[^>]+>", " ")
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+def extract_html_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    text_col: str = "text",
+) -> DataFrame:
+    """DataFrame form of :func:`html_to_text_expr`:
+    ``(id_col, text_col)`` — one projection, zero shuffle."""
+    return df.select(
+        F.col(id_col), html_to_text_expr(F.col(html_col)).alias(text_col),
+    )
 
 
 def chunk_documents(

@@ -61,7 +61,31 @@ def dedup_exact(spark, sf_dir):
         F.lit("normalized").alias("method"),
         "text_hash", "keep_id", "group_size",
     )
-    return batch.unionAll(inc).unionAll(norm)
+    # web-pipeline front door: wrap each doc in deterministic HTML
+    # (script/style/comment blocks, tags, the named entities) and dedup
+    # the EXTRACTED text — the hash pins every extraction stage
+    d = F.col("doc_id")
+    html = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                "<html><head><script>var x = 1 < 2;</script>"
+                "<style>.a{color:red}</style></head><body><h1>Doc ",
+            ),
+            d.cast("string"),
+            F.lit("</h1><!-- hidden --><p>"),
+            F.col("text"),
+            F.lit(
+                " Tom &amp; Jerry &lt;3 say &quot;hi&#39;&nbsp;now"
+                "</p></body></html>",
+            ),
+        ).alias("html"),
+    )
+    extracted = text.extract_html_text(html)
+    html_branch = dedup.exact_dedup(extracted).select(
+        F.lit("html").alias("method"), "text_hash", "keep_id", "group_size",
+    )
+    return batch.unionAll(inc).unionAll(norm).unionAll(html_branch)
 
 
 DEDUP_EXACT_SQL = """
@@ -85,6 +109,29 @@ FROM (
   FROM documents
 )
 GROUP BY md5(nt)
+UNION ALL
+SELECT 'html' AS method, md5(xt) AS text_hash,
+       min(doc_id) AS keep_id, COUNT(*) AS group_size
+FROM (
+  SELECT doc_id, trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        '<html><head><script>var x = 1 < 2;</script>'
+        || '<style>.a{color:red}</style></head><body><h1>Doc '
+        || CAST(doc_id AS VARCHAR)
+        || '</h1><!-- hidden --><p>' || text
+        || ' Tom &amp; Jerry &lt;3 say &quot;hi&#39;&nbsp;now'
+        || '</p></body></html>',
+        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
+        '<[^>]+>', ' ', 'g'),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      '&nbsp;', ' '), '&amp;', '&'),
+    '\\s+', ' ', 'g')) AS xt
+  FROM documents
+)
+GROUP BY md5(xt)
 """
 
 

@@ -1141,3 +1141,28 @@ def test_minhash_jaccard_estimate_counts_equal_bands(spark):
     }
     assert got[(0, 1)] == 1.0   # identical docs: all 4 band sigs equal
     assert got[(0, 2)] == 0.0   # disjoint shingle sets: none equal
+
+
+def test_html_to_text_extraction(spark):
+    from sed_spark.ext import text
+
+    rows = [
+        (0, "<html><head><script>if (a < b) { x(); }</script>"
+            "<style>p { margin: 0 }</style></head>"
+            "<body><h1>Title</h1><p>Hello   world</p>"
+            "<!-- secret --><div>bye</div></body></html>"),
+        (1, "Tom &amp; Jerry &lt;3 &quot;quoted&#39; and&nbsp;spaced"),
+        (2, "no markup at all"),
+        (3, "<p>double escape: &amp;lt; stays literal</p>"),
+        (4, "<P CLASS='x'>case</P><SCRIPT>drop()</SCRIPT>"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "html"])
+    got = {r.doc_id: r.text
+           for r in text.extract_html_text(df).collect()}
+    assert got[0] == "Title Hello world bye"
+    assert got[1] == 'Tom & Jerry <3 "quoted\' and spaced'
+    assert got[2] == "no markup at all"
+    # &amp;lt; -> &lt; literally (amp decoded LAST, no double decode)
+    assert got[3] == "double escape: &lt; stays literal"
+    # tag stripping and script removal are case-insensitive
+    assert got[4] == "case"
