@@ -20,6 +20,7 @@ __all__ = [
     "hash_split",
     "rate_sample",
     "cap_rates",
+    "blocklist_filter",
     "mixture_rates",
     "exact_cap_sample",
     "quantile_gates",
@@ -172,6 +173,34 @@ def cap_rates(
         F.col(key_col),
         F.least(F.lit(1.0), F.lit(float(cap)) / F.col(count_col).cast("double"))
         .alias(rate_col),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocked: DataFrame,
+    key_col: str = "domain",
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Drop (or flag) rows whose ``key_col`` appears in a blocklist table
+    — the domain/URL denylist stage of web-corpus curation. One
+    broadcast anti-join (the blocklist is dimension-sized by contract);
+    rows with a NULL key are kept, matching the absent-is-unblocked
+    semantics of :func:`rate_sample`.
+
+    ``keep_col=None`` filters (plain ``left_anti``); a column name adds
+    an int 0/1 flag instead (left join + null test).
+    """
+    bl = F.broadcast(blocked.select(key_col).distinct())
+    if keep_col is None:
+        return df.join(bl, key_col, "left_anti")
+    marked = bl.withColumn("__blocked", F.lit(1))
+    return (
+        df.join(marked, key_col, "left")
+        .withColumn(
+            keep_col, F.when(F.col("__blocked").isNull(), 1).otherwise(0),
+        )
+        .drop("__blocked")
     )
 
 

@@ -1128,6 +1128,7 @@ _MIX_FRACS = {
     f"site{k}.example.org": w
     for k, w in zip(range(7), (1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 2.0))
 }
+_BLOCKED_DOMAIN = "site3.example.org"
 
 
 def pii_redact_q(spark, sf_dir):
@@ -1190,7 +1191,13 @@ def pii_redact_q(spark, sf_dir):
     mixed = corpus.rate_sample(
         capped, mrates, salt="mix", method="md5", keep_col="kept_mix",
     )
-    return corpus.hash_split(mixed, _SPLIT_WEIGHTS, method="md5")
+    # domain denylist (flag mode, broadcast anti-semantics): one real
+    # domain blocked, one absent entry proves no spurious matches
+    blocked = spark.createDataFrame(
+        [(_BLOCKED_DOMAIN,), ("spam.example",)], ["domain"],
+    )
+    gated = corpus.blocklist_filter(mixed, blocked, keep_col="kept_domain")
+    return corpus.hash_split(gated, _SPLIT_WEIGHTS, method="md5")
 
 
 def _split_case_sql(weights: dict[str, float], u_sql: str) -> str:
@@ -1305,6 +1312,8 @@ SELECT s.doc_id,
       PARTITION BY dom.domain ORDER BY capu.ucap, s.doc_id) <= __CAPN__
     THEN 1 ELSE 0 END AS INTEGER) AS kept_exact,
   CAST(mixu.umix < mrate.mrate AS INTEGER) AS kept_mix,
+  CAST(CASE WHEN dom.domain = '__BLOCKED__' THEN 0 ELSE 1 END
+    AS INTEGER) AS kept_domain,
   sp.split
 FROM staged2 s
 JOIN dom ON dom.doc_id = s.doc_id
@@ -1316,7 +1325,9 @@ JOIN mrate ON mrate.k = s.doc_id % 7
         "__HEX8C__", _hex8("h2"),
     ).replace("__HEX8M__", _hex8("h3")).replace(
         "__T_CASE__", t_case,
-    ).replace("__HEX8__", _HEX8).replace(
+    ).replace("__BLOCKED__", _BLOCKED_DOMAIN).replace(
+        "__HEX8__", _HEX8,
+    ).replace(
         "__CAPN__", str(_CAP),
     ).replace("__CAP__", fl(float(_CAP)))
 

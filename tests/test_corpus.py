@@ -336,3 +336,25 @@ def test_mixture_rates_hits_target_proportions(spark):
     zero = {r.domain: r.rate for r in
             corpus.mixture_rates(stats, {"zzz": 1.0}).collect()}
     assert set(zero.values()) == {0.0}
+
+
+def test_blocklist_filter_anti_join_and_flag(spark):
+    from sed_spark.ext import corpus
+
+    df = spark.createDataFrame(
+        [(0, "good.com"), (1, "bad.com"), (2, "good.com"), (3, None)],
+        ["doc_id", "domain"],
+    )
+    blocked = spark.createDataFrame(
+        [("bad.com",), ("bad.com",), ("absent.net",)], ["domain"],
+    )
+    kept = {r.doc_id for r in corpus.blocklist_filter(df, blocked).collect()}
+    assert kept == {0, 2, 3}  # NULL key kept (absent-is-unblocked)
+
+    flagged = {
+        r.doc_id: r.kept_domain
+        for r in corpus.blocklist_filter(
+            df, blocked, keep_col="kept_domain",
+        ).collect()
+    }
+    assert flagged == {0: 1, 1: 0, 2: 1, 3: 1}
