@@ -2,12 +2,19 @@
 
 Beyond the reference's physics vocabulary, this package provides the
 operators a 100 TB training-data pipeline needs: deduplication (exact,
-MinHash-LSH, SimHash, n-gram Jaccard), similarity search over embeddings,
-text analysis (language id, quality scoring, token counting,
-fingerprinting), and multimodal binary-column plumbing.
+incremental, MinHash-LSH batch + incremental, SimHash, n-gram Jaccard,
+exact-substring spans, C4 line dedup, boilerplate), similarity search
+over embeddings (brute-force, batch Arrow, IVF with distributed k-means,
+hyperplane LSH, SemDeDup), text analysis (HTML extraction, language id,
+heuristic/classifier/LM/DSIR quality scoring, token counting,
+fingerprinting, chunking, packing), corpus management (URL/domain
+rollups, blocklists, hash splits, rate/cap/mixture/Gumbel/quantile
+sampling), tokenizer training (vocabulary stats, distributed BPE), and
+multimodal binary-column plumbing.
 
 All hot paths are JVM-side Column expressions (higher-order array
-functions); only the multimodal decode stub uses ``mapInPandas``.
+functions); the only Python workers are vectorized Arrow stages with
+documented justification.
 """
 
 from __future__ import annotations
