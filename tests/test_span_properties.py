@@ -1,0 +1,142 @@
+"""Property-based checks of the exact-substring span operators and the
+BPE merge fold.
+
+The places where bugs hide: overlapping spans (interval-union math),
+within-document repeats (distinct-document frequency), spans touching
+document boundaries, stats/removal disagreement, and the non-overlapping
+left-to-right semantics of the BPE fold. Hypothesis drives random small
+corpora against brute-force Python oracles.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+VOCAB = ["a", "b", "c", "d", "e"]
+
+
+def _brute_spans(texts: dict[int, str], window: int, min_docs: int):
+    """Brute-force duplicate-span stats + stripped text per document."""
+    words = {i: t.split(" ") for i, t in texts.items()}
+    # window -> set of docs containing it
+    seen: dict[str, set[int]] = {}
+    for i, w in words.items():
+        for p in range(len(w) - window + 1):
+            key = " ".join(w[p : p + window])
+            seen.setdefault(key, set()).add(i)
+    out = {}
+    for i, w in words.items():
+        covered = set()
+        n_dup = 0
+        for p in range(len(w) - window + 1):
+            key = " ".join(w[p : p + window])
+            if len(seen[key]) >= min_docs:
+                n_dup += 1
+                covered.update(range(p, p + window))
+        stripped = " ".join(
+            x for p, x in enumerate(w) if p not in covered
+        )
+        out[i] = (
+            len(w),
+            max(len(w) - window + 1, 0),
+            n_dup,
+            len(covered),
+            stripped,
+        )
+    return out
+
+
+@given(
+    n_docs=st.integers(2, 10),
+    doc_len=st.integers(1, 14),
+    window=st.integers(2, 4),
+    min_docs=st.integers(2, 3),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_duplicate_spans_match_bruteforce(
+    spark, n_docs, doc_len, window, min_docs, seed,
+):
+    import numpy as np
+
+    from sed_spark.ext import dedup
+
+    rng = np.random.default_rng(seed)
+    texts = {
+        i: " ".join(rng.choice(VOCAB, size=doc_len))
+        for i in range(n_docs)
+    }
+    expect = _brute_spans(texts, window, min_docs)
+    docs = spark.createDataFrame(
+        list(texts.items()), ["doc_id", "text"],
+    )
+    got_stats = {
+        r.doc_id: (
+            r.n_tokens, r.n_windows, r.n_dup_windows, r.covered_tokens,
+        )
+        for r in dedup.duplicate_spans(
+            docs, window=window, min_docs=min_docs,
+        ).collect()
+    }
+    got_strip = {
+        r.doc_id: r.text
+        for r in dedup.strip_duplicate_spans(
+            docs, window=window, min_docs=min_docs,
+        ).collect()
+    }
+    for i, (nt, nw, nd, cov, stripped) in expect.items():
+        assert got_stats[i] == (nt, nw, nd, cov), (i, texts[i])
+        assert got_strip[i] == stripped, (i, texts[i])
+        # stats and removal must agree: covered + surviving = total
+        n_surv = len(got_strip[i].split(" ")) if got_strip[i] else 0
+        assert n_surv == nt - cov
+
+
+def _py_bpe_apply(symbols: list[str], merges) -> list[str]:
+    for a, b in merges:
+        out: list[str] = []
+        for x in symbols:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        symbols = out
+    return symbols
+
+
+@given(
+    word_len=st.integers(0, 12),
+    n_merges=st.integers(1, 5),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_apply_expr_matches_python_fold(spark, word_len, n_merges, seed):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from sed_spark.ext import vocab
+
+    rng = np.random.default_rng(seed)
+    chars = ["a", "b"]  # tiny alphabet maximizes overlap cases like aaa
+    word = "".join(rng.choice(chars, size=word_len))
+    # merges over single chars and one fused symbol, duplicates allowed
+    pool = [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"), ("aa", "b")]
+    merges = [pool[int(k)] for k in rng.integers(0, len(pool), n_merges)]
+
+    df = spark.createDataFrame([(word,)], ["word"])
+    got = df.select(
+        vocab.bpe_apply_expr(
+            vocab.symbols_expr(F.col("word")), merges,
+        ).alias("sym"),
+    ).collect()[0].sym
+    assert got == _py_bpe_apply(list(word), merges), (word, merges)
