@@ -155,6 +155,10 @@ def test_curation_row_broadcasts_rollup_and_projects_split(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "split" not in line, line
+    # every dimension join (domain rollup, mixture rates, blocklist) must
+    # stay broadcast — a corpus-sized SortMergeJoin here would mean a
+    # small side silently lost its broadcast
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_dsir_score_is_single_projection_no_shuffle(spark):
