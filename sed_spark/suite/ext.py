@@ -855,6 +855,10 @@ def _bpe_col_sql() -> str:
 
 
 def _bpe_join_sql() -> str:
+    # the pin is generated from sf0.01 (the driver's CORRECTNESS scale);
+    # at other scale factors this join restricts the oracle to the pinned
+    # doc ids — acceptable, because away from sf0.01 the oracle is only
+    # ever TIMED (bench DuckDB baseline), never value-compared
     if BPE_COUNTS_SF0_01 is None:  # pragma: no cover - bootstrap only
         return ""
     values = ", ".join(f"({d}, {c})" for d, c in BPE_COUNTS_SF0_01)
