@@ -140,3 +140,55 @@ def test_bpe_apply_expr_matches_python_fold(spark, word_len, n_merges, seed):
         ).alias("sym"),
     ).collect()[0].sym
     assert got == _py_bpe_apply(list(word), merges), (word, merges)
+
+
+@given(
+    doc_len=st.integers(0, 40),
+    chunk=st.integers(2, 10),
+    overlap=st.integers(0, 8),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunks_reassemble_to_original(spark, doc_len, chunk, overlap, seed):
+    """Dropping each chunk's leading ``overlap`` tokens (except the
+    first's) and concatenating must reproduce the document exactly —
+    the invariant that makes overlapping chunks lossless."""
+    import numpy as np
+
+    from sed_spark.ext import text
+
+    overlap = min(overlap, chunk - 1)
+    rng = np.random.default_rng(seed)
+    words = [f"w{int(k)}" for k in rng.integers(0, 50, doc_len)]
+    doc = " ".join(words)
+    df = spark.createDataFrame([(0, doc)], ["doc_id", "text"])
+    rows = sorted(
+        text.chunk_documents(
+            df, chunk_tokens=chunk, overlap=overlap,
+        ).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert rows, "at least one chunk even for empty docs"
+    assert {r.n_chunks for r in rows} == {len(rows)}
+    stride = chunk - overlap
+    rebuilt: list[str] = []
+    for r in rows:
+        # mirror Spark's split semantics: "" tokenizes to [""]
+        toks = r.chunk_text.split(" ")
+        assert r.n_chunk_tokens == len(toks)
+        rebuilt.extend(toks if r.chunk_idx == 0 else toks[overlap:])
+        # every chunk except possibly the last is exactly chunk_tokens
+        if r.chunk_idx < len(rows) - 1:
+            assert len(toks) == chunk
+        # chunks beyond the first start at chunk_idx * stride
+        if r.chunk_idx > 0:
+            start = r.chunk_idx * stride
+            split_doc = doc.split(" ")
+            assert toks == split_doc[start : start + chunk]
+    # "" splits to [""] — mirror that degenerate tokenization
+    expect = doc.split(" ") if doc else [""]
+    assert rebuilt == expect
