@@ -11,7 +11,6 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType
 
 from sed_spark import dfops
 from sed_spark.binning import normalize_bins, sparse_histogram
