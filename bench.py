@@ -1,19 +1,29 @@
 #!/usr/bin/env python
 """Benchmark harness — prints ONE JSON line for the round driver.
 
-Two parts:
+Three phases, ordered so the headline baseline-parity numbers are measured
+on a cold, isolated session (round-4 recorded binning_4d at 3.8x baseline
+purely because the synthetic phase ran AFTER the 72 s suite + DuckDB phase
+had heated the JVM heap and page cache; the same plan measured 0.61x in
+interleaved A/B runs — see SCALING.md "host variance"):
 
-1. every suite query timed at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1),
-   materialized through the noop sink (measures compute, not collect);
-2. baseline-parity synthetic benchmarks mirroring the reference's
-   ``benchmarks/benchmark_sed.py`` workload: 1e8 rows × (X, Y, t, ADC)
-   uniform in the same physical ranges (seeded ``rand``), with
-   ``binning_1d``, ``binning_4d``, ``workflow_1d``, ``workflow_4d``
-   timed exactly like the reference (full lazy transform chain re-executed
-   per ``compute()``; dense result densified on the driver).
+1. ``inv_dfield`` — pure numpy, measured before any Spark JVM exists;
+2. baseline-parity synthetic benchmarks in a DEDICATED SparkSession that is
+   stopped before anything else runs: 1e8 rows x (X, Y, t, ADC) uniform in
+   the reference's physical ranges (seeded ``rand``), with ``binning_1d``,
+   ``binning_4d``, ``workflow_1d``, ``workflow_4d`` timed exactly like the
+   reference (full lazy transform chain re-executed per ``compute()``;
+   dense result densified on the driver) — reference
+   ``benchmarks/benchmark_sed.py:24-63``;
+3. every suite query timed at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) in a
+   second SparkSession, materialized through the noop sink (measures
+   compute, not collect), followed by the DuckDB oracle baseline.
+
+Every metric records ALL rep times (``reps`` in the JSON), not just the
+best-of-N, so a noisy host is visible in the artifact itself.
 
 Output: {"metric": "suite_total", "value": <sec>, "unit": "sec",
-         "queries": {...}, "sf": <sf>}
+         "queries": {...}, "reps": {...}, "duck": {...}, "sf": <sf>}
 """
 
 from __future__ import annotations
@@ -36,39 +46,24 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "5"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
-    from pyspark.sql import functions as F
-
-    from sed_spark import suite
-    from sed_spark.binning import bin_dataframe
-    from sed_spark.session import get_spark
-
-    spark = get_spark(
-        app_name="sed-spark-bench",
-        master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus) * 2,
-        extra_conf={
-            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
-            "spark.driver.maxResultSize": "8g",
-            "spark.log.level": "ERROR",
-        },
-    )
-
     timings: dict[str, float] = {}
+    reps_log: dict[str, list[float]] = {}
 
     def timed(name: str, fn, n: int = 1) -> None:
-        best = float("inf")
+        reps: list[float] = []
         for _ in range(n):
             t0 = time.perf_counter()
             fn()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            reps.append(round(time.perf_counter() - t0, 4))
+        timings[name] = min(reps)
+        reps_log[name] = reps
 
-    # -- part 0: driver-side numpy metric, measured FIRST -----------------
+    # -- phase 1: driver-side numpy metric, measured FIRST ----------------
     # inv_dfield is pure numpy (fixed-point inversion of a 2048x2048
     # deformation field, baseline 4.109 s). Timing it after the JVM holds
     # a multi-GB persisted cache + shuffle remnants measured 2.5x slower
     # (9.7 s vs 3.9 s standalone) from memory pressure alone, so it runs
-    # before any Spark job exists — the reference benchmarks it in
+    # before any Spark JVM exists — the reference benchmarks it in
     # isolation too (benchmark_sed.py).
     import numpy as np
 
@@ -80,109 +75,24 @@ def main() -> None:
     cdef = gy2 + 5.0 * np.sin(gx2 / 300.0)
     timed("inv_dfield", lambda: generate_inverse_dfield(rdef, cdef), repeats)
 
-    # -- part 1: suite queries on parquet ---------------------------------
-    def run_noop(df) -> None:
-        df.write.mode("overwrite").format("noop").save()
+    # -- phase 2: baseline-parity synthetic workload, dedicated session ----
+    from pyspark.sql import functions as F
 
-    # best-of-2 so a query's recorded time is its executed plan, not its
-    # first-run Catalyst/codegen compile (the reference's timings are
-    # equally min-of-N on a warm pool, benchmark_sed.py:58-63)
-    for name, spec in suite.REGISTRY.items():
-        try:
-            timed(
-                f"q_{name}",
-                lambda spec=spec: run_noop(spec["spark"](spark, sf_dir)),
-                n=2,
-            )
-        except Exception as exc:  # a failing query must not kill the bench
-            timings[f"q_{name}"] = -1.0
-            print(f"bench: query {name} failed: {exc}", file=sys.stderr)
+    from sed_spark.binning import bin_dataframe
+    from sed_spark.session import get_spark
 
-    # suite queries only (q_ prefix) — part-0/part-2 synthetic metrics
-    # (inv_dfield etc.) are separate headline numbers, not suite members
-    suite_total = round(
-        sum(v for k, v in timings.items() if k.startswith("q_") and v > 0), 4,
+    session_conf = {
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        "spark.driver.maxResultSize": "8g",
+        "spark.log.level": "ERROR",
+    }
+
+    spark = get_spark(
+        app_name="sed-spark-bench-synthetic",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) * 2,
+        extra_conf=session_conf,
     )
-
-    # -- part 1b: DuckDB baseline for the training-data (ext) queries -----
-    # the sed-core metrics have BASELINE.md numbers to compare against; the
-    # LLM-pipeline operators get their 2x bar from DuckDB running the SAME
-    # oracle SQL on the SAME parquet at the SAME sf (best-of-2, matching
-    # the Spark side). -1 = error, -2 = 300 s cap interrupted.
-    duck_timings: dict[str, float] = {}
-    try:
-        import threading
-
-        import duckdb
-
-        from sed_spark.suite import ext as _suite_ext
-
-        con = duckdb.connect()
-        for t in ("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events", "documents", "embeddings"):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'",
-            )
-        for name, spec in _suite_ext.QUERIES.items():
-            sql = spec.get("sql")
-            if not sql:
-                continue
-            best = float("inf")
-            for _ in range(2):
-                fired: list[int] = []
-
-                def _interrupt(fired=fired):
-                    fired.append(1)
-                    con.interrupt()
-
-                timer = threading.Timer(300.0, _interrupt)
-                timer.start()
-                t0 = time.perf_counter()
-                try:
-                    con.execute(sql).fetchall()
-                    best = min(best, time.perf_counter() - t0)
-                except duckdb.InterruptException:
-                    # keep an earlier successful rep's time; -2 only when
-                    # no rep ever finished inside the cap
-                    if best == float("inf"):
-                        best = -2.0
-                    break
-                except Exception as exc:
-                    print(f"bench: duckdb {name} failed: {exc}", file=sys.stderr)
-                    if best == float("inf"):
-                        best = -1.0
-                    break
-                finally:
-                    timer.cancel()
-                    if fired:
-                        # timer fired in the window between fetchall()
-                        # returning and cancel(): absorb the pending
-                        # interrupt so it can't abort the NEXT query
-                        try:
-                            con.execute("SELECT 1").fetchall()
-                        except duckdb.InterruptException:
-                            pass
-            duck_timings[f"q_{name}"] = round(best, 4)
-        con.close()  # release duckdb buffers before the synthetic part
-    except Exception as exc:  # duckdb trouble must not kill the bench
-        print(f"bench: duckdb baseline skipped: {exc}", file=sys.stderr)
-
-    # -- part 2: baseline-parity synthetic workload -----------------------
-    # release part-1 leftovers first: suite queries persist/checkpoint
-    # blocks (keyless as-of cache, connected-components lineage cuts)
-    # that otherwise sit in the block manager through the 1e8-row runs —
-    # that memory pressure is a measured source of multi-second
-    # run-to-run variance on binning_4d/workflow_4d (cf. the round-2
-    # inv_dfield 2.5x artifact, same mechanism)
-    import gc as _gc
-
-    spark.catalog.clearCache()
-    _gc.collect()  # drop py4j refs so the JVM can collect the RDDs
-    try:
-        spark.sparkContext._jvm.System.gc()  # nudge the ContextCleaner
-    except Exception:
-        pass
-    time.sleep(2)
 
     # mirrors reference benchmark_sed.py:24-34: uniform X/Y/t/ADC, seeded
     ranges = {"X": (0.0, 2048.0), "Y": (0.0, 2048.0),
@@ -272,6 +182,105 @@ def main() -> None:
         repeats,
     )
     synth.unpersist()
+    # tear the synthetic session down completely: the suite phase gets a
+    # fresh SparkContext and cannot inherit cached blocks / shuffle files
+    spark.stop()
+
+    # -- phase 3: suite queries on parquet, second session -----------------
+    from sed_spark import suite
+
+    spark = get_spark(
+        app_name="sed-spark-bench-suite",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) * 2,
+        extra_conf=session_conf,
+    )
+
+    def run_noop(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    # best-of-2 so a query's recorded time is its executed plan, not its
+    # first-run Catalyst/codegen compile (the reference's timings are
+    # equally min-of-N on a warm pool, benchmark_sed.py:58-63)
+    for name, spec in suite.REGISTRY.items():
+        try:
+            timed(
+                f"q_{name}",
+                lambda spec=spec: run_noop(spec["spark"](spark, sf_dir)),
+                n=2,
+            )
+        except Exception as exc:  # a failing query must not kill the bench
+            timings[f"q_{name}"] = -1.0
+            print(f"bench: query {name} failed: {exc}", file=sys.stderr)
+
+    # suite queries only (q_ prefix) — phase-1/2 synthetic metrics
+    # (inv_dfield etc.) are separate headline numbers, not suite members
+    suite_total = round(
+        sum(v for k, v in timings.items() if k.startswith("q_") and v > 0), 4,
+    )
+
+    # -- phase 3b: DuckDB baseline for the training-data (ext) queries -----
+    # the sed-core metrics have BASELINE.md numbers to compare against; the
+    # LLM-pipeline operators get their 2x bar from DuckDB running the SAME
+    # oracle SQL on the SAME parquet at the SAME sf (best-of-2, matching
+    # the Spark side). -1 = error, -2 = 300 s cap interrupted.
+    duck_timings: dict[str, float] = {}
+    try:
+        import threading
+
+        import duckdb
+
+        from sed_spark.suite import ext as _suite_ext
+
+        con = duckdb.connect()
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'",
+            )
+        for name, spec in _suite_ext.QUERIES.items():
+            sql = spec.get("sql")
+            if not sql:
+                continue
+            best = float("inf")
+            for _ in range(2):
+                fired: list[int] = []
+
+                def _interrupt(fired=fired):
+                    fired.append(1)
+                    con.interrupt()
+
+                timer = threading.Timer(300.0, _interrupt)
+                timer.start()
+                t0 = time.perf_counter()
+                try:
+                    con.execute(sql).fetchall()
+                    best = min(best, time.perf_counter() - t0)
+                except duckdb.InterruptException:
+                    # keep an earlier successful rep's time; -2 only when
+                    # no rep ever finished inside the cap
+                    if best == float("inf"):
+                        best = -2.0
+                    break
+                except Exception as exc:
+                    print(f"bench: duckdb {name} failed: {exc}", file=sys.stderr)
+                    if best == float("inf"):
+                        best = -1.0
+                    break
+                finally:
+                    timer.cancel()
+                    if fired:
+                        # timer fired in the window between fetchall()
+                        # returning and cancel(): absorb the pending
+                        # interrupt so it can't abort the NEXT query
+                        try:
+                            con.execute("SELECT 1").fetchall()
+                        except duckdb.InterruptException:
+                            pass
+            duck_timings[f"q_{name}"] = round(best, 4)
+        con.close()
+    except Exception as exc:  # duckdb trouble must not kill the bench
+        print(f"bench: duckdb baseline skipped: {exc}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -280,9 +289,11 @@ def main() -> None:
                 "value": suite_total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": reps_log,
                 "duck": duck_timings,
                 "sf": sf,
                 "synthetic_rows": n_synth,
+                "phase_order": "inv_dfield -> synthetic (own session) -> suite -> duckdb",
             },
         ),
     )

@@ -220,8 +220,11 @@ def mixture_rates(
     share). Feed the result to :func:`rate_sample` like :func:`cap_rates`.
 
     Groups absent from ``target_fracs`` get rate 0 (dropped — a mixture
-    is a whitelist); fractions are normalized. Driver-side math on the
-    dimension-sized rollup only.
+    is a whitelist); fractions are normalized. A positive-fraction key
+    with NO row in ``stats`` makes the mixture unachievable (that source
+    would contribute 0% of a supposedly positive share) — that raises
+    rather than silently returning rates for a different mixture.
+    Driver-side math on the dimension-sized rollup only.
     """
     fracs = {k: float(v) for k, v in target_fracs.items()}
     total = sum(fracs.values())
@@ -233,6 +236,12 @@ def mixture_rates(
         for r in stats.select(key_col, count_col).collect()
         if r[0] in fracs and fracs[r[0]] > 0
     }
+    missing = sorted(k for k, v in fracs.items() if v > 0 and k not in rows)
+    if missing:
+        raise ValueError(
+            f"target_fracs assigns positive share to groups absent from "
+            f"stats: {missing} — the requested mixture is unachievable",
+        )
     if not rows:
         return stats.select(
             F.col(key_col), F.lit(0.0).alias(rate_col),
@@ -283,7 +292,12 @@ def quantile_gates(
             [float(lo_q), float(hi_q)],
             max(1, int(1.0 / relative_error)),
         )
-    lo, hi = (float(v) for v in df.agg(agg).collect()[0][0])
+    band = df.agg(agg).collect()[0][0]
+    if band is None:  # empty frame or all-NULL column: no band exists
+        raise ValueError(
+            f"quantile_gates: no non-null values in column {col!r}",
+        )
+    lo, hi = (float(v) for v in band)
     keep = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     if keep_col is None:
         return df.filter(keep)
@@ -361,9 +375,15 @@ def gumbel_topk(
         raise ValueError(f"k must be positive, got {k}")
     u = uniform_hash_expr(id_col, salt, method)
     # midpoint offset: u = (h + 0.5) / 2^bits lands strictly inside (0, 1)
-    # so neither log can hit 0 or -inf
+    # so neither log can hit 0 or -inf. For md5 the offset alone suffices
+    # (2^-33 is representable at every u in [0, 1)); for xxhash64 the
+    # int64->double cast can round the hash to exactly 2^63, making
+    # u + 2^-65 == 1.0 (below the double ulp there) — the clamp keeps the
+    # argument strictly below 1 in that corner. 1 - 2^-53 exceeds the md5
+    # path's maximum (1 - 2^-33), so the clamp never alters md5 values and
+    # the DuckDB oracle mirror stays bit-exact.
     half = 0.5 / (2.0 ** (32 if method == "md5" else 64))
-    gumbel = -F.log(-F.log(u + F.lit(half)))
+    gumbel = -F.log(-F.log(F.least(u + F.lit(half), F.lit(1.0 - 2.0 ** -53))))
     key = F.round(F.col(weight_col) + gumbel, round_decimals)
     keyed = df.withColumn(key_col, key)
     kth = (

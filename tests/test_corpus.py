@@ -210,6 +210,24 @@ def test_gumbel_topk_deterministic_and_weighted(spark):
         corpus.gumbel_topk(df, "w", k=0)
 
 
+def test_gumbel_topk_xxhash64_keys_never_null(spark):
+    # the xxhash64 path clamps log's argument strictly below 1.0 (the
+    # int64->double cast can round a hash to exactly 2^63, where the
+    # 2^-65 midpoint offset is below the ulp); every key must be a
+    # real number and every row flagged 0/1, never NULL
+    from sed_spark.ext import corpus
+
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(500)], ["doc_id", "w"],
+    )
+    got = corpus.gumbel_topk(df, "w", k=20, method="xxhash64").collect()
+    assert len(got) == 500
+    for r in got:
+        assert r.gumbel_key is not None
+        assert r.is_sampled in (0, 1)
+    assert sum(r.is_sampled for r in got) == 20
+
+
 def test_gumbel_topk_empty_input(spark):
     from sed_spark.ext import corpus
 
@@ -298,6 +316,13 @@ def test_quantile_gates_trims_tails(spark):
     import pytest
     with pytest.raises(ValueError, match="lo_q"):
         corpus.quantile_gates(df, "x", 0.9, 0.1)
+    # empty frame / all-NULL column: clear error, not an opaque TypeError
+    empty = spark.createDataFrame([], "doc_id long, x double")
+    with pytest.raises(ValueError, match="no non-null values"):
+        corpus.quantile_gates(empty, "x")
+    nulls = spark.createDataFrame([(0, None), (1, None)], "doc_id long, x double")
+    with pytest.raises(ValueError, match="no non-null values"):
+        corpus.quantile_gates(nulls, "x", exact=True)
 
 
 def test_mixture_rates_hits_target_proportions(spark):
@@ -332,10 +357,17 @@ def test_mixture_rates_hits_target_proportions(spark):
     import pytest
     with pytest.raises(ValueError, match="non-negative"):
         corpus.mixture_rates(stats, {"a": -1.0})
-    # no overlap between stats and mixture -> all-zero rates
-    zero = {r.domain: r.rate for r in
-            corpus.mixture_rates(stats, {"zzz": 1.0}).collect()}
-    assert set(zero.values()) == {0.0}
+    # a positive-share source with no stats row makes the mixture
+    # unachievable — must raise, not return a rate table for a
+    # different mixture
+    with pytest.raises(ValueError, match="unachievable"):
+        corpus.mixture_rates(stats, {"zzz": 1.0})
+    with pytest.raises(ValueError, match="zzz"):
+        corpus.mixture_rates(stats, {"a": 0.5, "zzz": 0.5})
+    # zero-share absent groups are fine (an explicit drop, not a demand)
+    ok = {r.domain: r.rate for r in
+          corpus.mixture_rates(stats, {"a": 1.0, "zzz": 0.0}).collect()}
+    assert ok["a"] == 1.0 and ok["d"] == 0.0
 
 
 def test_blocklist_filter_anti_join_and_flag(spark):
