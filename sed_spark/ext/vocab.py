@@ -242,6 +242,7 @@ def bpe_train(
     id_col: str = "doc_id",
     text_col: str = "text",
     vocab: DataFrame | None = None,
+    local_vocab_threshold: int = 2_000_000,
 ) -> list[tuple[str, str]]:
     """Distributed BPE tokenizer training (Sennrich et al., ACL 2016):
     iteratively fuse the corpus's most frequent adjacent symbol pair.
@@ -249,21 +250,41 @@ def bpe_train(
     fit is deterministic). Stops early when no pair remains.
 
     Scale design: the corpus is aggregated ONCE into the (word, tf)
-    vocabulary table (:func:`word_doc_freq`); every merge iteration runs
-    on that vocabulary-sized table — one pair-count aggregate (map-side
-    partials) whose top-1 row reaches the driver, then one expression-only
-    fold updating the symbol arrays, checkpointed so plans don't stack.
-    100 TB of text never gets re-read or re-shuffled after the first
-    aggregate, matching how reference BPE learners run on a frequency
-    dict rather than raw text.
+    vocabulary table (:func:`word_doc_freq`); the merge loop only ever
+    touches that vocabulary-sized table — 100 TB of text never gets
+    re-read or re-shuffled after the first aggregate, matching how
+    reference BPE learners run on a frequency dict rather than raw text.
+
+    The loop itself has two engines with IDENTICAL output (same counts,
+    same ``(cnt DESC, l, r)`` tie-break — unit-tested against each other
+    and against an independent pure-Python reference):
+
+    * **driver-local** (vocabulary ≤ ``local_vocab_threshold`` rows,
+      checked with a ``limit(threshold+1)`` probe so oversized vocabs
+      cost one early-exiting job, not a full count): the (tf, symbols)
+      table is collected once and merges run in-process with incremental
+      pair-count maintenance. A production 32k-merge vocabulary costs
+      ZERO Spark jobs per merge instead of 2 (~64k driver round-trips).
+      Even the default threshold holds a 2M-word vocabulary in roughly
+      a GB of driver heap — raise/lower it to match the driver's memory.
+    * **distributed** (above the threshold, or ``local_vocab_threshold=0``
+      to force it): per merge, one pair-count aggregate (map-side
+      partials) whose top-1 row reaches the driver, then one
+      expression-only fold updating the symbol arrays, checkpointed so
+      plans don't stack.
     """
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
     if vocab is None:
         vocab = word_doc_freq(df, id_col, text_col)
-    sym = vocab.select(
-        "tf", symbols_expr(F.col("word")).alias("sym"),
-    ).localCheckpoint(eager=True)
+    sym_plan = vocab.select("tf", symbols_expr(F.col("word")).alias("sym"))
+    if local_vocab_threshold > 0:
+        probe = sym_plan.limit(local_vocab_threshold + 1).collect()
+        if len(probe) <= local_vocab_threshold:
+            return _bpe_train_local(
+                [(list(r.sym), int(r.tf)) for r in probe], n_merges,
+            )
+    sym = sym_plan.localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pair_counts = (
@@ -301,6 +322,70 @@ def bpe_train(
         sym = sym.select(
             "tf", bpe_apply_expr(F.col("sym"), [(a, b)]).alias("sym"),
         ).localCheckpoint(eager=True)
+    return merges
+
+
+def _apply_merge_local(s: list[str], a: str, b: str) -> list[str]:
+    """One merge on one symbol list — the exact greedy left-to-right
+    non-overlapping scan of :func:`bpe_apply_expr`'s fold (``[a,a,a]`` +
+    merge ``(a,a)`` → ``[aa, a]``)."""
+    out: list[str] = []
+    fused = a + b
+    for x in s:
+        if out and out[-1] == a and x == b:
+            out[-1] = fused
+        else:
+            out.append(x)
+    return out
+
+
+def _bpe_train_local(
+    words: list[tuple[list[str], int]], n_merges: int,
+) -> list[tuple[str, str]]:
+    """Driver-local BPE merge loop over the collected (symbols, tf)
+    vocabulary — bit-identical merge lists to the distributed loop (same
+    tf-weighted pair counts, same ``(cnt DESC, l ASC, r ASC)`` pick).
+
+    Incremental maintenance: a pair→count map plus a pair→word-index
+    inverted list; each merge touches only the words containing the fused
+    pair, so total work is proportional to affected words, not
+    ``n_merges × vocabulary``. A fused pair can never reappear (symbols
+    only ever grow), so its inverted list is processed exactly once.
+    """
+    from collections import defaultdict
+
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for idx, (s, tf) in enumerate(words):
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            pair_counts[p] += tf
+            pair_words[p].add(idx)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best: tuple[int, str, str] | None = None
+        for (l, r), c in pair_counts.items():
+            if c <= 0:
+                continue
+            key = (-c, l, r)
+            if best is None or key < best:
+                best = key
+        if best is None:
+            break
+        a, b = best[1], best[2]
+        merges.append((a, b))
+        for idx in pair_words.pop((a, b), ()):
+            s, tf = words[idx]
+            for i in range(len(s) - 1):
+                pair_counts[(s[i], s[i + 1])] -= tf
+            s = _apply_merge_local(s, a, b)
+            words[idx] = (s, tf)
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pair_counts[p] += tf
+                pair_words[p].add(idx)
+        pair_counts.pop((a, b), None)
     return merges
 
 

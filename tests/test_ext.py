@@ -992,6 +992,52 @@ def test_bpe_train_matches_python_reference(spark):
         vocab.bpe_train(docs, n_merges=0)
 
 
+def test_bpe_train_local_engine_matches_distributed(spark):
+    # both merge-loop engines must emit the identical merge list; the
+    # local path (vocab fits local_vocab_threshold) must also cost a
+    # CONSTANT number of Spark jobs, vs ~2 per merge for the distributed
+    # loop — that's its reason to exist (32k merges = ~64k round-trips)
+    from sed_spark.ext import vocab
+
+    rows = [
+        (i, " ".join(f"tok{j % 17}ab repeat{j % 5}" for j in range(i + 3)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def n_jobs() -> int:
+        return len(tracker.getJobIdsForGroup(None))
+
+    before = n_jobs()
+    local = vocab.bpe_train(docs, n_merges=10)
+    local_jobs = n_jobs() - before
+
+    before = n_jobs()
+    dist = vocab.bpe_train(docs, n_merges=10, local_vocab_threshold=0)
+    dist_jobs = n_jobs() - before
+
+    assert local == dist
+    assert len(local) == 10
+    # local path: the limit-probe collect only (plus at most a couple of
+    # planning jobs); distributed: >= 2 jobs per merge
+    assert local_jobs <= 4, local_jobs
+    assert dist_jobs >= 20, dist_jobs
+
+    # an over-threshold vocabulary falls back to the distributed loop
+    # and still produces the same merges
+    assert vocab.bpe_train(docs, n_merges=10, local_vocab_threshold=3) == dist
+
+    # tie-break parity on an adversarial corpus: many equal-count pairs
+    tie_docs = spark.createDataFrame(
+        [(0, "ab cd ef gh"), (1, "cd ef gh ab")], ["doc_id", "text"],
+    )
+    assert vocab.bpe_train(tie_docs, n_merges=4) == vocab.bpe_train(
+        tie_docs, n_merges=4, local_vocab_threshold=0,
+    )
+
+
 def test_chunk_documents_overlap_and_clamping(spark):
     from sed_spark.ext import text
 
