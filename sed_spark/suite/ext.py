@@ -1689,6 +1689,67 @@ FROM frames JOIN decode ON frames.doc_id = decode.doc_id
 """
 
 
+#: per-process registry of the late-arrival stream staging, keyed by
+#: sf_dir: (stream directory with two ordered files, watermark delay ms).
+_LATE_STAGE_DIRS: dict[str, tuple[str, int]] = {}
+
+
+def _late_stage(ev, sf_dir: str) -> tuple[str, int]:
+    """Stage the events table as a THREE-file stream directory that
+    forces both KINDS of lateness (mtimes pin the batch order; streamed
+    with ``maxFilesPerTrigger=1``):
+
+    * file 0 — the LATER HALF of the acquisition (``ts >= mid``): sets
+      the watermark ~700-1300 s behind the stream max.
+    * file 1 — the SECOND QUARTER (``t_low <= ts < mid``): late relative
+      to batch 0's data but still ACCEPTED — Spark's late-row filter
+      applies the watermark with a one-batch lag (batch 1 filters
+      against batch 0's PLANNING watermark, still 0), which is the
+      engine's documented acceptance slack. Its windows are all behind
+      the eviction watermark, so they emit at batch-1 end.
+    * file 2 — the EARLIEST QUARTER (``ts < t_low``): now genuinely
+      behind the filter watermark — every bin-valid row is DROPPED
+      (``numRowsDroppedByWatermark`` accounts for all of them).
+
+    The watermark delay is data-dependent, chosen so the watermark lands
+    mid-window (300 s from either 10-minute boundary) — the emit/drop
+    decisions are then arithmetic, nowhere near a boundary ulp, and the
+    DuckDB oracle reproduces them exactly: accepted = rows with
+    ``ts >= t_low`` whose epoch-aligned window end precedes the
+    watermark. ``coalesce(1)`` per slice is suite-scale staging only; a
+    production lateness test would write many files."""
+    if sf_dir not in _LATE_STAGE_DIRS:
+        import atexit
+        import glob
+        import os
+        import shutil
+        import tempfile
+
+        from sed_spark.suite.common import ts_us
+
+        us = ts_us(ev)
+        row = ev.select(F.min(us).alias("mn"), F.max(us).alias("mx")).collect()[0]
+        mn, mx = int(row.mn), int(row.mx)
+        mid = (mn + mx) // 2
+        t_low = mn + (mx - mn) // 4
+        wm_ms = ((mx // 1000 - 1_000_000) // 600_000) * 600_000 + 300_000
+        delay_ms = mx // 1000 - wm_ms
+        root = tempfile.mkdtemp(prefix="sed_spark_late_stream_")
+        stream_dir = os.path.join(root, "stream")
+        os.makedirs(stream_dir)
+        preds = [us >= mid, (us >= t_low) & (us < mid), us < t_low]
+        for i, pred in enumerate(preds):
+            tmp = os.path.join(root, f"slice{i}")
+            ev.filter(pred).coalesce(1).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"batch{i}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1e9 + i * 100, 1e9 + i * 100))
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _LATE_STAGE_DIRS[sf_dir] = (stream_dir, delay_ms)
+    return _LATE_STAGE_DIRS[sf_dir]
+
+
 def stream_dedup_replay(spark, sf_dir):
     """Batch (``availableNow``) replay of BOTH custom streaming operators,
     tag-unioned into one oracle row:
@@ -1767,7 +1828,84 @@ def stream_dedup_replay(spark, sf_dir):
         F.unix_timestamp("window_start").cast("string").alias("key"),
         F.col("events").cast("bigint").alias("cnt"),
     )
-    return dedup_part.unionAll(hist_part).unionAll(timed_part)
+
+    # fourth replay: LATE-DATA handling (watermark + window) for the
+    # windowed histogram, in APPEND mode over three time-shuffled
+    # micro-batches (see _late_stage): batch 1's lateness is ACCEPTED
+    # (inside the engine's one-batch watermark lag), batch 2's is
+    # DROPPED, and only watermark-closed windows are emitted — open
+    # windows near the stream head stay unemitted. The oracle mirrors
+    # all three rules arithmetically, so a green row pins the lateness
+    # semantics, not just in-order replay.
+    stream_dir, delay_ms = _late_stage(ev, sf_dir)
+    late_stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .withColumn("__event_time", F.timestamp_micros(ts_us(ev)))
+    )
+    late_hist = streaming_histogram(
+        late_stream, bins=[100], axes=["value"], ranges=[(0.0, 500.0)],
+        window_duration="10 minutes", watermark=f"{delay_ms} milliseconds",
+    )
+    spark.catalog.dropTempView("stream_late_sink")
+    run_available_now(late_hist, "stream_late_sink", output_mode="append")
+    lsink = spark.table("stream_late_sink")
+    lbin = [c for c in lsink.columns if c not in ("window_start", "count")][0]
+    late_part = lsink.select(
+        F.lit("late").alias("part"),
+        F.concat_ws(
+            "|",
+            F.unix_timestamp("window_start").cast("string"),
+            F.col(lbin).cast("string"),
+        ).alias("key"),
+        F.col("count").cast("bigint").alias("cnt"),
+    )
+    return (
+        dedup_part.unionAll(hist_part).unionAll(timed_part)
+        .unionAll(late_part)
+    )
+
+
+def _late_replay_sql() -> str:
+    """Arithmetic mirror of the late-data replay: the watermark is
+    ``max_event_ms - delay`` with the delay constructed to land the
+    watermark mid-window; a row is accepted iff it arrives in batch 0/1
+    (``ts >= t_low`` — batch 2, the earliest quarter, arrives entirely
+    behind the lagged filter watermark and is dropped) AND its
+    epoch-aligned 10-minute window end precedes the watermark (append
+    mode only releases closed windows). Bin semantics are the exact
+    ``_hist_sql`` formula for the same (100 bins, [0, 500)) axis."""
+    from sed_spark.suite.common import fl
+    from sed_spark.suite.core import _H1_AXES
+
+    ax = _H1_AXES[0]
+    delta = 1.0 / ((ax.hi - ax.lo) / ax.nbins)
+    j = f"(({ax.name} - {fl(ax.lo)}) * {fl(delta)} + 5e-12)"
+    bin_expr = f"CAST(least(floor({j}), {fl(float(ax.nbins - 1))}) AS INTEGER)"
+    valid = (
+        f"{ax.name} IS NOT NULL AND {j} >= 0 "
+        f"AND {j} <= {fl(ax.nbins + 1e-11)}"
+    )
+    return f"""
+SELECT 'late' AS part, key, cnt FROM (
+  SELECT CAST(win_start_s AS VARCHAR) || '|' || CAST(bin_value AS VARCHAR)
+           AS key,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT (epoch_us(ts) // 600000000) * 600 AS win_start_s,
+           {bin_expr} AS bin_value
+    FROM events,
+      (SELECT mn + (mx - mn) // 4 AS t_low_us,
+              ((mx // 1000 - 1000000) // 600000) * 600000 + 300000 AS wm_ms
+       FROM (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+             FROM events)) w
+    WHERE epoch_us(ts) >= w.t_low_us
+      AND ((epoch_us(ts) // 600000000) * 600 + 600) * 1000 <= w.wm_ms
+      AND {valid}
+  )
+  GROUP BY key
+)"""
 
 
 def _stream_replay_sql() -> str:
@@ -1784,6 +1922,8 @@ SELECT 'timed' AS part,
   CAST(epoch_us(ts) // 1000000 AS VARCHAR) AS key,
   CAST(count(*) AS BIGINT) AS cnt
 FROM events GROUP BY epoch_us(ts) // 1000000
+UNION ALL
+{_late_replay_sql().lstrip()}
 """
 
 

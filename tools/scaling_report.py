@@ -82,36 +82,54 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
+    # inputs are PINNED (persist + count) before the operator is timed, and
+    # unpersisted after each size. Round-4's table timed operator + input
+    # synthesis fused into one job, and the synthesis (40 md5 calls/row for
+    # the word-soup docs) dominated: dedup_exact at 1e7 measured 7.1 s
+    # fused vs 0.98 s on a pinned input — the reported "knee" was the
+    # generator, not the operator.
+    pinned: list = []
+
+    def pin(df):
+        df = df.persist()
+        df.count()
+        pinned.append(df)
+        return df
+
+    def unpin_all() -> None:
+        while pinned:
+            pinned.pop().unpersist()
+
     # each entry: (operator label, sizes, builder(n) -> thunk)
     def _text_metrics(n):
-        d = synth_docs(spark, n)
+        d = pin(synth_docs(spark, n))
         return lambda: run_noop(text.metrics(d))
 
     def _dedup_exact(n):
-        d = synth_docs(spark, n)
+        d = pin(synth_docs(spark, n))
         return lambda: run_noop(dedup.exact_dedup(d))
 
     def _minhash(n):
-        d = synth_docs(spark, n)
+        d = pin(synth_docs(spark, n))
         return lambda: run_noop(dedup.minhash_signatures(d, n_bands=4))
 
     def _pack(n):
-        d = synth_docs(spark, n).withColumn("n_tok", F.length("text"))
+        d = pin(synth_docs(spark, n).withColumn("n_tok", F.length("text")))
         return lambda: run_noop(
             text.pack_sequences(d, "n_tok", budget=4096),
         )
 
     def _hash_split(n):
-        d = synth_docs(spark, n)
+        d = pin(synth_docs(spark, n))
         return lambda: run_noop(
             corpus.hash_split(d, {"a": 0.9, "b": 0.1}),
         )
 
     def _hist2d(n):
         d = spark.range(0, n, 1, spark.sparkContext.defaultParallelism * 4)
-        d = d.select(
+        d = pin(d.select(
             (F.rand(1) * 500).alias("x"), (F.rand(2) * 500).alias("y"),
-        )
+        ))
         agg, _, _ = sparse_histogram(
             d, bins=[100, 100], axes=["x", "y"],
             ranges=[(0.0, 500.0), (0.0, 500.0)], count_alias="cnt",
@@ -119,7 +137,7 @@ def main() -> None:
         return lambda: run_noop(agg)
 
     def _batch_ann(n):
-        emb = synth_embeddings(spark, n)
+        emb = pin(synth_embeddings(spark, n))
         q = emb.filter(F.col("vec_id") < 4).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("query_vec"),
@@ -127,20 +145,20 @@ def main() -> None:
         return lambda: run_noop(similarity.batch_cosine_topk(emb, q, k=10))
 
     def _dup_spans(n):
-        d = synth_docs(spark, n)
+        d = pin(synth_docs(spark, n))
         return lambda: run_noop(dedup.duplicate_spans(d, window=5))
 
     def _dsir(n):
-        d = synth_docs(spark, n)
+        d = pin(synth_docs(spark, n))
         ratios = [((i * 2654435761) % 1000) / 500.0 - 1.0 for i in range(128)]
         return lambda: run_noop(text.dsir_score(d, ratios))
 
     def _word_doc_freq(n):
-        d = synth_docs(spark, n)
+        d = pin(synth_docs(spark, n))
         return lambda: run_noop(vocab.word_doc_freq(d))
 
     def _bpe_counts(n):
-        d = synth_docs(spark, n)
+        d = pin(synth_docs(spark, n))
         # fixed 8-merge list over hex-digit symbols (application cost;
         # training itself is vocabulary-sized, not corpus-sized)
         merges = [("a", "b"), ("0", "1"), ("c", "d"), ("2", "3"),
@@ -148,9 +166,30 @@ def main() -> None:
         return lambda: run_noop(vocab.bpe_token_counts(d, merges))
 
     def _gumbel(n):
-        d = synth_docs(spark, n).withColumn("w", F.rand(5))
+        d = pin(synth_docs(spark, n).withColumn("w", F.rand(5)))
         return lambda: run_noop(
             corpus.gumbel_topk(d, "w", k=100, method="xxhash64"),
+        )
+
+    def _semantic_dedup(n):
+        # the documented k-sizing rule in action: k grows with n so
+        # clusters stay ~500 rows and the within-cluster pair join stays
+        # O(n * cluster), not O(n^2 / k_fixed)
+        emb = pin(synth_embeddings(spark, n))
+        k = max(8, n // 500)
+        cents = similarity.deterministic_planes(k, 64, seed=77)
+        return lambda: run_noop(
+            similarity.semantic_dedup(emb, cents, threshold=0.9),
+        )
+
+    def _jaccard_est(n):
+        # estimate cost over the candidate PAIRS (the operator's true
+        # input scale): signatures + banded pairs are pinned, the timed
+        # stage is the two signature joins + band-equality mean
+        sigs = pin(dedup.minhash_signatures(synth_docs(spark, n), n_bands=4))
+        prs = pin(dedup.lsh_candidate_pairs(sigs, n_bands=4))
+        return lambda: run_noop(
+            dedup.minhash_jaccard_estimate(prs, sigs, n_bands=4),
         )
 
     cases = [
@@ -166,12 +205,17 @@ def main() -> None:
         ("word_doc_freq (2-stage agg)", [10**5, 10**6, 10**7], _word_doc_freq),
         ("bpe_token_counts (vocab join-back)", [10**5, 10**6, 10**7], _bpe_counts),
         ("gumbel_topk (2-pass sample)", [10**5, 10**6, 10**7], _gumbel),
+        ("semantic_dedup (k scaled, ~500/cluster)", [10**4, 10**5], _semantic_dedup),
+        ("minhash_jaccard_estimate (pair joins)", [10**5, 10**6], _jaccard_est),
     ]
 
-    print("# Operator scaling (local[%s], best-of-2, noop sink)\n"
+    print("# Operator scaling (local[%s], best-of-2, noop sink, pinned inputs)\n"
           % spark.sparkContext.defaultParallelism)
     print("Time ratio per 10x rows: ~10 = linear scaling; small sizes sit")
     print("on the fixed job-overhead floor, so their ratios read sublinear.")
+    print("Inputs are materialized (persist + count) BEFORE timing, so the")
+    print("number is the operator, not the synthetic-input generator (the")
+    print("round-4 table fused the two; the generator dominated at 1e7).")
     print("Generated by tools/scaling_report.py.\n")
     print("| operator | rows | sec | M rows/s | 10x step ratio |")
     print("|---|---|---|---|---|")
@@ -180,6 +224,7 @@ def main() -> None:
         for n in sizes:
             thunk = builder(n)
             t = timed(thunk)
+            unpin_all()
             ratio = "" if prev is None else f"{t / prev:.1f}x"
             print(
                 f"| {label} | {n:.0e} | {t:.2f} | {n / t / 1e6:.2f} "
