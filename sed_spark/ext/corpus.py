@@ -383,7 +383,10 @@ def gumbel_topk(
     # path's maximum (1 - 2^-33), so the clamp never alters md5 values and
     # the DuckDB oracle mirror stays bit-exact.
     half = 0.5 / (2.0 ** (32 if method == "md5" else 64))
-    gumbel = -F.log(-F.log(F.least(u + F.lit(half), F.lit(1.0 - 2.0 ** -53))))
+    # F.least SKIPS nulls, so guard with when(): a NULL id (md5 of NULL
+    # concat) must keep its NULL key, not inherit the clamp constant
+    clamped = F.least(u + F.lit(half), F.lit(1.0 - 2.0 ** -53))
+    gumbel = -F.log(-F.log(F.when(u.isNotNull(), clamped)))
     key = F.round(F.col(weight_col) + gumbel, round_decimals)
     keyed = df.withColumn(key_col, key)
     kth = (

@@ -227,6 +227,17 @@ def test_gumbel_topk_xxhash64_keys_never_null(spark):
         assert r.is_sampled in (0, 1)
     assert sum(r.is_sampled for r in got) == 20
 
+    # a NULL id keeps a NULL key under md5 (the clamp must not replace
+    # the NULL hash with its constant — F.least skips nulls)
+    with_null = spark.createDataFrame(
+        [(None, 5.0), ("a", 1.0), ("b", 2.0)],
+        "doc_id string, w double",
+    )
+    rows = {r.doc_id: r for r in
+            corpus.gumbel_topk(with_null, "w", k=2, method="md5").collect()}
+    assert rows[None].gumbel_key is None
+    assert rows["a"].gumbel_key is not None
+
 
 def test_gumbel_topk_empty_input(spark):
     from sed_spark.ext import corpus
