@@ -66,8 +66,27 @@ def get_spark(
     # (measured 10-106 s for the SAME 1e8-row 100^4 hash-agg). RAM-backed
     # tmpfs removes that variance. Only applied for local[*] masters —
     # a real cluster's local dirs are the cluster's NVMe, configured there.
+    #
+    # tmpfs garbage IS RAM: a SIGKILLed JVM leaves its shuffle dirs behind
+    # (measured 74 GB of orphans starving later JVMs into OOM kills), so
+    # each process gets its own pid-named subdir, removed at exit, and
+    # every session start sweeps siblings whose creator pid is gone.
     if master.startswith("local") and os.path.isdir("/dev/shm"):
-        conf.setdefault("spark.local.dir", "/dev/shm/sed-spark-local")
+        import atexit
+        import shutil
+
+        base = "/dev/shm/sed-spark-local"
+        mydir = os.path.join(base, str(os.getpid()))
+        try:
+            os.makedirs(mydir, exist_ok=True)
+            for d in os.listdir(base):
+                if d != str(os.getpid()) and d.isdigit() \
+                        and not os.path.exists(f"/proc/{d}"):
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+            atexit.register(shutil.rmtree, mydir, ignore_errors=True)
+            conf.setdefault("spark.local.dir", mydir)
+        except OSError:
+            conf.setdefault("spark.local.dir", base)
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
