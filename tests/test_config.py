@@ -76,3 +76,25 @@ def test_processor_jitter_aliases(spark):
     p.add_jitter(seed=3)  # defaults resolve @x/@y/@tof -> X/Y/t
     row = p.dataframe.collect()[0]
     assert row["X"] != 1.0 or row["Y"] != 3.0 or row["t"] != 5.0
+
+
+def test_session_sweeps_orphaned_tmpfs_dirs(spark):
+    # a pid-named local-dir whose creator is dead must be deleted at the
+    # next get_spark (tmpfs garbage is RAM; a SIGKILLed JVM leaves it)
+    import os
+
+    from sed_spark.session import get_spark
+
+    base = "/dev/shm/sed-spark-local"
+    if not os.path.isdir("/dev/shm"):
+        import pytest
+        pytest.skip("no /dev/shm on this platform")
+    os.makedirs(base, exist_ok=True)
+    orphan = os.path.join(base, "999999999")  # pid_max is below this
+    os.makedirs(orphan, exist_ok=True)
+    get_spark()
+    assert not os.path.exists(orphan)
+    # the live process's own dir is present (created by some session in
+    # this test process) and untouched
+    mine = os.path.join(base, str(os.getpid()))
+    assert os.path.isdir(mine)
