@@ -192,3 +192,37 @@ def test_chunks_reassemble_to_original(spark, doc_len, chunk, overlap, seed):
     # "" splits to [""] — mirror that degenerate tokenization
     expect = doc.split(" ") if doc else [""]
     assert rebuilt == expect
+
+
+@given(
+    n_docs=st.integers(1, 6),
+    doc_len=st.integers(0, 10),
+    n_merges=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_train_engines_agree(spark, n_docs, doc_len, n_merges, seed):
+    """The driver-local and distributed merge loops must emit the SAME
+    ordered merge list on any corpus — tie-breaks included (tiny
+    two-letter alphabet maximizes equal-count pairs and overlap shapes
+    like aaa)."""
+    import numpy as np
+
+    from sed_spark.ext import vocab
+
+    rng = np.random.default_rng(seed)
+    docs = []
+    for i in range(n_docs):
+        words = [
+            "".join(rng.choice(["a", "b"], size=int(k) % 4 + 1))
+            for k in rng.integers(0, 100, doc_len)
+        ]
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    local = vocab.bpe_train(df, n_merges=n_merges)
+    dist = vocab.bpe_train(df, n_merges=n_merges, local_vocab_threshold=0)
+    assert local == dist, (docs, local, dist)
