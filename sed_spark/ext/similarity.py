@@ -26,6 +26,7 @@ __all__ = [
     "embedding_near_dup",
     "kmeans_fit",
     "semantic_dedup",
+    "semantic_contamination",
     "ivf_assign",
     "ivf_topk",
     "ivf_write_index",
@@ -332,6 +333,82 @@ def embedding_near_dup(
     return (
         cand.select("a_id", "b_id", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_contamination(
+    df: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    bench_vec_col: str | None = None,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Embedding-space test-set decontamination: flag corpus vectors whose
+    max cosine to ANY benchmark vector reaches ``threshold`` — the
+    semantic analog of :func:`sed_spark.ext.dedup.benchmark_contamination`
+    (n-gram collisions), catching paraphrased or re-worded eval leakage
+    that lexical shingles miss.
+
+    Returns one row per input row: ``(id_col, bench_id, max_cos_bench,
+    is_contaminated)`` — ``bench_id`` is the argmax benchmark vector
+    (rounded-cosine ties break to the lowest benchmark id, so the result
+    is deterministic and engine-reproducible). With an EMPTY benchmark,
+    every row keeps NULL ``bench_id``/``max_cos_bench`` and flag 0.
+
+    Scale design: the benchmark set is benchmark-sized by contract, so it
+    rides a broadcast nested-loop join — the corpus is scanned once with
+    no shuffle of the corpus itself; the per-row max collapses map-side
+    (partial aggregation sees every benchmark row for its corpus rows
+    because the benchmark is broadcast), so the one shuffle moves only a
+    corpus-id-sized partial table. For benchmark sets too big to
+    broadcast, pre-reduce them (dedup/cluster) — a contamination
+    reference beyond broadcast size usually means the reference needs
+    curating, not the join rewriting.
+    """
+    bench_id_col = bench_id_col or id_col
+    bench_vec_col = bench_vec_col or vec_col
+    b = bench.select(
+        F.col(bench_id_col).alias("__bench_id"),
+        F.col(bench_vec_col).alias("__bench_vec"),
+    )
+    sim = F.round(
+        cosine_expr(F.col(vec_col), F.col("__bench_vec")), round_decimals,
+    )
+    best = (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(b))
+        .select(F.col(id_col), sim.alias("__cos"), "__bench_id")
+        .groupBy(id_col)
+        # lexicographic struct max = (max cos, then min bench id)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__cos").alias("c"),
+                    (-F.col("__bench_id")).alias("nb"),
+                ),
+            ).alias("__m"),
+        )
+        .select(
+            F.col(id_col),
+            (-F.col("__m.nb")).cast("long").alias("bench_id"),
+            F.col("__m.c").alias("max_cos_bench"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            F.col(id_col),
+            "bench_id",
+            "max_cos_bench",
+            F.coalesce(
+                (F.col("max_cos_bench") >= F.lit(float(threshold))),
+                F.lit(False),
+            ).cast("int").alias("is_contaminated"),
+        )
     )
 
 

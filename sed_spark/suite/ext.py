@@ -465,7 +465,11 @@ def embedding_near_dup(spark, sf_dir):
     ``semdedup_far`` = the same verdicts under the paper's
     ``far_from_centroid`` policy (within a duplicate pair the LESS
     typical document — lower centroid cosine — survives). Both policy
-    branches reuse ``(vec_id, cluster, is_kept)`` in the pair columns."""
+    branches reuse ``(vec_id, cluster, is_kept)`` in the pair columns.
+    ``contamination`` = embedding-space test-set decontamination (every
+    50th vector plays the benchmark): per corpus vector, the argmax
+    benchmark id and max rounded cosine — the semantic complement of the
+    ``decontamination`` row's n-gram filter."""
     df = load(spark, sf_dir, "embeddings")
     lsh = similarity.embedding_near_dup(
         df,
@@ -485,6 +489,16 @@ def embedding_near_dup(spark, sf_dir):
             F.col("is_kept").cast("double").alias("score"),
         )
 
+    cont = similarity.semantic_contamination(
+        df, df.filter(F.col("vec_id") % 50 == 0),
+        threshold=_SEMDEDUP_THRESHOLD,
+    ).select(
+        F.lit("contamination").alias("method"),
+        F.col("vec_id").alias("a_id"),
+        F.col("bench_id").alias("b_id"),
+        F.col("max_cos_bench").alias("score"),
+    )
+
     return (
         lsh.select(
             F.lit("lsh").alias("method"),
@@ -494,6 +508,7 @@ def embedding_near_dup(spark, sf_dir):
         )
         .unionAll(sem_branch("semdedup", "min_id"))
         .unionAll(sem_branch("semdedup_far", "far_from_centroid"))
+        .unionAll(cont)
     )
 
 
@@ -597,8 +612,18 @@ lsh AS (
   JOIN embeddings eb ON eb.vec_id = b_id
   WHERE round({cos}, 6) >= 0.4
 ),
-{_semdedup_sql().lstrip()}
+{_semdedup_sql().lstrip()},
+cpairs AS (
+  SELECT e.vec_id AS a_id, b.vec_id AS b_id, round({cos.replace('ea.', 'e.').replace('eb.', 'b.')}, 6) AS c
+  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id % 50 = 0) b
+),
+cont AS (
+  SELECT 'contamination' AS method, a_id, b_id, c AS score,
+         row_number() OVER (PARTITION BY a_id ORDER BY c DESC, b_id) AS rn
+  FROM cpairs
+)
 SELECT * FROM lsh UNION ALL SELECT * FROM sem UNION ALL SELECT * FROM sem_far
+UNION ALL SELECT method, a_id, b_id, score FROM cont WHERE rn = 1
 """
 
 

@@ -643,6 +643,48 @@ def test_semantic_dedup_rejects_unknown_policy(emb_df):
         similarity.semantic_dedup(df, [[1.0] * 16], keep="nope")
 
 
+def test_semantic_contamination_flags_and_argmax(spark):
+    import numpy as np
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),    # = bench 10 -> cos 1.0
+        (1, [0.0, 1.0, 0.0]),    # = bench 11 -> cos 1.0
+        (2, [0.9, 0.1, 0.0]),    # near bench 10
+        (3, [0.0, 0.0, 1.0]),    # orthogonal to both -> clean
+        (10, [1.0, 0.0, 0.0]),   # the benchmark members themselves
+        (11, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bench = df.filter("vec_id >= 10")
+    got = {
+        r.vec_id: r
+        for r in similarity.semantic_contamination(
+            df, bench, threshold=0.95,
+        ).collect()
+    }
+    assert len(got) == 6
+    # numpy oracle: max cosine + argmax (ties -> lowest bench id)
+    vecs = {i: np.array(v) for i, v in rows}
+    for i, v in vecs.items():
+        cos = {
+            b: round(float(v @ vecs[b] / (np.linalg.norm(v) * np.linalg.norm(vecs[b]))), 6)
+            for b in (10, 11)
+        }
+        best = max(sorted(cos), key=lambda b: (cos[b], -b))
+        assert got[i].bench_id == best, i
+        assert got[i].max_cos_bench == cos[best], i
+        assert got[i].is_contaminated == int(cos[best] >= 0.95), i
+    assert got[0].is_contaminated == 1
+    assert got[3].is_contaminated == 0
+    assert got[10].is_contaminated == 1  # bench members self-match
+
+    # empty benchmark: every row kept, NULL scores, flag 0
+    empty = bench.filter("vec_id < 0")
+    kept = similarity.semantic_contamination(df, empty).collect()
+    assert len(kept) == 6
+    assert all(r.is_contaminated == 0 and r.max_cos_bench is None for r in kept)
+
+
 def _np_classifier(texts, weights, bias=0.0):
     import hashlib
     import math
