@@ -156,6 +156,59 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def training_order(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    method: str = "xxhash64",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global training order: give every row a ``shard``
+    and a 0-based ``pos`` within its shard — the epoch-shuffle step of a
+    training pipeline (randomized example order that is reproducible
+    across runs, engines, and cluster sizes, unlike ``orderBy(rand())``
+    or relying on file listing order).
+
+    ``shard`` = hash(id, salt) mod ``n_shards``; ``pos`` ranks the shard
+    by a SECOND independent hash (salt || ``"|ord"``, id tie-break), so
+    shard membership and within-shard order don't correlate. Reading
+    shards in index order, each sorted by ``pos``, replays one global
+    deterministic permutation; a different ``salt`` is a fresh epoch.
+
+    Scale design: shard assignment is a pure projection; the position is
+    a per-shard window — shards are hash-balanced, so pick ``n_shards``
+    ≈ the output file count (thousands at 100 TB) and each window
+    partition stays file-sized. The writer is ``partitionBy(shard)`` +
+    ``sortWithinPartitions(pos)``; rows are never compared across
+    shards (a global ``orderBy`` would range-shuffle the corpus for an
+    ordering no training job actually needs globally materialized).
+    """
+    from pyspark.sql.window import Window
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if method == "xxhash64":
+        h = F.xxhash64(F.col(id_col).cast("string"), F.lit(salt))
+    elif method == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    u2 = uniform_hash_expr(id_col, salt + "|ord", method)
+    out = df.withColumn(shard_col, F.pmod(h, F.lit(n_shards)).cast("int"))
+    w = Window.partitionBy(shard_col).orderBy(u2.asc(), F.col(id_col).asc())
+    return out.withColumn(
+        pos_col, (F.row_number().over(w) - 1).cast("long"),
+    )
+
+
 def cap_rates(
     stats: DataFrame,
     cap: float,

@@ -1246,6 +1246,7 @@ _MIX_FRACS = {
     for k, w in zip(range(7), (1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 2.0))
 }
 _BLOCKED_DOMAIN = "site3.example.org"
+_ORDER_SHARDS = 4  # training-order shards for the curation row
 
 
 def pii_redact_q(spark, sf_dir):
@@ -1314,7 +1315,12 @@ def pii_redact_q(spark, sf_dir):
         [(_BLOCKED_DOMAIN,), ("spam.example",)], ["domain"],
     )
     gated = corpus.blocklist_filter(mixed, blocked, keep_col="kept_domain")
-    return corpus.hash_split(gated, _SPLIT_WEIGHTS, method="md5")
+    split = corpus.hash_split(gated, _SPLIT_WEIGHTS, method="md5")
+    # deterministic training order: shard + within-shard position (the
+    # epoch-shuffle step; md5 so the oracle replays the permutation)
+    return corpus.training_order(
+        split, n_shards=_ORDER_SHARDS, salt="ord", method="md5",
+    )
 
 
 def _split_case_sql(weights: dict[str, float], u_sql: str) -> str:
@@ -1411,6 +1417,21 @@ mixu AS (
   SELECT doc_id, (__HEX8M__) / 4294967296.0 AS umix
   FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'mix') AS h3
         FROM documents)
+),
+tsh AS (
+  SELECT doc_id, CAST((__HEX8S__) % __NSH__ AS INTEGER) AS shard
+  FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'ord') AS h4
+        FROM documents)
+),
+tord AS (
+  SELECT t.doc_id, t.shard,
+    CAST(row_number() OVER (
+      PARTITION BY t.shard ORDER BY u2.uo, t.doc_id) - 1 AS BIGINT) AS pos
+  FROM tsh t JOIN (
+    SELECT doc_id, (__HEX8O__) / 4294967296.0 AS uo
+    FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'ord|ord') AS h5
+          FROM documents)
+  ) u2 ON u2.doc_id = t.doc_id
 )
 SELECT s.doc_id,
   CAST(len(regexp_extract_all(s.text,
@@ -1431,16 +1452,22 @@ SELECT s.doc_id,
   CAST(mixu.umix < mrate.mrate AS INTEGER) AS kept_mix,
   CAST(CASE WHEN dom.domain = '__BLOCKED__' THEN 0 ELSE 1 END
     AS INTEGER) AS kept_domain,
-  sp.split
+  sp.split,
+  tord.shard, tord.pos
 FROM staged2 s
 JOIN dom ON dom.doc_id = s.doc_id
 JOIN sp ON sp.doc_id = s.doc_id
 JOIN capu ON capu.doc_id = s.doc_id
 JOIN mixu ON mixu.doc_id = s.doc_id
 JOIN mrate ON mrate.k = s.doc_id % 7
+JOIN tord ON tord.doc_id = s.doc_id
 """.replace("__SPLIT_CASE__", split_case).replace(
         "__HEX8C__", _hex8("h2"),
     ).replace("__HEX8M__", _hex8("h3")).replace(
+        "__HEX8S__", _hex8("h4"),
+    ).replace("__HEX8O__", _hex8("h5")).replace(
+        "__NSH__", str(_ORDER_SHARDS),
+    ).replace(
         "__T_CASE__", t_case,
     ).replace("__BLOCKED__", _BLOCKED_DOMAIN).replace(
         "__HEX8__", _HEX8,

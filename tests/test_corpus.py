@@ -381,6 +381,64 @@ def test_mixture_rates_hits_target_proportions(spark):
     assert ok["a"] == 1.0 and ok["d"] == 0.0
 
 
+def test_training_order_is_a_deterministic_permutation(spark):
+    import hashlib
+
+    from sed_spark.ext import corpus
+
+    n = 120
+    df = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    got = corpus.training_order(df, n_shards=4, salt="s", method="md5").collect()
+    assert len(got) == n
+    # every row present, (shard, pos) pairs unique, pos dense per shard
+    by_shard: dict[int, list] = {}
+    for r in got:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(4))
+    for shard, rows in by_shard.items():
+        assert sorted(r.pos for r in rows) == list(range(len(rows)))
+
+    # exact md5 mirror: shard = hex8(md5(id||salt)) % 4, order by the
+    # independent hash hex8(md5(id||salt||'|ord'))/2^32 with id tie-break
+    def h(i, salt):
+        return int(hashlib.md5(f"{i}{salt}".encode()).hexdigest()[:8], 16)
+
+    for shard, rows in by_shard.items():
+        members = sorted(
+            (r.doc_id for r in rows),
+            key=lambda i: (h(i, "s|ord") / 2**32, i),
+        )
+        expect = {i: p for p, i in enumerate(members)}
+        for r in rows:
+            assert h(r.doc_id, "s") % 4 == r.shard
+            assert r.pos == expect[r.doc_id], r
+
+    # rerun -> identical; different salt -> different permutation
+    again = corpus.training_order(df, n_shards=4, salt="s", method="md5").collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in again} == {
+        (r.doc_id, r.shard, r.pos) for r in got
+    }
+    other = corpus.training_order(df, n_shards=4, salt="t", method="md5").collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in other} != {
+        (r.doc_id, r.shard, r.pos) for r in got
+    }
+
+    # xxhash64 path: still a valid dense permutation
+    fast = corpus.training_order(df, n_shards=8, salt="s").collect()
+    shards: dict[int, list] = {}
+    for r in fast:
+        shards.setdefault(r.shard, []).append(r.pos)
+    assert sum(len(v) for v in shards.values()) == n
+    for v in shards.values():
+        assert sorted(v) == list(range(len(v)))
+
+    import pytest
+    with pytest.raises(ValueError, match="n_shards"):
+        corpus.training_order(df, n_shards=0)
+    with pytest.raises(ValueError, match="method"):
+        corpus.training_order(df, n_shards=2, method="sha9")
+
+
 def test_blocklist_filter_anti_join_and_flag(spark):
     from sed_spark.ext import corpus
 
