@@ -209,6 +209,42 @@ def training_order(
     )
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    method: str = "xxhash64",
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Materialize the corpus in :func:`training_order`: one
+    ``shard=<k>/`` directory per shard, rows inside each shard written in
+    ``pos`` order (parquet preserves intra-file row order, and
+    ``repartition(shard)`` gives each shard exactly one task, hence one
+    ordered file per shard plan-side). A trainer streams shards in index
+    order — or shuffles shard order per epoch — and replays the same
+    global permutation on any reader.
+
+    Scale design: one hash shuffle (the repartition on the shard key) +
+    the per-shard sort the window already needed; no global sort. Pick
+    ``n_shards`` so a shard fits a single task comfortably (thousands of
+    shards at 100 TB — they are the write granularity).
+    """
+    ordered = training_order(
+        df, n_shards, id_col=id_col, salt=salt, method=method,
+    )
+    (
+        ordered.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .format(fmt)
+        .save(path)
+    )
+
+
 def cap_rates(
     stats: DataFrame,
     cap: float,

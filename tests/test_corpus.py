@@ -439,6 +439,43 @@ def test_training_order_is_a_deterministic_permutation(spark):
         corpus.training_order(df, n_shards=2, method="sha9")
 
 
+def test_write_training_shards_replays_the_permutation(spark, tmp_path):
+    from sed_spark.ext import corpus
+
+    n = 90
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n)], ["doc_id", "text"],
+    )
+    out = str(tmp_path / "shards")
+    corpus.write_training_shards(df, out, n_shards=3, salt="s", method="md5")
+
+    expect = {
+        (r.shard, r.pos): r.doc_id
+        for r in corpus.training_order(
+            df, n_shards=3, salt="s", method="md5",
+        ).collect()
+    }
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    # each shard directory holds ONE file whose physical row order IS the
+    # pos order (the property a sequential trainer relies on)
+    import glob
+
+    for shard in range(3):
+        files = glob.glob(f"{out}/shard={shard}/*.parquet")
+        if not files:
+            continue
+        assert len(files) == 1, files
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(files[0])
+        ids = tbl.column("doc_id").to_pylist()
+        poss = tbl.column("pos").to_pylist()
+        assert poss == sorted(poss) == list(range(len(poss)))
+        for p, i in zip(poss, ids):
+            assert expect[(shard, p)] == i
+
+
 def test_blocklist_filter_anti_join_and_flag(spark):
     from sed_spark.ext import corpus
 
