@@ -225,3 +225,33 @@ def test_bpe_token_counts_joins_on_word_key(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert ("word" in line) or ("doc_id" in line), line
+
+
+def test_semantic_contamination_broadcasts_benchmark(spark):
+    # the benchmark side must ride a broadcast nested-loop join and the
+    # per-row max must collapse map-side: exactly ONE exchange (the
+    # corpus-id-sized partial table), never a corpus x bench shuffle
+    from sed_spark.ext import similarity
+    from sed_spark.suite.common import load
+
+    df = load(spark, SF_DIR, "embeddings")
+    out = similarity.semantic_contamination(
+        df, df.filter(F.col("vec_id") % 50 == 0), threshold=0.5,
+    )
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_max" in plan  # map-side combine before the exchange
+
+
+def test_training_order_shuffles_once_no_global_sort(spark):
+    # one hash exchange on the shard key feeds the per-shard window;
+    # a rangepartitioning exchange would mean a global sort snuck in
+    from sed_spark.ext import corpus
+    from sed_spark.suite.common import load
+
+    df = load(spark, SF_DIR, "documents")
+    plan = _plan(corpus.training_order(df, n_shards=8))
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning(shard" in plan
+    assert "Window" in plan
