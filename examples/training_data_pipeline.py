@@ -94,6 +94,19 @@ def main() -> None:
     )
     topk = similarity.batch_cosine_topk(emb, q, k=5).count()
 
+    # 6b. embedding-space curation: SemDeDup (keep the less typical
+    # member of each near-duplicate pair) and semantic decontamination
+    # (max cosine vs a broadcast benchmark set — catches paraphrased
+    # eval leakage the n-gram filter in step 3 can't see)
+    cents = similarity.kmeans_fit(emb, k=4, max_iter=3)
+    sem = similarity.semantic_dedup(
+        emb, cents, threshold=0.95, keep="far_from_centroid",
+    )
+    n_sem_dropped = sem.filter(F.col("is_kept") == 0).count()
+    sem_bench = emb.filter(F.col("vec_id") % 50 == 0)
+    sem_cont = similarity.semantic_contamination(emb, sem_bench, threshold=0.95)
+    n_sem_contam = sem_cont.filter(F.col("is_contaminated") == 1).count()
+
     # 7. deterministic 90/5/5 split of the curated corpus + per-domain
     # accounting (the corpus has no URLs, so synthesize one per doc the
     # way the suite row does — the rollup/split operators are the point)
@@ -138,19 +151,36 @@ def main() -> None:
     packed = text.pack_sequences(train_tok, "n_bpe_tokens", budget=2048)
     n_packs = packed.agg(F.max("pack_id")).collect()[0][0] + 1
 
+    # 10. materialize the training order: a deterministic epoch shuffle
+    # written as one ordered file per shard (a trainer reading shards in
+    # index order replays the same global permutation on any machine)
+    import tempfile
+
+    shard_dir = tempfile.mkdtemp(prefix="sed_spark_example_shards_")
+    corpus.write_training_shards(docs, shard_dir, n_shards=4, salt="epoch0")
+    n_shard_rows = spark.read.parquet(shard_dir).count()
+
     print(f"documents: {n0} -> {n_final} after dedup/decontam/quality")
     print(f"pii redacted: emails={pii_hits['emails']} ips={pii_hits['ips']} "
           f"phones={pii_hits['phones']}")
     print(f"ann rows: {topk}")
+    print(f"semdedup dropped {n_sem_dropped}; "
+          f"semantic contamination flagged {n_sem_contam}")
     print(f"dsir resample kept {n_resampled} docs")
     print(f"bpe merges: {merges}")
     print(f"train split packs into {n_packs} x 2048-token windows")
+    print(f"training shards hold {n_shard_rows} ordered rows")
     for r in per_split_domain:
         print(f"  split={r['split']:<5} domain={r['domain']:<20} "
               f"docs={r['n_docs']}")
     assert n_final > 0 and topk == 10
     assert n_resampled >= 50 and len(merges) == 8
     assert splits == {"train", "val", "test"} or "train" in splits
+    assert n_sem_contam >= sem_bench.count()  # bench members self-match
+    assert n_shard_rows == docs.count()
+    import shutil
+
+    shutil.rmtree(shard_dir, ignore_errors=True)
     print("pipeline OK")
 
 
