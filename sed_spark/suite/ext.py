@@ -777,12 +777,36 @@ except ImportError:  # pragma: no cover - bootstrap only
 # trainer: the Spark side trains live and must land on these counts.
 try:
     from sed_spark.suite._bpe_expected import (
+        BPE_CORPUS_SIG_SF0_01,
         BPE_COUNTS_SF0_01,
         BPE_N_MERGES,
     )
 except ImportError:  # pragma: no cover - bootstrap only
+    BPE_CORPUS_SIG_SF0_01 = None
     BPE_COUNTS_SF0_01 = None
     BPE_N_MERGES = 12
+
+#: per-process cache of the corpus signature check, keyed by sf_dir
+_BPE_SIG_CACHE: dict[str, bool] = {}
+
+
+def _bpe_pin_applies(docs, sf_dir: str) -> bool:
+    """True iff the corpus matches the pinned counts' CONTENT signature
+    (n_docs, total char length) — the same gate the oracle's CASE uses,
+    so both engines flip together. A bare sf-path or row-count check is
+    ambiguous: sf0.001 and sf0.01 both carry 500 documents, and a
+    regenerated sf0.01 would silently pass a count-only gate."""
+    if BPE_CORPUS_SIG_SF0_01 is None:
+        return False
+    if sf_dir not in _BPE_SIG_CACHE:
+        row = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).alias("len"),
+        ).collect()[0]
+        _BPE_SIG_CACHE[sf_dir] = (
+            int(row.n), int(row.len or 0),
+        ) == tuple(BPE_CORPUS_SIG_SF0_01)
+    return _BPE_SIG_CACHE[sf_dir]
 
 #: per-process cache of the live fit, keyed by sf_dir (fitting is the
 #: offline step of a DSIR deployment; the score is the per-doc query)
@@ -829,16 +853,16 @@ def text_metrics(spark, sf_dir):
             method="md5",
         )
     if BPE_COUNTS_SF0_01 is not None:
-        if _is_pin_sf(sf_dir):
-            # live distributed BPE training; the oracle carries per-doc
-            # counts from the independent pure-Python reference impl
+        if _bpe_pin_applies(docs, sf_dir):
+            # live BPE training; the oracle carries per-doc counts from
+            # the independent pure-Python reference implementation
             bpe = vocab.bpe_token_counts(docs, _bpe_fit_cached(docs, sf_dir))
             out = out.join(bpe, "doc_id")
         else:
-            # the pin is a per-doc VALUES list scoped to sf0.01 doc ids —
-            # unlike the fit pins it cannot be re-applied at another sf,
-            # so both engines degrade the column to NULL (the oracle's
-            # CASE gates on the same corpus-size signature)
+            # the pin is a per-doc VALUES list scoped to the pinned
+            # corpus — unlike the fit pins it cannot be re-applied to
+            # other data, so both engines degrade the column to NULL
+            # (the oracle's CASE gates on the same content signature)
             out = out.withColumn("n_bpe_tokens", F.lit(None).cast("long"))
     return out
 
@@ -955,16 +979,19 @@ SELECT keyed.*, CAST(keyed.gumbel_key >= thr.kth AS INTEGER) AS is_sampled
 
 
 def _bpe_col_sql() -> str:
-    # the count column is gated on the corpus-size signature of the pin's
-    # scale (500 docs at sf0.01): at any other sf BOTH engines emit NULL
-    # (the Spark side mirrors with F.lit(None)), so a driver sf change
-    # degrades this column instead of producing a spurious red row
+    # the count column is gated on the pinned corpus's CONTENT signature
+    # (n_docs AND total char length — a bare count is ambiguous, sf0.001
+    # also has 500 docs): off-signature BOTH engines emit NULL (the Spark
+    # side mirrors via _bpe_pin_applies), so a driver sf change or a
+    # testdata regeneration degrades this column instead of producing a
+    # spurious red row
     if BPE_COUNTS_SF0_01 is None:  # pragma: no cover - bootstrap only
         return ""
+    n, text_len = BPE_CORPUS_SIG_SF0_01
     return (
-        f", CASE WHEN (SELECT count(*) FROM documents) = "
-        f"{len(BPE_COUNTS_SF0_01)} THEN CAST(bpe.cnt AS BIGINT) "
-        "ELSE NULL END AS n_bpe_tokens\n"
+        f", CASE WHEN (SELECT count(*) FROM documents) = {n} "
+        f"AND (SELECT sum(length(text)) FROM documents) = {text_len} "
+        "THEN CAST(bpe.cnt AS BIGINT) ELSE NULL END AS n_bpe_tokens\n"
     )
 
 

@@ -5,7 +5,10 @@ operator vocabulary. Cross-engine float determinism strategy:
 
 * sums of money columns go through exact DECIMAL casts (the per-row doubles
   are bit-identical in both engines, the decimal cast recovers the exact
-  2/4/6-decimal value, and decimal sums are exact) then cast back to DOUBLE;
+  2/4/6-decimal value, and decimal sums are exact) then back to DOUBLE VIA A
+  STRING CAST — DuckDB's direct decimal->double scales an int128 in double
+  arithmetic and can land 1 ulp off the correctly-rounded value (observed at
+  sf0.001), while both engines' string->double parses round correctly;
 * sums of small-integer-valued doubles (quantities) are exact in any order;
 * timestamps are TIMESTAMP_NTZ (naive) — compared against naive literals
   and output as 'yyyy-MM-dd' strings, so the session timezone is irrelevant.
@@ -45,12 +48,12 @@ def q1_pricing_summary(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice", 18, 2)).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            F.sum(_dec("l_extendedprice", 18, 2)).cast("string").cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("string").cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("string").cast("double").alias("sum_charge"),
             (F.sum("l_quantity") / n).alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice", 18, 2)).cast("double") / n).alias("avg_price"),
-            (F.sum(_dec("l_discount", 18, 2)).cast("double") / n).alias("avg_disc"),
+            (F.sum(_dec("l_extendedprice", 18, 2)).cast("string").cast("double") / n).alias("avg_price"),
+            (F.sum(_dec("l_discount", 18, 2)).cast("string").cast("double") / n).alias("avg_disc"),
             n.alias("count_order"),
         )
     )
@@ -59,14 +62,14 @@ def q1_pricing_summary(spark, sf_dir):
 Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
   SUM(l_quantity) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
     AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
-    AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+    AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
   SUM(l_quantity) / COUNT(*) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{_CUT}'
@@ -98,7 +101,7 @@ def q3_shipping_priority(spark, sf_dir):
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
         )
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(F.sum(rev).cast("string").cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -106,7 +109,7 @@ def q3_shipping_priority(spark, sf_dir):
 
 Q3_SQL = f"""
 SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
-  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
     AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -131,14 +134,14 @@ def brand_agg(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum(_dec("p_retailprice", 18, 2)).cast("double").alias("sum_retail"),
+            F.sum(_dec("p_retailprice", 18, 2)).cast("string").cast("double").alias("sum_retail"),
         )
     )
 
 
 BRAND_SQL = """
 SELECT p_brand, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty,
-  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_retail
+  CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_retail
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """
@@ -175,14 +178,14 @@ def region_rollup(spark, sf_dir):
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(_dec("c_acctbal", 18, 2)).cast("double").alias("sum_acctbal"),
+            F.sum(_dec("c_acctbal", 18, 2)).cast("string").cast("double").alias("sum_acctbal"),
         )
     )
 
 
 REGION_SQL = """
 SELECT r_name, COUNT(*) AS n_customers,
-  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -231,13 +234,13 @@ def q5_local_supplier(spark, sf_dir):
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(F.sum(rev).cast("string").cast("double").alias("revenue"))
     )
 
 
 Q5_SQL = f"""
 SELECT n_name,
-  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
     AS revenue
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -276,7 +279,7 @@ def q18_large_orders(spark, sf_dir):
         .select(
             "c_name", "c_custkey", "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
-            _dec("o_totalprice", 18, 2).cast("double").alias("o_totalprice"),
+            _dec("o_totalprice", 18, 2).cast("string").cast("double").alias("o_totalprice"),
             "sum_qty",
         )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -287,7 +290,7 @@ def q18_large_orders(spark, sf_dir):
 Q18_SQL = f"""
 SELECT c_name, c_custkey, o_orderkey,
   strftime(o_orderdate, '%Y-%m-%d') AS o_date,
-  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+  CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS o_totalprice,
   sum_qty
 FROM orders
 JOIN (
@@ -327,8 +330,13 @@ def table_stats(spark, sf_dir):
         .agg(F.avg("l_extendedprice").alias("median_price"))
     )
     # decimal sums are exact; ONE rounding at the double cast, then
-    # identical scalar double arithmetic in both engines
-    sd, sqd = s.cast("double"), sq.cast("double")
+    # identical scalar double arithmetic in both engines. The cast goes
+    # THROUGH A STRING: DuckDB's direct decimal->double scales an int128
+    # with double arithmetic and can land 1 ulp off (observed on the
+    # sf0.001 sumsq), while both engines' string->double parses are
+    # correctly rounded — so the string route is bit-identical.
+    sd = s.cast("string").cast("double")
+    sqd = sq.cast("string").cast("double")
     nd = n.cast("double")
     agg = li.groupBy("l_returnflag").agg(
         n.alias("n_rows"),
@@ -342,9 +350,11 @@ def table_stats(spark, sf_dir):
 STATS_SQL = """
 WITH sums AS (
   SELECT l_returnflag, COUNT(*) AS n_rows,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sd,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqd
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+         AS VARCHAR) AS DOUBLE) AS sd,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2)))
+         AS VARCHAR) AS DOUBLE) AS sqd
   FROM lineitem GROUP BY l_returnflag
 ),
 agg AS (
@@ -423,7 +433,7 @@ SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
   COALESCE(l_linestatus, 'ALL') AS lstatus,
   CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
   COUNT(*) AS n_rows,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
