@@ -37,6 +37,7 @@ __all__ = [
     "read_event_stream",
     "timed_table_stream",
     "streaming_histogram",
+    "streaming_sessionize",
     "streaming_exact_dedup",
     "run_available_now",
 ]
@@ -116,6 +117,46 @@ def streaming_histogram(
         .groupBy(window.alias("w"), *[F.col(b) for b in bin_names])
         .agg(F.count(F.lit(1)).alias("count"))
         .select(F.col("w.start").alias("window_start"), *bin_names, "count")
+    )
+
+
+def streaming_sessionize(
+    df: DataFrame,
+    gap_us: int,
+    group_col: str = "user_id",
+    event_time_column: str = "__event_time",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap sessions on a live stream: Spark's ``session_window`` merges
+    events of a group whose inter-arrival gap stays below ``gap_us``.
+    Emits one row per closed-or-open session: (group, session_start,
+    events).
+
+    Batch parity: :func:`sed_spark.dfops.sessionize` opens a new session
+    on ``diff > gap`` while ``session_window`` merges on ``diff < gap``
+    — pass the batch gap **plus one** microsecond here and the two rules
+    coincide exactly on integer-microsecond timestamps (the suite's
+    ``sessionization`` row replay-checks that equality). Output modes:
+    ``complete``/``append`` (Spark does not support ``update`` for
+    session windows); with a ``watermark``, append mode emits sessions
+    only once the watermark passes their close.
+    """
+    windowed = df
+    if watermark is not None:
+        windowed = windowed.withWatermark(event_time_column, watermark)
+    return (
+        windowed.groupBy(
+            F.session_window(
+                F.col(event_time_column), f"{int(gap_us)} microseconds",
+            ).alias("w"),
+            group_col,
+        )
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select(
+            F.col(group_col),
+            F.col("w.start").alias("session_start"),
+            "events",
+        )
     )
 
 

@@ -1111,25 +1111,67 @@ _SESSION_GAP_US = 1.8e9  # 30 min
 
 @q("sessionization")
 def sessionization(spark, sf_dir):
+    """Gap sessionization in BOTH execution shapes, tag-unioned:
+    ``batch`` = per-event session ids from the two-window gap scan;
+    ``stream`` = the SAME sessions discovered live by a Structured
+    Streaming ``session_window`` aggregate (availableNow replay), pinned
+    as per-session (user, start, count) rollups against the identical
+    batch oracle. The streaming gap is ``_SESSION_GAP_US + 1``:
+    ``session_window`` merges on ``diff < gap`` while the batch rule
+    opens a session on ``diff > gap`` — for integer-microsecond
+    timestamps the two predicates coincide exactly at that offset."""
+    from sed_spark.streaming import run_available_now, streaming_sessionize
+
     df = load(spark, sf_dir, "events")
     df = df.withColumn("ts_d", ts_us(df).cast("double"))
     out = dfops.sessionize(
         df, "user_id", "ts_d", gap=_SESSION_GAP_US, order_cols=["event_id"],
     )
-    return out.select("event_id", "user_id", "session_id")
+    batch = out.select(
+        F.lit("batch").alias("part"),
+        F.col("event_id").alias("k1"),
+        F.col("user_id").alias("k2"),
+        F.col("session_id").cast("long").alias("v"),
+    )
+
+    ev = load(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(f"{sf_dir}/events*.parquet")
+        .withColumn("__event_time", F.timestamp_micros(ts_us(ev)))
+    )
+    sess = streaming_sessionize(stream, gap_us=int(_SESSION_GAP_US) + 1)
+    spark.catalog.dropTempView("stream_session_sink")
+    run_available_now(sess, "stream_session_sink", output_mode="complete")
+    live = spark.table("stream_session_sink").select(
+        F.lit("stream").alias("part"),
+        F.col("user_id").alias("k1"),
+        F.unix_micros(F.col("session_start")).alias("k2"),
+        F.col("events").cast("long").alias("v"),
+    )
+    return batch.unionAll(live)
 
 
 sql("sessionization", f"""
-SELECT event_id, user_id,
-  CAST(SUM(newf) OVER (PARTITION BY user_id ORDER BY ts_d, event_id
-    ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
-FROM (
+WITH sess AS (
   SELECT event_id, user_id, ts_d,
-    CASE WHEN ts_d - lag(ts_d) OVER (PARTITION BY user_id
-      ORDER BY ts_d, event_id) > {fl(_SESSION_GAP_US)} THEN 1 ELSE 0 END AS newf
-  FROM (SELECT event_id, user_id, CAST(epoch_us(ts) AS DOUBLE) AS ts_d
-        FROM events)
+    SUM(newf) OVER (PARTITION BY user_id ORDER BY ts_d, event_id
+      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT event_id, user_id, ts_d,
+      CASE WHEN ts_d - lag(ts_d) OVER (PARTITION BY user_id
+        ORDER BY ts_d, event_id) > {fl(_SESSION_GAP_US)} THEN 1 ELSE 0 END AS newf
+    FROM (SELECT event_id, user_id, CAST(epoch_us(ts) AS DOUBLE) AS ts_d
+          FROM events)
+  )
 )
+SELECT 'batch' AS part, event_id AS k1, user_id AS k2,
+  CAST(session_id AS BIGINT) AS v
+FROM sess
+UNION ALL
+SELECT 'stream' AS part, user_id AS k1,
+  CAST(min(ts_d) AS BIGINT) AS k2, count(*) AS v
+FROM sess GROUP BY user_id, session_id
 """)
 
 
