@@ -49,9 +49,9 @@ def gather_files(
 
 
 class GenericLoader:
-    """Reads parquet/csv/json into an event DataFrame with ``file_id``."""
+    """Reads parquet/orc/csv/json into an event DataFrame with ``file_id``."""
 
-    supported_file_types = ("parquet", "csv", "json")
+    supported_file_types = ("parquet", "orc", "csv", "json")
 
     def __init__(self, spark: SparkSession | None = None, **_):
         self.spark = spark
@@ -83,6 +83,9 @@ class GenericLoader:
         reader = spark.read.options(**reader_options)
         if ftype == "parquet":
             df = reader.parquet(*files)
+        elif ftype == "orc":
+            # columnar like parquet: same pushdown/pruning behavior
+            df = reader.orc(*files)
         elif ftype == "csv":
             df = reader.option("header", "true").option("inferSchema", "true").csv(list(files))
         else:

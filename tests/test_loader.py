@@ -37,6 +37,25 @@ def test_generic_loader_file_id(spark, tmp_path):
     assert len(meta["file_statistics"]["files"]) == 2
 
 
+def test_generic_loader_reads_orc(spark, tmp_path):
+    # columnar alternative to parquet; same file_id model
+    src = spark.createDataFrame(
+        [(float(i),) for i in range(5)], ["x"],
+    )
+    out = str(tmp_path / "orc")
+    src.coalesce(1).write.orc(out)
+    import glob as _glob
+
+    files = _glob.glob(f"{out}/*.orc")
+    loader = GenericLoader(spark=spark)
+    df, meta = loader.read_dataframe(files=files, ftype="orc")
+    assert df.count() == 5
+    assert {r["file_id"] for r in df.select("file_id").distinct().collect()} == {0}
+
+    with pytest.raises(ValueError, match="file type"):
+        loader.read_dataframe(files=files, ftype="avro")
+
+
 def test_gather_files_range(tmp_path):
     for i in range(5):
         (tmp_path / f"a{i}.parquet").touch()
