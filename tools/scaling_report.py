@@ -183,11 +183,20 @@ def main() -> None:
         )
 
     def _jaccard_est(n):
-        # estimate cost over the candidate PAIRS (the operator's true
-        # input scale): signatures + banded pairs are pinned, the timed
-        # stage is the two signature joins + band-equality mean
+        # estimate cost over n candidate PAIRS (the operator's true input
+        # scale): pinned signatures + a pinned consecutive-id pair table;
+        # the timed stage is the two signature joins + band-equality
+        # mean. (NOT lsh_candidate_pairs output: the word-soup corpus is
+        # deliberately collision-heavy, so its banding buckets — and the
+        # pair count — grow quadratically; the suite row covers real
+        # banded pair generation, this row scales the estimator.)
         sigs = pin(dedup.minhash_signatures(synth_docs(spark, n), n_bands=4))
-        prs = pin(dedup.lsh_candidate_pairs(sigs, n_bands=4))
+        par = spark.sparkContext.defaultParallelism * 4
+        prs = pin(
+            spark.range(0, n - 1, 1, par).select(
+                F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id"),
+            ),
+        )
         return lambda: run_noop(
             dedup.minhash_jaccard_estimate(prs, sigs, n_bands=4),
         )
