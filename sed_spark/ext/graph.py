@@ -41,6 +41,7 @@ __all__ = [
     "connected_components",
     "connected_components_two_phase",
     "dedup_clusters",
+    "pagerank",
 ]
 
 
@@ -289,3 +290,125 @@ def dedup_clusters(
             (F.col(id_col) == F.col("cluster_id")).cast("int"),
         )
     )
+
+
+#: micro-rank scale for integer PageRank: ranks are stored as
+#: ``round(rank * 10^12)`` BIGINTs so every cross-row sum is an exact
+#: integer aggregate — order-independent, hence bit-identical on any
+#: engine / partitioning / core count. A double-based power iteration
+#: accumulates last-ulp drift that COMPOUNDS across iterations and
+#: varies with Spark's partial-aggregation order.
+PAGERANK_SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "a_id",
+    dst: str = "b_id",
+    weight: str | None = None,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    n_iter: int = 3,
+    node_col: str = "node",
+    reliable: bool = False,
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank in exact integer arithmetic.
+
+    Returns ``(node, rank_micro)`` after exactly ``n_iter`` synchronous
+    power iterations, where ``rank_micro`` is the rank on the
+    :data:`PAGERANK_SCALE` integer grid. On a near-duplicate pair graph
+    this is the centrality signal real dedup pipelines use to pick the
+    canonical representative (the best-connected member, not just the
+    min id); on a domain link graph it is the classic quality prior.
+
+    Semantics (integer throughout, ``div`` = truncating division):
+
+    - ``N`` = number of nodes; ``r0 = S div N`` with ``S = 10^12``
+    - ``out_w(u)`` = sum of ``weight`` over u's out-edges (edge count
+      when ``weight`` is None); ``out_w = 0`` marks a dangling node
+    - ``contrib(v) = sum over edges (u -> v) of (r(u) * w) div out_w(u)``
+    - ``dang = sum of r(u) over dangling u`` (redistributed uniformly)
+    - ``r'(v) = (S - d*S div den) div N
+      + (d * (contrib(v) + dang div N)) div den``
+      with ``d/den`` the damping fraction (default 85/100)
+
+    Scale design: the edge table is joined with out-weights ONCE before
+    the loop and checkpointed; each iteration is one shuffle join
+    (ranks ⋈ edges on ``src``) + one hash aggregate (sum per ``dst``)
+    plus a scalar dangling-mass aggregate that rides back in via
+    ``crossJoin(broadcast(...))`` — no driver collect inside the loop.
+    Rank tables are lazily checkpointed per round to keep lineage flat
+    (same machinery as :func:`connected_components`); ``reliable=True``
+    swaps in fault-tolerant checkpoints for long production runs.
+    Overflow headroom: ``r * w * d`` stays below 2^63 for total weights
+    up to ~10^5 per node at the 10^12 scale — raise ``damping_den``
+    granularity only with a lower ``PAGERANK_SCALE`` if that is ever
+    exceeded.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    if not 0 < damping_num < damping_den:
+        raise ValueError("damping must be a proper fraction")
+    ckpt = _checkpointer(edges, reliable)
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"), w.alias("_w"),
+    )
+    out_w = e.groupBy("_src").agg(F.sum("_w").alias("_out_w"))
+    if nodes is None:
+        node_set = (
+            e.select(F.col("_src").alias(node_col))
+            .union(e.select(F.col("_dst").alias(node_col)))
+            .distinct()
+        )
+    else:
+        node_set = nodes.select(F.col(nodes.columns[0]).alias(node_col)).distinct()
+    base = ckpt(
+        node_set.join(
+            out_w, node_set[node_col] == out_w["_src"], "left",
+        ).select(
+            node_col, F.coalesce("_out_w", F.lit(0)).alias("_out_w"),
+        ),
+    )
+    # one scalar job up front: N is a literal inside every iteration's
+    # integer expressions (same role as the CC convergence scalar)
+    n_nodes = base.count()
+    if n_nodes == 0:
+        return base.select(node_col, F.lit(0).alias("rank_micro"))
+    s = PAGERANK_SCALE
+    teleport = (s - damping_num * s // damping_den) // n_nodes
+    # edges annotated with the source's out-weight, reused every round
+    e_out = ckpt(e.join(out_w, "_src"))
+    ranks = base.select(
+        node_col, F.lit(s // n_nodes).cast("long").alias("rank_micro"),
+    )
+    for _ in range(n_iter):
+        dang = (
+            ranks.join(base.filter(F.col("_out_w") == 0), node_col)
+            .agg(F.coalesce(F.sum("rank_micro"), F.lit(0)).alias("_dang"))
+        )
+        contrib = (
+            ranks.join(e_out, ranks[node_col] == e_out["_src"])
+            .select(
+                F.col("_dst").alias(node_col),
+                F.expr("rank_micro * _w div _out_w").alias("_c"),
+            )
+            .groupBy(node_col)
+            .agg(F.sum("_c").alias("_contrib"))
+        )
+        ranks = ckpt(
+            base.join(contrib, node_col, "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                node_col,
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"{damping_num} * (coalesce(_contrib, 0L)"
+                        f" + _dang div {n_nodes}) div {damping_den}",
+                    )
+                ).cast("long").alias("rank_micro"),
+            ),
+        )
+    return ranks

@@ -10,6 +10,7 @@ from sed_spark.ext import (
     graph,
     multimodal,
     pii,
+    retrieval,
     similarity,
     text,
     vocab,
@@ -250,10 +251,19 @@ def dedup_clusters(spark, sf_dir):
     """BOTH connected-components algorithms on the same LSH pair graph,
     tag-unioned: hash-min label propagation (rounds = diameter, ideal for
     dense dedup clusters) and the O(log n)-round alternating
-    large-star/small-star variant. One oracle closure pins both."""
+    large-star/small-star variant. One oracle closure pins both.
+
+    WIDENED with a ``pagerank`` branch: 3 rounds of exact-integer
+    PageRank over the symmetrized pair graph (every document a node, so
+    isolated docs exercise the dangling-mass path) — the centrality
+    signal production dedup pipelines use to pick the best-connected
+    canonical per cluster rather than the min id. ``rank_micro`` is the
+    rank on the 10^12 integer grid (bit-exact on any engine, see
+    :func:`sed_spark.ext.graph.pagerank`); the CC branches carry NULL.
+    """
     docs = load(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, n_bands=4)
-    # materialize the pair graph once — both CC branches consume it
+    # materialize the pair graph once — all three branches consume it
     pairs = dedup.lsh_candidate_pairs(sigs, n_bands=4).localCheckpoint()
     out = []
     for algo in ("hash-min", "two-phase"):
@@ -261,9 +271,55 @@ def dedup_clusters(spark, sf_dir):
             graph.dedup_clusters(docs, pairs, algorithm=algo).select(
                 F.lit(algo).alias("method"),
                 "doc_id", "cluster_id", "is_canonical",
+                F.lit(None).cast("long").alias("rank_micro"),
             ),
         )
-    return out[0].unionAll(out[1])
+    pr = graph.pagerank(
+        pairs.select("a_id", "b_id").union(
+            pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")),
+        ),
+        nodes=docs.select("doc_id"),
+        n_iter=3,
+    )
+    out.append(
+        pr.select(
+            F.lit("pagerank").alias("method"),
+            F.col("node").alias("doc_id"),
+            F.lit(None).cast("long").alias("cluster_id"),
+            F.lit(None).cast("int").alias("is_canonical"),
+            "rank_micro",
+        ),
+    )
+    return out[0].unionAll(out[1]).unionAll(out[2])
+
+
+def _pr_rounds_sql(n_iter: int = 3) -> str:
+    """Unrolled integer PageRank rounds: each round is a dangling-mass
+    scalar, a contribution aggregate over the edges, and the damped
+    update — the literal SQL transcription of one loop body of
+    ``ext.graph.pagerank`` (same operator precedence, same ``//``
+    truncation)."""
+    blocks = []
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        blocks.append(f"""d{i} AS (
+  SELECT COALESCE(SUM(r), 0) AS dang FROM r{p} WHERE ow = 0
+),
+c{i} AS (
+  SELECT e.dst AS node, SUM(p.r // p.ow) AS c
+  FROM pedges e JOIN r{p} p ON p.node = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT deg.node, deg.ow,
+    (1000000000000 - 85 * 1000000000000 // 100) // nn.n
+    + 85 * (COALESCE(c{i}.c, 0) + d{i}.dang // nn.n) // 100 AS r
+  FROM deg LEFT JOIN c{i} ON c{i}.node = deg.node, d{i}, nn
+)""")
+    return ",\n".join(blocks)
+
+
+_PR_ROUNDS = _pr_rounds_sql(3)
 
 
 # transitive closure of the LSH pair graph: recursive min-label propagation
@@ -290,9 +346,30 @@ closure AS (
     CAST(CASE WHEN COALESCE(cc.label, d.doc_id) = d.doc_id
          THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
   FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
-)
-SELECT m.method, c.doc_id, c.cluster_id, c.is_canonical
+),
+-- pagerank branch: 3 unrolled rounds of exact-integer PageRank (scale
+-- 10^12, damping 85/100, truncating // division throughout — the same
+-- integer grid as ext.graph.pagerank, so the sums are order-independent
+-- and the comparison is bit-exact, not round-6-and-hope)
+nn AS (SELECT count(*) AS n FROM documents),
+pedges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL
+  SELECT b_id, a_id FROM pairs
+),
+outw AS (SELECT src, count(*) AS ow FROM pedges GROUP BY src),
+deg AS (
+  SELECT d.doc_id AS node, COALESCE(outw.ow, 0) AS ow
+  FROM documents d LEFT JOIN outw ON outw.src = d.doc_id
+),
+r0 AS (SELECT node, ow, 1000000000000 // nn.n AS r FROM deg, nn),
+{_PR_ROUNDS}
+SELECT m.method, c.doc_id, c.cluster_id, c.is_canonical,
+  CAST(NULL AS BIGINT) AS rank_micro
 FROM closure c, (VALUES ('hash-min'), ('two-phase')) m(method)
+UNION ALL
+SELECT 'pagerank', node, CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), r
+FROM r3
 """
 
 
@@ -761,6 +838,11 @@ _DSIR_DIM = 128
 _DSIR_N = 2
 _DSIR_K = 100
 _DSIR_SALT = "dsir"
+# round-5 retrieval widening: fixed query for the BM25 branch (terms with
+# very different corpus document frequencies, so the idf arms differ)
+_BM25_TERMS = ("customer", "spark", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
 
 # pinned sf0.01 DSIR fit (tools/gen_dsir_logratios.py) — same live-vs-pin
 # contract as the trained IVF centroids: the Spark side fits LIVE, the
@@ -839,6 +921,15 @@ def text_metrics(spark, sf_dir):
     )
     score = text.classifier_score(docs, _CLS_WEIGHTS, bias=_CLS_BIAS)
     out = packed.join(score, "doc_id")
+    # lexical retrieval (round 5): BM25 relevance to a fixed query (docs
+    # with no query term keep NULL) + each doc's top smoothed-TF-IDF term
+    bm = retrieval.bm25_score(
+        docs, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B,
+    )
+    out = (
+        out.join(bm, "doc_id", "left")
+        .join(retrieval.tf_idf_top_term(docs), "doc_id", "left")
+    )
     if DSIR_LOGRATIOS_SF0_01 is not None:
         dsir = text.dsir_score(
             docs, _dsir_fit_cached(docs, sf_dir), shingle_n=_DSIR_N,
@@ -946,9 +1037,76 @@ FROM ({_grams_sql(_DSIR_N)})
 """
 
 
+def _retrieval_sql_ctes() -> str:
+    """CTE block mirroring ``ext.retrieval``: BM25 over the fixed query
+    (unrolled per term — same operator precedence and ``fl()`` exact
+    float literals as the Spark Column tree, so only the ``ln`` ulp is
+    left for the round-6 to absorb) and each document's top smoothed
+    TF-IDF term with the (rounded weight DESC, term ASC) tie-break."""
+    from sed_spark.suite.common import fl
+
+    k1, b, k11 = fl(_BM25_K1), fl(_BM25_B), fl(_BM25_K1 + 1.0)
+    tfs = ",\n    ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    dfs = ",\n    ".join(
+        f"(SELECT count(*) FROM rtok WHERE list_contains(toks, '{t}')) AS df{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    avgdl = "(CAST(cn.sdl AS DOUBLE) / cn.n)"
+    arms = []
+    for i in range(len(_BM25_TERMS)):
+        idf = f"ln(1.0 + ((cn.n - dq.df{i}) + 0.5) / (dq.df{i} + 0.5))"
+        denom = (
+            f"(tf{i} + ({k1} * ((1.0 - {b}) + (({b} * dl) / {avgdl}))))"
+        )
+        arms.append(
+            f"CASE WHEN tf{i} > 0 THEN (({idf} * tf{i}) * {k11}) / {denom} "
+            "ELSE 0.0 END",
+        )
+    score = " + ".join(arms)
+    anyhit = " + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))
+    tw = "round(tf * (ln((cn.n + 1.0) / (df + 1.0)) + 1.0), 6)"
+    return f"""rtok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+),
+rcn AS (SELECT count(*) AS n, sum(len(toks)) AS sdl FROM rtok),
+rtf AS (SELECT doc_id, len(toks) AS dl,
+    {tfs} FROM rtok),
+rdq AS (SELECT
+    {dfs}),
+rbm AS (
+  SELECT doc_id, round({score}, 6) AS bm25
+  FROM rtf, rcn cn, rdq dq
+  WHERE {anyhit} > 0
+),
+rpost AS (SELECT doc_id, unnest(toks) AS term FROM rtok),
+rptf AS (SELECT doc_id, term, count(*) AS tf FROM rpost GROUP BY doc_id, term),
+rpdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM rpost GROUP BY term),
+rtop AS (
+  SELECT doc_id, term AS top_term, {tw} AS top_tfidf
+  FROM rptf JOIN rpdf USING (term), rcn cn
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+    ORDER BY {tw} DESC, term ASC) = 1
+)"""
+
+
+def _retrieval_wrap(inner_sql: str) -> str:
+    """Left-join the retrieval columns onto an inner per-doc query."""
+    return f"""SELECT fin.*, rbm.bm25, rtop.top_term, rtop.top_tfidf
+FROM ({inner_sql}) fin
+LEFT JOIN rbm ON rbm.doc_id = fin.doc_id
+LEFT JOIN rtop ON rtop.doc_id = fin.doc_id"""
+
+
 def _text_metrics_sql_full() -> str:
     if DSIR_LOGRATIOS_SF0_01 is None:  # pragma: no cover - bootstrap only
-        return TEXT_METRICS_SQL
+        return (
+            f"WITH {_retrieval_sql_ctes()}\n"
+            + _retrieval_wrap(TEXT_METRICS_SQL)
+        )
     joined = (
         f"SELECT base.*, d.n_feats, d.dsir_logweight "
         f"FROM ({TEXT_METRICS_SQL}) base JOIN ({_dsir_sql()}) d "
@@ -973,9 +1131,13 @@ keyed AS (
 thr AS (
   SELECT min(gumbel_key) AS kth
   FROM (SELECT gumbel_key FROM keyed ORDER BY gumbel_key DESC LIMIT {_DSIR_K})
-)
-SELECT keyed.*, CAST(keyed.gumbel_key >= thr.kth AS INTEGER) AS is_sampled
-{_bpe_col_sql()}FROM keyed {_bpe_join_sql()}CROSS JOIN thr"""
+),
+{_retrieval_sql_ctes()}
+{_retrieval_wrap(
+    f"SELECT keyed.*, CAST(keyed.gumbel_key >= thr.kth AS INTEGER) "
+    f"AS is_sampled {_bpe_col_sql()}FROM keyed {_bpe_join_sql()}"
+    f"CROSS JOIN thr",
+)}"""
 
 
 def _bpe_col_sql() -> str:

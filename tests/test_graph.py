@@ -142,3 +142,102 @@ def test_session_checkpoint_dir_reused(spark):
     assert d1 == d2
     assert os.path.isdir(d1)
     assert list(_TEMP_CKPT_DIRS.values()).count(d1) == 1
+
+
+# ---------------------------------------------------------------------------
+# exact-integer PageRank
+# ---------------------------------------------------------------------------
+
+from sed_spark.ext.graph import PAGERANK_SCALE, pagerank  # noqa: E402
+
+
+def ref_pagerank(nodes, edges, n_iter=3, dn=85, dd=100):
+    """Pure-Python transcription of the documented integer semantics."""
+    s, n = PAGERANK_SCALE, len(nodes)
+    out_w: dict = {}
+    for u, _, w in edges:
+        out_w[u] = out_w.get(u, 0) + w
+    r = {v: s // n for v in nodes}
+    tele = (s - dn * s // dd) // n
+    for _ in range(n_iter):
+        dang = sum(r[u] for u in nodes if out_w.get(u, 0) == 0)
+        contrib = {v: 0 for v in nodes}
+        for u, v, w in edges:
+            contrib[v] += (r[u] * w) // out_w[u]
+        r = {v: tele + dn * (contrib[v] + dang // n) // dd for v in nodes}
+    return r
+
+
+def _run(spark, nodes, edges, **kw):
+    edf = spark.createDataFrame(edges, ["a_id", "b_id", "w"])
+    ndf = spark.createDataFrame([(v,) for v in nodes], ["node"])
+    got = pagerank(edf, nodes=ndf, weight="w", **kw)
+    return {r["node"]: r["rank_micro"] for r in got.collect()}
+
+
+def test_pagerank_matches_integer_reference_with_dangling(spark):
+    # cycle 1->2->3->1, node 4 feeding in with weight 2, node 5 isolated
+    # (dangling) — exercises weights, in-degree skew, and dangling mass
+    nodes = [1, 2, 3, 4, 5]
+    edges = [(1, 2, 1), (2, 3, 1), (3, 1, 1), (4, 1, 2)]
+    assert _run(spark, nodes, edges) == ref_pagerank(nodes, edges)
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    # a symmetric cycle is regular: every node must get the identical rank
+    nodes = list(range(6))
+    edges = [(i, (i + 1) % 6, 1) for i in nodes] + [
+        ((i + 1) % 6, i, 1) for i in nodes
+    ]
+    got = _run(spark, nodes, edges)
+    assert len(set(got.values())) == 1
+    assert got == ref_pagerank(nodes, edges)
+
+
+def test_pagerank_mass_is_conserved_up_to_truncation(spark):
+    nodes = [1, 2, 3, 4, 5]
+    edges = [(1, 2, 1), (2, 3, 1), (3, 1, 1), (4, 1, 2)]
+    got = _run(spark, nodes, edges)
+    total = sum(got.values())
+    # integer division only ever LOSES micro-mass; with N=5 nodes and 3
+    # rounds the loss is bounded by a few truncations per node per round
+    assert total <= PAGERANK_SCALE
+    assert total > PAGERANK_SCALE * 0.99
+
+
+def test_pagerank_all_dangling_degenerates_to_uniform(spark):
+    # no edges at all: every round redistributes the full mass uniformly
+    nodes = [7, 8, 9]
+    edf = spark.createDataFrame([], "a_id long, b_id long, w long")
+    ndf = spark.createDataFrame([(v,) for v in nodes], ["node"])
+    got = {r["node"]: r["rank_micro"]
+           for r in pagerank(edf, nodes=ndf, weight="w").collect()}
+    assert got == ref_pagerank(nodes, [])
+
+
+def test_pagerank_unweighted_defaults_to_edge_count(spark):
+    nodes = [1, 2, 3]
+    edges = [(1, 2), (1, 3), (2, 3)]
+    edf = spark.createDataFrame(edges, ["a_id", "b_id"])
+    ndf = spark.createDataFrame([(v,) for v in nodes], ["node"])
+    got = {r["node"]: r["rank_micro"]
+           for r in pagerank(edf, nodes=ndf).collect()}
+    assert got == ref_pagerank(nodes, [(u, v, 1) for u, v in edges])
+
+
+def test_pagerank_nodes_default_to_edge_endpoints(spark):
+    edges = [(1, 2, 1), (2, 1, 1)]
+    edf = spark.createDataFrame(edges, ["a_id", "b_id", "w"])
+    got = {r["node"]: r["rank_micro"] for r in pagerank(edf, weight="w").collect()}
+    assert set(got) == {1, 2}
+    assert got == ref_pagerank([1, 2], edges)
+
+
+def test_pagerank_rejects_bad_params(spark):
+    edf = spark.createDataFrame([(1, 2, 1)], ["a_id", "b_id", "w"])
+    import pytest
+
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(edf, n_iter=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(edf, damping_num=100, damping_den=100)

@@ -255,3 +255,32 @@ def test_training_order_shuffles_once_no_global_sort(spark):
     assert "rangepartitioning" not in plan
     assert "hashpartitioning(shard" in plan
     assert "Window" in plan
+
+
+def test_bm25_broadcasts_dims_and_avoids_doc_level_join(spark):
+    # both dimension sides (per-term df, corpus constants) must ride
+    # broadcasts, and the doc length must travel WITH the postings —
+    # a SortMergeJoin would mean a corpus-sized doc-level join snuck
+    # back in to fetch dl
+    from sed_spark.ext import retrieval
+    from sed_spark.suite.common import load
+
+    df = load(spark, SF_DIR, "documents")
+    plan = _plan(retrieval.bm25_score(df, ["customer", "spark"]))
+    assert plan.count("BroadcastExchange") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_iteration_starts_from_checkpointed_tables(spark):
+    # the per-iteration plan must hang off the checkpointed edge/rank
+    # RDDs (Scan ExistingRDD), not re-derive the graph from source: the
+    # lineage cut is what keeps round N's plan O(1) instead of O(N)
+    from sed_spark.ext import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 1, 1), (1, 3, 1)], ["a_id", "b_id", "w"],
+    )
+    out = graph.pagerank(edges, weight="w", n_iter=2)
+    plan = _plan(out)
+    assert "Scan ExistingRDD" in plan
+    assert "FileScan" not in plan
