@@ -15,6 +15,7 @@ __all__ = [
     "quality_features",
     "hashed_weights",
     "classifier_feature_expr",
+    "classifier_fit",
     "classifier_score",
     "html_to_text_expr",
     "extract_html_text",
@@ -253,6 +254,101 @@ def classifier_score(
             .select(F.col(id_col), sigmoid(z).alias("quality_score"))
         )
     raise ValueError(f"unknown engine {engine!r}")
+
+
+def classifier_fit(
+    df: DataFrame,
+    label_col: str,
+    dim: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lr: float = 2.0,
+    n_iter: int = 8,
+    tol: float = 0.0,
+    quantize_decimals: int | None = 9,
+) -> tuple[list[float], float]:
+    """Train the :func:`classifier_score` model: full-batch logistic
+    regression over the same hashed mean-pooled bag-of-words features
+    (so the fit plugs straight back into either scoring engine).
+
+    Each iteration is ONE distributed aggregation: the per-token
+    gradient contribution ``(p_i - y_i) / n_i`` flows into its hash
+    bucket, and a per-document ``bucket = -1`` row carries the bias
+    gradient (wordless documents appear only there — their feature
+    vector is zero), so the whole gradient is a single ``dim+1``-row
+    hash aggregate per pass, never a second corpus scan. The weight
+    vector is driver-sized by definition (the hashing trick caps it at
+    ``dim``), exactly like the k-means centroid table.
+
+    ``quantize_decimals`` rounds the updated weights every iteration
+    (default 9): gradient sums merge partial aggregates in
+    shuffle-arrival order, so their last ulps are not run-stable;
+    quantizing makes the fit a reproducible pure function of the data
+    — the same contract as :func:`sed_spark.ext.similarity.kmeans_fit`.
+
+    ``tol`` > 0 stops early when the largest parameter step falls below
+    it. Returns ``(weights, bias)``.
+    """
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.lower(t), " +"), lambda x: x != F.lit(""))
+    y = F.col(label_col).cast("double")
+    m = df.count()
+    if m == 0:
+        raise ValueError("cannot fit on an empty DataFrame")
+    weights = [0.0] * dim
+    bias = 0.0
+    for _ in range(n_iter):
+        wlit = F.array(*[F.lit(w) for w in weights])
+        total = F.aggregate(
+            toks,
+            F.lit(0.0),
+            lambda acc, w: acc
+            + F.element_at(
+                wlit, (classifier_feature_expr(w, dim) + 1).cast("int"),
+            ),
+        )
+        n = F.size(toks)
+        z = F.lit(bias) + F.when(n > 0, total / n).otherwise(F.lit(0.0))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        base = df.select(toks.alias("__toks"), (p - y).alias("__r"))
+        tok_rows = base.select(
+            F.explode("__toks").alias("__tok"),
+            (F.col("__r") / F.size("__toks")).alias("__v"),
+        ).select(
+            classifier_feature_expr(F.col("__tok"), dim)
+            .cast("int").alias("__bkt"),
+            "__v",
+        )
+        bias_rows = base.select(
+            F.lit(-1).alias("__bkt"), F.col("__r").alias("__v"),
+        )
+        grads = {
+            r["__bkt"]: r["__g"]
+            for r in tok_rows.unionByName(bias_rows)
+            .groupBy("__bkt")
+            .agg(F.sum("__v").alias("__g"))
+            .collect()
+        }
+        step = 0.0
+        new_w = list(weights)
+        for d in range(dim):
+            delta = lr * grads.get(d, 0.0) / m
+            new_w[d] = weights[d] - delta
+            step = max(step, abs(delta))
+        delta_b = lr * grads.get(-1, 0.0) / m
+        new_b = bias - delta_b
+        step = max(step, abs(delta_b))
+        if quantize_decimals is not None:
+            new_w = [round(w, quantize_decimals) for w in new_w]
+            new_b = round(new_b, quantize_decimals)
+        weights, bias = new_w, new_b
+        if tol > 0 and step < tol:
+            break
+    return weights, bias
 
 
 #: HTML entities decoded by html_to_text_expr (the named set whose

@@ -921,6 +921,19 @@ def text_metrics(spark, sf_dir):
     )
     score = text.classifier_score(docs, _CLS_WEIGHTS, bias=_CLS_BIAS)
     out = packed.join(score, "doc_id")
+    if TRAINED_CLS_WEIGHTS_SF0_01 is not None:
+        # trained-classifier scoring (round 5): distributed logistic
+        # regression fit LIVE at the pin scale (the oracle carries the
+        # pinned weights, so a green row proves the gradient descent
+        # reproduces them), pinned-weight application elsewhere
+        tw, tb = _trained_cls(docs, sf_dir)
+        out = out.join(
+            text.classifier_score(docs, tw, bias=tb).select(
+                "doc_id",
+                F.col("quality_score").alias("trained_score"),
+            ),
+            "doc_id",
+        )
     # lexical retrieval (round 5): BM25 relevance to a fixed query (docs
     # with no query term keep NULL) + each doc's top smoothed-TF-IDF term
     bm = retrieval.bm25_score(
@@ -958,22 +971,26 @@ def text_metrics(spark, sf_dir):
     return out
 
 
-def _cls_score_sql() -> str:
+def _cls_score_sql(weights=None, bias=None) -> str:
     """Mirror of ``text.classifier_score(engine='literal')``: same weight
     literals (exact binary fractions, repr round-trip), same md5-hex
-    feature hash, same mean-pool + sigmoid + 6-decimal rounding."""
+    feature hash, same mean-pool + sigmoid + 6-decimal rounding.
+    Defaults to the fixed placeholder model; the trained branch passes
+    the pinned :func:`text.classifier_fit` parameters instead."""
     from sed_spark.suite.common import fl
 
-    wlit = "[" + ", ".join(fl(w) for w in _CLS_WEIGHTS) + "]"
+    weights = _CLS_WEIGHTS if weights is None else weights
+    bias = _CLS_BIAS if bias is None else bias
+    wlit = "[" + ", ".join(fl(w) for w in weights) + "]"
     toks = "list_filter(string_split_regex(lower(text), ' +'), x -> x != '')"
     wsum = (
         f"list_sum(list_transform({toks}, "
         f"w -> ({wlit})[CAST(('0x' || substr(md5(w), 1, 8))::UBIGINT "
-        f"% {_CLS_DIM} AS INTEGER) + 1]))"
+        f"% {len(weights)} AS INTEGER) + 1]))"
     )
     n = f"len({toks})"
     z = (
-        f"({fl(_CLS_BIAS)} + CASE WHEN {n} > 0 "
+        f"({fl(bias)} + CASE WHEN {n} > 0 "
         f"THEN {wsum} / {n} ELSE 0.0 END)"
     )
     return f"round(1.0 / (1.0 + exp(-{z})), 6)"
@@ -990,7 +1007,7 @@ WITH s AS (
     len(regexp_extract_all(text, '\b(le|les|et|est|une)\b')) AS s_fr,
     len(regexp_extract_all(text, '\b(el|los|las|y|es)\b')) AS s_es,
     len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS bpe_tokens,
-    __CLS_SCORE__ AS quality_score
+    __CLS_SCORE__ AS quality_score__TRAINED_COL__
   FROM documents
 )
 SELECT doc_id, n_chars, n_words,
@@ -1003,7 +1020,7 @@ SELECT doc_id, n_chars, n_words,
     WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
     WHEN s_fr >= s_es THEN 'fr'
     ELSE 'es' END AS pred_lang,
-  n_words AS ws_tokens, bpe_tokens, quality_score,
+  n_words AS ws_tokens, bpe_tokens, quality_score__TRAINED_NAME__,
   start // 512 AS pack_id,
   start % 512 AS pack_offset
 FROM (
@@ -1014,7 +1031,58 @@ FROM (
   FROM s
 )
 """
+# pinned sf0.01 logistic-regression fit (tools/gen_trained_classifier.py)
+# — live-vs-pin like the centroids: at sf0.01 the Spark side FITS live
+# (classifier_fit must reproduce the pinned weights to the quantization
+# grid or the scores diverge); elsewhere both engines apply the pin.
+try:
+    from sed_spark.suite._trained_classifier import (
+        TRAINED_CLS_BIAS_SF0_01,
+        TRAINED_CLS_WEIGHTS_SF0_01,
+    )
+except ImportError:  # pragma: no cover - bootstrap only
+    TRAINED_CLS_WEIGHTS_SF0_01 = None
+    TRAINED_CLS_BIAS_SF0_01 = None
+
+_CLS_LABEL_TOKEN = "customer"
+_CLS_FIT_DIM = 32
+_CLS_FIT_LR = 2.0
+_CLS_FIT_ITER = 8
+_TRAINED_CLS_CACHE: dict[str, tuple[list[float], float]] = {}
+
+
+def _trained_cls(docs, sf_dir: str) -> tuple[list[float], float]:
+    if not _is_pin_sf(sf_dir):
+        return TRAINED_CLS_WEIGHTS_SF0_01, TRAINED_CLS_BIAS_SF0_01
+    if sf_dir not in _TRAINED_CLS_CACHE:
+        labeled = docs.withColumn(
+            "__y",
+            F.array_contains(
+                F.filter(
+                    F.split(F.lower("text"), " +"), lambda x: x != F.lit(""),
+                ),
+                _CLS_LABEL_TOKEN,
+            ).cast("int"),
+        )
+        _TRAINED_CLS_CACHE[sf_dir] = text.classifier_fit(
+            labeled, "__y", dim=_CLS_FIT_DIM, lr=_CLS_FIT_LR,
+            n_iter=_CLS_FIT_ITER,
+        )
+    return _TRAINED_CLS_CACHE[sf_dir]
+
+
 TEXT_METRICS_SQL = TEXT_METRICS_SQL.replace("__CLS_SCORE__", _cls_score_sql())
+if TRAINED_CLS_WEIGHTS_SF0_01 is not None:
+    TEXT_METRICS_SQL = TEXT_METRICS_SQL.replace(
+        "__TRAINED_COL__",
+        ",\n    "
+        + _cls_score_sql(TRAINED_CLS_WEIGHTS_SF0_01, TRAINED_CLS_BIAS_SF0_01)
+        + " AS trained_score",
+    ).replace("__TRAINED_NAME__", ", trained_score")
+else:  # pragma: no cover - bootstrap only
+    TEXT_METRICS_SQL = TEXT_METRICS_SQL.replace(
+        "__TRAINED_COL__", "",
+    ).replace("__TRAINED_NAME__", "")
 
 
 def _dsir_sql() -> str:

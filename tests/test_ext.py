@@ -1254,3 +1254,87 @@ def test_html_to_text_extraction(spark):
     assert got[3] == "double escape: &lt; stays literal"
     # tag stripping and script removal are case-insensitive
     assert got[4] == "case"
+
+
+# ---------------------------------------------------------------------------
+# classifier_fit: distributed logistic regression
+# ---------------------------------------------------------------------------
+
+FIT_DOCS = [
+    (0, "customer wants a table", 1),
+    (1, "the customer pays", 1),
+    (2, "fish swim fast", 0),
+    (3, "", 0),
+    (4, "spark joins tables", 0),
+    (5, "good customer again", 1),
+]
+
+
+def _ref_classifier_fit(docs, dim, lr=2.0, n_iter=8, q=9):
+    """Pure-Python transcription of the documented semantics."""
+    import hashlib
+    import math
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % dim
+
+    m = len(docs)
+    w, b = [0.0] * dim, 0.0
+    for _ in range(n_iter):
+        gw, gb = [0.0] * dim, 0.0
+        for _, t, y in docs:
+            tk = [x for x in t.lower().split() if x]
+            z = b + (sum(w[bucket(x)] for x in tk) / len(tk) if tk else 0.0)
+            r = 1.0 / (1.0 + math.exp(-z)) - y
+            gb += r
+            for x in tk:
+                gw[bucket(x)] += r / len(tk)
+        w = [round(wi - lr * g / m, q) for wi, g in zip(w, gw)]
+        b = round(b - lr * gb / m, q)
+    return w, b
+
+
+def test_classifier_fit_matches_python_reference(spark):
+    from sed_spark.ext import text
+
+    dim = 16
+    df = spark.createDataFrame(FIT_DOCS, ["doc_id", "text", "y"])
+    got_w, got_b = text.classifier_fit(df, "y", dim=dim)
+    ref_w, ref_b = _ref_classifier_fit(FIT_DOCS, dim)
+    # quantized to 9 decimals each iteration; only sum-order ulps differ
+    assert max(abs(a - c) for a, c in zip(got_w, ref_w)) < 1e-8
+    assert abs(got_b - ref_b) < 1e-8
+
+
+def test_classifier_fit_is_deterministic_and_learns(spark):
+    from sed_spark.ext import text
+
+    df = spark.createDataFrame(FIT_DOCS, ["doc_id", "text", "y"])
+    w1, b1 = text.classifier_fit(df, "y", dim=16)
+    w2, b2 = text.classifier_fit(df, "y", dim=16)
+    assert (w1, b1) == (w2, b2)
+    sc = {
+        r["doc_id"]: r["quality_score"]
+        for r in text.classifier_score(df, w1, bias=b1).collect()
+    }
+    pos = sum(sc[i] for i in (0, 1, 5)) / 3
+    neg = sum(sc[i] for i in (2, 3, 4)) / 3
+    assert pos > neg + 0.05
+
+
+def test_classifier_fit_early_stop_and_errors(spark):
+    import pytest
+
+    from sed_spark.ext import text
+
+    df = spark.createDataFrame(FIT_DOCS, ["doc_id", "text", "y"])
+    # an absurdly large tol stops after one iteration == n_iter=1
+    w_tol, b_tol = text.classifier_fit(df, "y", dim=16, tol=1e9)
+    w_one, b_one = text.classifier_fit(df, "y", dim=16, n_iter=1)
+    assert (w_tol, b_tol) == (w_one, b_one)
+    with pytest.raises(ValueError, match="dim"):
+        text.classifier_fit(df, "y", dim=0)
+    with pytest.raises(ValueError, match="n_iter"):
+        text.classifier_fit(df, "y", n_iter=0)
+    with pytest.raises(ValueError, match="empty"):
+        text.classifier_fit(df.filter("doc_id < 0"), "y")
