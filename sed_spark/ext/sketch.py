@@ -1,0 +1,240 @@
+"""Mergeable distributed sketches: Count-Min and HyperLogLog.
+
+At 100 TB you cannot afford an exact pass for every "how often does this
+token appear" or "how many distinct URLs" question. Sketches answer them
+from a bounded-size summary that is built in one distributed aggregation
+and MERGED across shards/days/batches with plain ``sum``/``max`` — the
+incremental-corpus story: sketch each new batch, merge into the running
+summary, never rescan history.
+
+Determinism contract (what makes these oracle-checkable): bucket and
+register assignment use the first 8 hex digits of ``md5`` (the same
+cross-engine-exact hash the suite uses everywhere), and the HyperLogLog
+harmonic denominator sums ``2^-rho`` terms — exact dyadic rationals
+whose double sums never round, so they are order-independent and the
+estimate is a pure function of the data, not of partitioning.
+
+- Count-Min (Cormode & Muthukrishnan 2005): ``depth`` rows of ``width``
+  counters; ``estimate = min over rows of counter[h_j(key)]``. Always an
+  over-estimate; error ≤ e/width · total-weight with prob 1 - e^-depth.
+- HyperLogLog (Flajolet et al. 2007): ``2^p`` registers keep the max
+  leading-zero rank of a 32-bit hash; harmonic mean + the standard
+  small-range (linear counting) and large-range corrections.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "cms_build",
+    "cms_merge",
+    "cms_query",
+    "hll_registers",
+    "hll_merge",
+    "hll_estimate",
+]
+
+
+def _hash32(key: Column, salt: str) -> Column:
+    """First 8 hex digits of md5(key || ':' || salt) as a long in
+    [0, 2^32) — bit-identical to DuckDB's
+    ``('0x' || substr(md5(...), 1, 8))::UBIGINT``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(key, F.lit(":" + salt))), 1, 8), 16, 10,
+    ).cast("long")
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    width: int = 1024,
+    depth: int = 4,
+    salt: str = "cms",
+) -> DataFrame:
+    """Build a Count-Min sketch: ``(depth, bucket, cnt)`` — sparse rows
+    only (absent counters are zero), at most ``depth * width`` of them
+    regardless of corpus size.
+
+    One explode-free pass when ``df`` is already keyed: each row fans
+    out to ``depth`` (row, bucket) cells via a literal sequence — a
+    single hash aggregate whose output is sketch-sized. ``weight_col``
+    (default: count 1 per row) admits pre-aggregated ``(key, cnt)``
+    input so the heavy corpus aggregation happens once upstream.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError("width and depth must be >= 1")
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    k = F.col(key_col).cast("string")
+    rows = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("depth"),
+                    (_hash32(k, f"{salt}:{j}") % width).alias("bucket"),
+                )
+                for j in range(depth)
+            ]),
+        ).alias("cell"),
+        w.alias("_w"),
+    )
+    return (
+        rows.select("cell.depth", "cell.bucket", "_w")
+        .groupBy("depth", "bucket")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches built with identical (width, depth, salt):
+    counter-wise sum. This is the shard/day/batch combine step."""
+    return (
+        a.unionByName(b)
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_query(
+    sketch: DataFrame,
+    keys: Sequence[str],
+    width: int = 1024,
+    depth: int = 4,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-estimate the weight of each key: ``(key, est)``.
+
+    The query keys are a literal table (broadcast by size); each key
+    probes its ``depth`` cells with an equi-join against the sketch and
+    takes the min, absent counters counting as zero.
+    """
+    if not keys:
+        raise ValueError("keys must be a non-empty sequence")
+    spark = sketch.sparkSession
+    kdf = spark.createDataFrame([(k,) for k in keys], "key string")
+    cells = kdf.select(
+        "key",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("depth"),
+                    (_hash32(F.col("key"), f"{salt}:{j}") % width)
+                    .alias("bucket"),
+                )
+                for j in range(depth)
+            ]),
+        ).alias("cell"),
+    ).select("key", "cell.depth", "cell.bucket")
+    return (
+        F.broadcast(cells)
+        .join(sketch, ["depth", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    p: int = 8,
+    salt: str = "hll",
+) -> DataFrame:
+    """Build the HyperLogLog register table ``(register, max_rho)`` —
+    at most ``2^p`` rows (only touched registers appear).
+
+    The 32-bit hash splits into the top ``p`` bits (register index) and
+    the remaining ``32 - p`` bits ``w``; ``rho = (32 - p) + 1 -
+    bit_length(w)`` (``w = 0`` ⇒ the max rank ``33 - p``). ``bit_length``
+    is ``length(bin(w))`` — a string op both engines implement without
+    leading zeros, so no floating-point ``log2`` edge cases. One hash
+    aggregate; duplicates collapse inside the ``max`` (that is the whole
+    point of HLL — no distinct shuffle of the corpus).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    h = _hash32(F.col(key_col).cast("string"), salt)
+    rest = 1 << (32 - p)
+    w = h % rest
+    rho = F.when(
+        w > 0, F.lit(32 - p + 1) - F.length(F.bin(w)),
+    ).otherwise(F.lit(32 - p + 1))
+    # (h - w) is an exact multiple of rest, so the division is exact —
+    # equivalent to h >> (32 - p) without relying on float rounding
+    return (
+        df.select(
+            ((h - w) / F.lit(rest)).cast("long").alias("register"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two register tables built with identical (p, salt):
+    register-wise max."""
+    return (
+        a.unionByName(b)
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
+def hll_alpha(p: int) -> float:
+    """The standard bias-correction constant for ``m = 2^p`` registers."""
+    m = 1 << p
+    if p == 4:
+        return 0.673
+    if p == 5:
+        return 0.697
+    if p == 6:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_estimate(
+    registers: DataFrame, p: int = 8, round_decimals: int = 6,
+) -> DataFrame:
+    """Distinct-count estimate from a register table: one row
+    ``(n_registers_set, raw_est, estimate)``.
+
+    The harmonic denominator ``(m - V) · 1 + Σ 2^-max_rho`` sums exact
+    dyadic doubles (every ``2^-rho`` with ``rho ≤ 33`` is representable
+    and ``m · 2^33 ≪ 2^53``), so it never rounds and is independent of
+    aggregation order — the estimate is reproducible bit-for-bit. The
+    standard corrections apply: linear counting below ``5m/2`` when
+    empty registers remain, and the 32-bit large-range correction above
+    ``2^32/30``.
+    """
+    m = 1 << p
+    alpha = hll_alpha(p)
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("n_registers_set"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_h"),
+    )
+    denom = (F.lit(float(m)) - F.col("n_registers_set")) + F.coalesce(
+        F.col("_h"), F.lit(0.0),
+    )
+    raw = F.lit(alpha * m * m) / denom
+    v = F.lit(m) - F.col("n_registers_set")  # empty registers
+    two32 = 4294967296.0
+    corrected = (
+        F.when(
+            (raw <= F.lit(2.5 * m)) & (v > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+        )
+        .when(
+            raw > F.lit(two32 / 30.0),
+            F.lit(-two32) * F.log(F.lit(1.0) - raw / F.lit(two32)),
+        )
+        .otherwise(raw)
+    )
+    return agg.select(
+        "n_registers_set",
+        F.round(raw, round_decimals).alias("raw_est"),
+        F.round(corrected, round_decimals).alias("estimate"),
+    )

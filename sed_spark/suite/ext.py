@@ -12,6 +12,7 @@ from sed_spark.ext import (
     pii,
     retrieval,
     similarity,
+    sketch,
     text,
     vocab,
 )
@@ -401,11 +402,102 @@ WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.05
 """
 
 
+# sketch parameters for the simhash row's widened branches (round 5)
+_CMS_W = 256
+_CMS_D = 4
+_CMS_PROBES = ("table", "spark", "vector", "zzz-absent")
+_HLL_P = 8
+
+
 def simhash(spark, sf_dir):
-    return dedup.simhash16(load(spark, sf_dir, "documents"))
+    """The hashing-summary family, tag-unioned: per-doc SimHash-16 plus
+    the round-5 mergeable sketches over the corpus token stream —
+    Count-Min counters + point estimates for a fixed probe set, and
+    HyperLogLog registers + the distinct-term estimate (with the exact
+    distinct count alongside, so the sketch error is pinned in the
+    oracle hash). All sketch branches are bit-exact cross-engine: md5
+    bucketing, integer counters, and a dyadic-exact harmonic sum."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.simhash16(docs).select(
+        F.lit("simhash").alias("method"),
+        F.col("doc_id").alias("key_a"),
+        F.lit(None).cast("long").alias("key_b"),
+        F.col("simhash").alias("val_int"),
+        F.lit(None).cast("double").alias("val_dbl"),
+    )
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit("")),
+        ).alias("term"),
+    )
+    # exact per-term counts once, then the sketch fans each term into
+    # depth cells — the heavy aggregation happens on the (term, cnt)
+    # table, not the token stream
+    tcnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    cms = sketch.cms_build(
+        tcnt, "term", weight_col="cnt", width=_CMS_W, depth=_CMS_D,
+    )
+    cms_rows = cms.select(
+        F.lit("cms").alias("method"),
+        F.col("depth").cast("long").alias("key_a"),
+        F.col("bucket").alias("key_b"),
+        F.col("cnt").alias("val_int"),
+        F.lit(None).cast("double").alias("val_dbl"),
+    )
+    est = sketch.cms_query(
+        cms, list(_CMS_PROBES), width=_CMS_W, depth=_CMS_D,
+    )
+    probe_idx = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_CMS_PROBES)], "i long, key string",
+    )
+    est_rows = est.join(F.broadcast(probe_idx), "key").select(
+        F.lit("cms_est").alias("method"),
+        F.col("i").alias("key_a"),
+        F.lit(None).cast("long").alias("key_b"),
+        F.col("est").alias("val_int"),
+        F.lit(None).cast("double").alias("val_dbl"),
+    )
+    regs = sketch.hll_registers(toks, "term", p=_HLL_P)
+    reg_rows = regs.select(
+        F.lit("hll_reg").alias("method"),
+        F.col("register").alias("key_a"),
+        F.lit(None).cast("long").alias("key_b"),
+        F.col("max_rho").cast("long").alias("val_int"),
+        F.lit(None).cast("double").alias("val_dbl"),
+    )
+    hest = sketch.hll_estimate(regs, p=_HLL_P).select(
+        F.lit("hll_est").alias("method"),
+        F.lit(0).cast("long").alias("key_a"),
+        F.lit(None).cast("long").alias("key_b"),
+        F.col("n_registers_set").cast("long").alias("val_int"),
+        F.col("estimate").alias("val_dbl"),
+    )
+    true_row = toks.agg(
+        F.countDistinct("term").alias("n_distinct"),
+    ).select(
+        F.lit("hll_true").alias("method"),
+        F.lit(0).cast("long").alias("key_a"),
+        F.lit(None).cast("long").alias("key_b"),
+        F.col("n_distinct").alias("val_int"),
+        F.lit(None).cast("double").alias("val_dbl"),
+    )
+    out = sh
+    for branch in (cms_rows, est_rows, reg_rows, hest, true_row):
+        out = out.unionAll(branch)
+    return out
+
+
+def _sketch_hash_sql(key_expr: str, salt: str) -> str:
+    """SQL mirror of ``sketch._hash32``."""
+    return (
+        f"CAST(('0x' || substr(md5({key_expr} || ':{salt}'), 1, 8))"
+        "::UBIGINT AS BIGINT)"
+    )
 
 
 def _simhash_sql() -> str:
+    from sed_spark.suite.common import fl
+
     sums = ", ".join(
         f"SUM(CASE WHEN strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 >= 8 "
         f"THEN 1 ELSE -1 END) AS s_{i}"
@@ -414,12 +506,88 @@ def _simhash_sql() -> str:
     bits = " + ".join(
         f"(CASE WHEN s_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
     )
-    return (
-        f"WITH base AS ({_grams_sql(3)}), "
-        "g AS (SELECT doc_id, md5(unnest(grams)) AS h FROM base), "
-        f"s AS (SELECT doc_id, {sums} FROM g GROUP BY doc_id) "
-        f"SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM s"
-    )
+    # CMS cells: every (term, cnt) row fans into depth buckets
+    depths = ", ".join(f"({j})" for j in range(_CMS_D))
+    probes = ", ".join(f"({i}, '{t}')" for i, t in enumerate(_CMS_PROBES))
+    # HLL register/rho split of the 32-bit hash
+    p, m = _HLL_P, 1 << _HLL_P
+    rest = 1 << (32 - p)
+    maxrho = 32 - p + 1
+    hh = _sketch_hash_sql("term", "hll")
+    alpha_m2 = fl(sketch.hll_alpha(p) * m * m)
+    two32 = 4294967296.0
+    return f"""WITH base AS ({_grams_sql(3)}),
+g AS (SELECT doc_id, md5(unnest(grams)) AS h FROM base),
+s AS (SELECT doc_id, {sums} FROM g GROUP BY doc_id),
+tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+  FROM documents
+),
+tcnt AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+cms AS (
+  SELECT j.d AS depth,
+    CAST(('0x' || substr(md5(term || ':cms:' || j.d), 1, 8))::UBIGINT
+      % {_CMS_W} AS BIGINT) AS bucket,
+    SUM(cnt) AS cnt
+  FROM tcnt CROSS JOIN (VALUES {depths}) j(d)
+  GROUP BY 1, 2
+),
+probe_cells AS (
+  SELECT q.i, q.term, j.d AS depth,
+    CAST(('0x' || substr(md5(q.term || ':cms:' || j.d), 1, 8))::UBIGINT
+      % {_CMS_W} AS BIGINT) AS bucket
+  FROM (VALUES {probes}) q(i, term) CROSS JOIN (VALUES {depths}) j(d)
+),
+cms_est AS (
+  SELECT pc.i, MIN(COALESCE(cms.cnt, 0)) AS est
+  FROM probe_cells pc
+  LEFT JOIN cms ON cms.depth = pc.depth AND cms.bucket = pc.bucket
+  GROUP BY pc.i
+),
+hbits AS (SELECT {hh} AS h FROM tok),
+hreg AS (
+  SELECT (h - (h % {rest})) // {rest} AS register,
+    MAX(CASE WHEN h % {rest} > 0
+        THEN {maxrho} - length(bin(h % {rest}))
+        ELSE {maxrho} END) AS max_rho
+  FROM hbits GROUP BY 1
+),
+hagg AS (
+  SELECT count(*) AS n_set,
+    SUM(power(2.0, -max_rho)) AS hsum
+  FROM hreg
+),
+hest AS (
+  SELECT n_set,
+    {alpha_m2} / ((CAST({m} AS DOUBLE) - n_set) + COALESCE(hsum, 0.0)) AS raw,
+    {m} - n_set AS v
+  FROM hagg
+)
+SELECT 'simhash' AS method, doc_id AS key_a, CAST(NULL AS BIGINT) AS key_b,
+  CAST({bits} AS BIGINT) AS val_int, CAST(NULL AS DOUBLE) AS val_dbl
+FROM s
+UNION ALL
+SELECT 'cms', depth, bucket, cnt, CAST(NULL AS DOUBLE) FROM cms
+UNION ALL
+SELECT 'cms_est', i, CAST(NULL AS BIGINT), est, CAST(NULL AS DOUBLE)
+FROM cms_est
+UNION ALL
+SELECT 'hll_reg', register, CAST(NULL AS BIGINT), max_rho,
+  CAST(NULL AS DOUBLE)
+FROM hreg
+UNION ALL
+SELECT 'hll_est', 0, CAST(NULL AS BIGINT), n_set,
+  round(CASE
+    WHEN raw <= {fl(2.5 * m)} AND v > 0
+      THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / v)
+    WHEN raw > {fl(two32 / 30.0)}
+      THEN {fl(-two32)} * ln(1.0 - raw / {fl(two32)})
+    ELSE raw END, 6)
+FROM hest
+UNION ALL
+SELECT 'hll_true', 0, CAST(NULL AS BIGINT), count(DISTINCT term),
+  CAST(NULL AS DOUBLE)
+FROM tok"""
 
 
 # ---------------------------------------------------------------------------

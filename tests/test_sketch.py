@@ -1,0 +1,147 @@
+"""Count-Min / HyperLogLog sketches vs pure-Python references."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from sed_spark.ext import sketch
+
+W, D, P = 64, 3, 6
+
+
+def h32(key, salt):
+    return int(hashlib.md5(f"{key}:{salt}".encode()).hexdigest()[:8], 16)
+
+
+def ref_cms(weighted, width=W, depth=D):
+    cells: dict = {}
+    for k, c in weighted:
+        for j in range(depth):
+            b = h32(k, f"cms:{j}") % width
+            cells[(j, b)] = cells.get((j, b), 0) + c
+    return cells
+
+
+def ref_hll_regs(keys, p=P):
+    regs: dict = {}
+    for k in keys:
+        h = h32(k, "hll")
+        w = h % (1 << (32 - p))
+        reg = h >> (32 - p)
+        rho = (32 - p) + 1 - w.bit_length() if w > 0 else (32 - p) + 1
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+WEIGHTED = [("apple", 10), ("banana", 5), ("cherry", 1), ("apple2", 7)]
+
+
+def test_cms_build_matches_reference(spark):
+    df = spark.createDataFrame(WEIGHTED, ["key", "cnt"])
+    built = sketch.cms_build(df, "key", weight_col="cnt", width=W, depth=D)
+    got = {(r["depth"], r["bucket"]): r["cnt"] for r in built.collect()}
+    assert got == ref_cms(WEIGHTED)
+
+
+def test_cms_query_is_min_over_rows_and_zero_for_absent(spark):
+    df = spark.createDataFrame(WEIGHTED, ["key", "cnt"])
+    built = sketch.cms_build(df, "key", weight_col="cnt", width=W, depth=D)
+    cells = ref_cms(WEIGHTED)
+
+    def expect(k):
+        return min(cells.get((j, h32(k, f"cms:{j}") % W), 0) for j in range(D))
+
+    got = {
+        r["key"]: r["est"]
+        for r in sketch.cms_query(
+            built, ["apple", "banana", "never-seen"], width=W, depth=D,
+        ).collect()
+    }
+    assert got == {k: expect(k) for k in ["apple", "banana", "never-seen"]}
+    # CMS never underestimates a present key
+    assert got["apple"] >= 10 and got["banana"] >= 5
+
+
+def test_cms_merge_equals_build_on_union(spark):
+    a = spark.createDataFrame(WEIGHTED[:2], ["key", "cnt"])
+    b = spark.createDataFrame(WEIGHTED[2:] + [("apple", 3)], ["key", "cnt"])
+    merged = sketch.cms_merge(
+        sketch.cms_build(a, "key", weight_col="cnt", width=W, depth=D),
+        sketch.cms_build(b, "key", weight_col="cnt", width=W, depth=D),
+    )
+    got = {(r["depth"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == ref_cms(WEIGHTED + [("apple", 3)])
+
+
+def test_cms_unweighted_counts_rows(spark):
+    df = spark.createDataFrame(
+        [("x",), ("x",), ("y",)], ["key"],
+    )
+    got = {
+        (r["depth"], r["bucket"]): r["cnt"]
+        for r in sketch.cms_build(df, "key", width=W, depth=D).collect()
+    }
+    assert got == ref_cms([("x", 2), ("y", 1)])
+
+
+def test_hll_registers_match_reference_and_collapse_duplicates(spark):
+    keys = [f"key{i}" for i in range(2000)]
+    df = spark.createDataFrame([(k,) for k in keys] * 2, ["k"])
+    got = {
+        r["register"]: r["max_rho"]
+        for r in sketch.hll_registers(df, "k", p=P).collect()
+    }
+    assert got == ref_hll_regs(keys)
+
+
+def test_hll_estimate_matches_reference_formula(spark):
+    keys = [f"key{i}" for i in range(2000)]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    regs = sketch.hll_registers(df, "k", p=P)
+    est = sketch.hll_estimate(regs, p=P).collect()[0]
+    m = 1 << P
+    rr = ref_hll_regs(keys)
+    s = (m - len(rr)) + sum(2.0 ** -v for v in rr.values())
+    raw = sketch.hll_alpha(P) * m * m / s
+    assert est["raw_est"] == round(raw, 6)
+    v = m - len(rr)
+    expect = m * math.log(m / v) if (raw <= 2.5 * m and v > 0) else raw
+    assert abs(est["estimate"] - expect) < 1e-5
+    # within the ~1.04/sqrt(m) HLL error band (generous 4-sigma)
+    assert abs(est["estimate"] - len(keys)) / len(keys) < 4 * 1.04 / math.sqrt(m)
+
+
+def test_hll_merge_equals_registers_on_union(spark):
+    a = [f"a{i}" for i in range(500)]
+    b = [f"b{i}" for i in range(500)] + a[:100]
+    da = spark.createDataFrame([(k,) for k in a], ["k"])
+    db = spark.createDataFrame([(k,) for k in b], ["k"])
+    merged = sketch.hll_merge(
+        sketch.hll_registers(da, "k", p=P),
+        sketch.hll_registers(db, "k", p=P),
+    )
+    got = {r["register"]: r["max_rho"] for r in merged.collect()}
+    assert got == ref_hll_regs(set(a) | set(b))
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    # 3 keys in 64 registers: raw estimate far below 2.5m, V > 0
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], ["k"])
+    regs = sketch.hll_registers(df, "k", p=P)
+    est = sketch.hll_estimate(regs, p=P).collect()[0]
+    m = 1 << P
+    v = m - est["n_registers_set"]
+    assert est["estimate"] == pytest.approx(m * math.log(m / v), abs=1e-5)
+
+
+def test_sketch_param_validation(spark):
+    df = spark.createDataFrame([("a", 1)], ["key", "cnt"])
+    with pytest.raises(ValueError, match="width"):
+        sketch.cms_build(df, "key", width=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        sketch.cms_query(df, [])
+    with pytest.raises(ValueError, match="p must"):
+        sketch.hll_registers(df, "key", p=2)
