@@ -33,6 +33,7 @@ __all__ = [
     "cms_build",
     "cms_merge",
     "cms_query",
+    "hll_register_cols",
     "hll_registers",
     "hll_merge",
     "hll_estimate",
@@ -137,6 +138,31 @@ def cms_query(
     )
 
 
+def hll_register_cols(
+    key: Column, p: int, salt: str = "hll",
+) -> tuple[Column, Column]:
+    """The ``(register, rho)`` column pair for one key — shared by the
+    batch builder and the streaming windowed variant.
+
+    The 32-bit hash splits into the top ``p`` bits (register index) and
+    the remaining ``32 - p`` bits ``w``; ``rho = (32 - p) + 1 -
+    bit_length(w)`` (``w = 0`` ⇒ the max rank ``33 - p``). ``bit_length``
+    is ``length(bin(w))`` — a string op both engines implement without
+    leading zeros, so no floating-point ``log2`` edge cases.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    h = _hash32(key.cast("string"), salt)
+    rest = 1 << (32 - p)
+    w = h % rest
+    rho = F.when(
+        w > 0, F.lit(32 - p + 1) - F.length(F.bin(w)),
+    ).otherwise(F.lit(32 - p + 1))
+    # (h - w) is an exact multiple of rest, so the division is exact —
+    # equivalent to h >> (32 - p) without relying on float rounding
+    return ((h - w) / F.lit(rest)).cast("long"), rho.cast("int")
+
+
 def hll_registers(
     df: DataFrame,
     key_col: str,
@@ -146,29 +172,13 @@ def hll_registers(
     """Build the HyperLogLog register table ``(register, max_rho)`` —
     at most ``2^p`` rows (only touched registers appear).
 
-    The 32-bit hash splits into the top ``p`` bits (register index) and
-    the remaining ``32 - p`` bits ``w``; ``rho = (32 - p) + 1 -
-    bit_length(w)`` (``w = 0`` ⇒ the max rank ``33 - p``). ``bit_length``
-    is ``length(bin(w))`` — a string op both engines implement without
-    leading zeros, so no floating-point ``log2`` edge cases. One hash
-    aggregate; duplicates collapse inside the ``max`` (that is the whole
-    point of HLL — no distinct shuffle of the corpus).
+    One hash aggregate; duplicates collapse inside the ``max`` (that is
+    the whole point of HLL — no distinct shuffle of the corpus). See
+    :func:`hll_register_cols` for the bit split.
     """
-    if not 4 <= p <= 16:
-        raise ValueError("p must be in [4, 16]")
-    h = _hash32(F.col(key_col).cast("string"), salt)
-    rest = 1 << (32 - p)
-    w = h % rest
-    rho = F.when(
-        w > 0, F.lit(32 - p + 1) - F.length(F.bin(w)),
-    ).otherwise(F.lit(32 - p + 1))
-    # (h - w) is an exact multiple of rest, so the division is exact —
-    # equivalent to h >> (32 - p) without relying on float rounding
+    register, rho = hll_register_cols(F.col(key_col), p, salt)
     return (
-        df.select(
-            ((h - w) / F.lit(rest)).cast("long").alias("register"),
-            rho.cast("int").alias("rho"),
-        )
+        df.select(register.alias("register"), rho.alias("rho"))
         .groupBy("register")
         .agg(F.max("rho").alias("max_rho"))
     )

@@ -39,6 +39,7 @@ __all__ = [
     "streaming_histogram",
     "streaming_sessionize",
     "streaming_exact_dedup",
+    "streaming_distinct_sketch",
     "run_available_now",
 ]
 
@@ -117,6 +118,45 @@ def streaming_histogram(
         .groupBy(window.alias("w"), *[F.col(b) for b in bin_names])
         .agg(F.count(F.lit(1)).alias("count"))
         .select(F.col("w.start").alias("window_start"), *bin_names, "count")
+    )
+
+
+def streaming_distinct_sketch(
+    df: DataFrame,
+    key_col: str,
+    p: int = 8,
+    salt: str = "hll",
+    window_duration: str = "1 minute",
+    watermark: str = "10 seconds",
+    event_time_column: str = "__event_time",
+) -> DataFrame:
+    """Per-window HyperLogLog registers on a live stream: how many
+    DISTINCT keys (users, URLs, documents) per window, without keeping
+    the keys. Emits ``(window_start, register, max_rho)``.
+
+    Reuses :func:`sed_spark.ext.sketch.hll_register_cols` verbatim, so a
+    window's register table is bit-identical to running the batch
+    builder over that window's slice — and downstream the sink rows
+    merge with ``hll_merge`` (register-wise max) and estimate with
+    ``hll_estimate``, because HLL registers ARE the mergeable state.
+    State per open window is capped at ``2^p`` registers regardless of
+    event rate — the bounded-state property every aggregate in this
+    module maintains — and the watermark evicts closed windows.
+    """
+    from sed_spark.ext.sketch import hll_register_cols
+
+    register, rho = hll_register_cols(F.col(key_col), p, salt)
+    window = F.window(F.col(event_time_column), window_duration)
+    return (
+        df.withWatermark(event_time_column, watermark)
+        .select(
+            F.col(event_time_column),
+            register.alias("register"),
+            rho.alias("rho"),
+        )
+        .groupBy(window.alias("w"), "register")
+        .agg(F.max("rho").alias("max_rho"))
+        .select(F.col("w.start").alias("window_start"), "register", "max_rho")
     )
 
 

@@ -2338,9 +2338,31 @@ def stream_dedup_replay(spark, sf_dir):
         ).alias("key"),
         F.col("count").cast("bigint").alias("cnt"),
     )
+    # fifth replay: the windowed HLL distinct sketch (streaming_
+    # distinct_sketch) over user_id per 10-minute window, complete-mode
+    # availableNow. Registers reuse the batch hll_register_cols
+    # expressions, so each window's register table must be bit-identical
+    # to the batch slice — the oracle recomputes them arithmetically
+    # from the events table with the same epoch-aligned window key.
+    from sed_spark.streaming import streaming_distinct_sketch
+
+    hll = streaming_distinct_sketch(
+        ev_stream, "user_id", p=_HLL_P, window_duration="10 minutes",
+    )
+    spark.catalog.dropTempView("stream_hll_sink")
+    run_available_now(hll, "stream_hll_sink", output_mode="complete")
+    hll_part = spark.table("stream_hll_sink").select(
+        F.lit("hll").alias("part"),
+        F.concat_ws(
+            "|",
+            F.unix_timestamp("window_start").cast("string"),
+            F.col("register").cast("string"),
+        ).alias("key"),
+        F.col("max_rho").cast("bigint").alias("cnt"),
+    )
     return (
         dedup_part.unionAll(hist_part).unionAll(timed_part)
-        .unionAll(late_part)
+        .unionAll(late_part).unionAll(hll_part)
     )
 
 
@@ -2385,6 +2407,32 @@ SELECT 'late' AS part, key, cnt FROM (
 )"""
 
 
+def _stream_hll_sql() -> str:
+    """Mirror of the windowed HLL replay branch: the same md5-derived
+    register/rho split as ``sketch.hll_register_cols`` (``//`` on the
+    exact multiple = the bit shift; ``length(bin(w))`` = bit length),
+    keyed by the epoch-aligned 10-minute window start."""
+    p = _HLL_P
+    rest = 1 << (32 - p)
+    maxrho = 32 - p + 1
+    h = (
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':hll'), "
+        "1, 8))::UBIGINT AS BIGINT)"
+    )
+    return f"""
+SELECT 'hll' AS part,
+  CAST(win_start_s AS VARCHAR) || '|' || CAST(register AS VARCHAR) AS key,
+  CAST(MAX(rho) AS BIGINT) AS cnt
+FROM (
+  SELECT (epoch_us(ts) // 600000000) * 600 AS win_start_s,
+    (h - (h % {rest})) // {rest} AS register,
+    CASE WHEN h % {rest} > 0 THEN {maxrho} - length(bin(h % {rest}))
+         ELSE {maxrho} END AS rho
+  FROM (SELECT ts, {h} AS h FROM events)
+)
+GROUP BY 1, 2"""
+
+
 def _stream_replay_sql() -> str:
     from sed_spark.suite.core import _H1_AXES, _hist_sql
 
@@ -2401,6 +2449,8 @@ SELECT 'timed' AS part,
 FROM events GROUP BY epoch_us(ts) // 1000000
 UNION ALL
 {_late_replay_sql().lstrip()}
+UNION ALL
+{_stream_hll_sql().lstrip()}
 """
 
 

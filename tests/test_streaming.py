@@ -103,3 +103,40 @@ def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
     owners = {"aa": {0, 2}, "bb": {1, 3}, "cc": {4, 5}, "dd": {6}}
     for _, row in got.iterrows():
         assert row["doc_id"] in owners[row["text"]]
+
+
+def test_streaming_distinct_sketch_matches_batch_registers(spark, stream_dir):
+    from sed_spark.ext import sketch
+    from sed_spark.streaming import streaming_distinct_sketch
+
+    path, batch_df = stream_dir
+    stream = read_event_stream(
+        spark, path, batch_df.schema, timestamp_column="timeStamp",
+    )
+    # ADC quantized to ints plays the "key" (user/url) column
+    key = (F.col("ADC") / 100).cast("long").cast("string")
+    regs = streaming_distinct_sketch(
+        stream.withColumn("k", key), "k", p=6,
+        window_duration="1 hour",  # single window: all fixture events
+    )
+    run_available_now(regs, "hll_sink")
+    got = {
+        (r["register"], r["max_rho"])
+        for r in spark.table("hll_sink").collect()
+    }
+    want = {
+        (r["register"], r["max_rho"])
+        for r in sketch.hll_registers(
+            batch_df.withColumn("k", key), "k", p=6,
+        ).collect()
+    }
+    # one window => the streaming register table IS the batch table
+    assert got == want
+    # and the sink rows are directly estimable: within the HLL error band
+    est = sketch.hll_estimate(
+        spark.table("hll_sink").select("register", "max_rho"), p=6,
+    ).collect()[0]
+    true = (
+        batch_df.select(key.alias("k")).distinct().count()
+    )
+    assert abs(est["estimate"] - true) / true < 4 * 1.04 / (1 << 3)
