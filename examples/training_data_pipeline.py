@@ -15,6 +15,9 @@ The standard LLM-corpus shape, each stage a sed_spark ext operator:
 7. deterministic train/val/test split + per-domain accounting
 8. DSIR importance weights + Gumbel-top-k resample
 9. BPE tokenizer training + token counting + sequence packing
+9b. BM25 retrieval probe, PageRank centrality over the near-dup graph,
+    trained quality classifier (distributed logistic regression), and
+    mergeable corpus sketches (CMS term counts + HLL distinct terms)
 
 Every stage is a DataFrame→DataFrame transform, so the whole pipeline is
 one lazy plan until the final counts — at 100 TB the same code runs with
@@ -28,7 +31,17 @@ import os
 
 from pyspark.sql import functions as F
 
-from sed_spark.ext import corpus, dedup, graph, pii, similarity, text, vocab
+from sed_spark.ext import (
+    corpus,
+    dedup,
+    graph,
+    pii,
+    retrieval,
+    similarity,
+    sketch,
+    text,
+    vocab,
+)
 from sed_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -151,6 +164,41 @@ def main() -> None:
     packed = text.pack_sequences(train_tok, "n_bpe_tokens", budget=2048)
     n_packs = packed.agg(F.max("pack_id")).collect()[0][0] + 1
 
+    # 9b. round-5 operators: BM25 retrieval against a probe query (the
+    # retrieval-style decontamination screen), PageRank centrality over
+    # the near-dup pair graph (the canonical-pick signal), a trained
+    # quality classifier, and corpus sketches (CMS term frequencies +
+    # HLL distinct-term estimate) that summarize the batch for merging
+    # into a running corpus profile
+    bm = retrieval.bm25_score(docs, ["customer", "table"])
+    n_bm25_hits = bm.count()
+    pr = graph.pagerank(
+        pairs.select("a_id", "b_id").union(
+            pairs.select(
+                F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"),
+            ),
+        ),
+        nodes=docs.select("doc_id"),
+        n_iter=3,
+    )
+    top_central = pr.orderBy(F.col("rank_micro").desc()).first()
+    labeled = docs.withColumn(
+        "is_good", (F.col("doc_id") % 2 == 0).cast("int"),
+    )
+    cls_w, cls_b = text.classifier_fit(labeled, "is_good", dim=32, n_iter=4)
+    scored = text.classifier_score(docs, cls_w, bias=cls_b)
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != F.lit("")),
+        ).alias("term"),
+    )
+    tcnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    cms = sketch.cms_build(tcnt, "term", weight_col="cnt")
+    term_est = sketch.cms_query(cms, ["customer"]).first()["est"]
+    hll_est = sketch.hll_estimate(
+        sketch.hll_registers(toks, "term"),
+    ).first()["estimate"]
+
     # 10. materialize the training order: a deterministic epoch shuffle
     # written as one ordered file per shard (a trainer reading shards in
     # index order replays the same global permutation on any machine)
@@ -170,6 +218,11 @@ def main() -> None:
     print(f"bpe merges: {merges}")
     print(f"train split packs into {n_packs} x 2048-token windows")
     print(f"training shards hold {n_shard_rows} ordered rows")
+    print(f"bm25 matched {n_bm25_hits} docs; most-central doc "
+          f"{top_central['node']} (rank_micro={top_central['rank_micro']})")
+    print(f"trained classifier scored {scored.count()} docs "
+          f"(bias={cls_b})")
+    print(f"cms('customer')={term_est}; hll distinct terms ~{hll_est}")
     for r in per_split_domain:
         print(f"  split={r['split']:<5} domain={r['domain']:<20} "
               f"docs={r['n_docs']}")

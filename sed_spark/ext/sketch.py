@@ -30,6 +30,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "bloom_build",
+    "bloom_merge",
+    "bloom_probe",
     "cms_build",
     "cms_merge",
     "cms_query",
@@ -247,4 +250,88 @@ def hll_estimate(
         "n_registers_set",
         F.round(raw, round_decimals).alias("raw_est"),
         F.round(corrected, round_decimals).alias("estimate"),
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Build a Bloom filter as its SET-BIT table ``(bit,)`` — the sparse
+    representation of an ``m_bits``-wide filter (absent rows are zero
+    bits), at most ``min(m_bits, k_hashes · n_keys)`` rows.
+
+    The membership pre-filter for incremental dedup at scale: the prior
+    corpus's content hashes compress to set-bit positions; a new batch
+    probes them and splits into DEFINITELY-NEW (at least one bit unset —
+    Bloom filters have no false negatives, so these skip the exact
+    anti-join entirely) and maybe-seen (a small, false-positive-bounded
+    slice that alone pays the exact :func:`~sed_spark.ext.dedup.
+    incremental_dedup` check). Merging day N's filter into the running
+    one is a union-distinct — same mergeability contract as the other
+    sketches. Size ``m_bits ≈ -n·ln(fp)/ln(2)²`` for a target false-
+    positive rate; the bit table broadcasts when small and hash-joins on
+    an integer key when not.
+    """
+    if m_bits < 2 or k_hashes < 1:
+        raise ValueError("m_bits must be >= 2 and k_hashes >= 1")
+    k = F.col(key_col).cast("string")
+    return (
+        df.select(
+            F.explode(
+                F.array(*[
+                    (_hash32(k, f"{salt}:{j}") % m_bits)
+                    for j in range(k_hashes)
+                ]),
+            ).alias("bit"),
+        )
+        .distinct()
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two filters built with identical (m_bits, k_hashes, salt):
+    the union of set bits (bitwise OR in the sparse representation)."""
+    return a.unionByName(b).distinct()
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Membership test: adds ``maybe_seen`` (1 = every probed bit set,
+    0 = definitely never inserted) to ``df``.
+
+    Each probe key fans into ``k_hashes`` (row, bit) cells, left-joins
+    the set-bit table on the integer bit key, and takes the min
+    present-flag per row — one join against a table bounded by the
+    filter width, never against the corpus it summarizes.
+    """
+    if m_bits < 2 or k_hashes < 1:
+        raise ValueError("m_bits must be >= 2 and k_hashes >= 1")
+    k = F.col(key_col).cast("string")
+    cells = df.select(
+        "*",
+        F.explode(
+            F.array(*[
+                (_hash32(k, f"{salt}:{j}") % m_bits)
+                for j in range(k_hashes)
+            ]),
+        ).alias("bit"),
+    )
+    marked = bloom.select("bit", F.lit(1).alias("__set"))
+    return (
+        cells.join(marked, "bit", "left")
+        .groupBy(*df.columns)
+        .agg(
+            F.min(F.coalesce("__set", F.lit(0))).cast("int")
+            .alias("maybe_seen"),
+        )
     )

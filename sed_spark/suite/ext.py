@@ -87,7 +87,30 @@ def dedup_exact(spark, sf_dir):
     html_branch = dedup.exact_dedup(extracted).select(
         F.lit("html").alias("method"), "text_hash", "keep_id", "group_size",
     )
-    return batch.unionAll(inc).unionAll(norm).unionAll(html_branch)
+    # bloom pre-filter (round 5): the even-id corpus compresses to a
+    # Bloom set-bit table over its content hashes; probing the odd-id
+    # batch splits it into definitely-new (skip the exact anti-join
+    # entirely — no false negatives) and maybe-seen. group_size carries
+    # the 0/1 verdict; the oracle recomputes every bit arithmetically,
+    # so any false positive the parameters produce is pinned too.
+    seen_keys = existing.select(F.md5("text").alias("key"))
+    bloom = sketch.bloom_build(
+        seen_keys, "key", m_bits=_BLOOM_M, k_hashes=_BLOOM_K,
+    )
+    probed = sketch.bloom_probe(
+        new_batch.select("doc_id", F.md5("text").alias("key")),
+        bloom, "key", m_bits=_BLOOM_M, k_hashes=_BLOOM_K,
+    )
+    bloom_branch = probed.select(
+        F.lit("bloom").alias("method"),
+        F.col("key").alias("text_hash"),
+        F.col("doc_id").alias("keep_id"),
+        F.col("maybe_seen").cast("long").alias("group_size"),
+    )
+    return (
+        batch.unionAll(inc).unionAll(norm).unionAll(html_branch)
+        .unionAll(bloom_branch)
+    )
 
 
 DEDUP_EXACT_SQL = """
@@ -134,6 +157,37 @@ FROM (
   FROM documents
 )
 GROUP BY md5(xt)
+"""
+
+# bloom branch parameters: 250 even-half keys x 3 hashes in 4096 bits
+# keeps the false-positive rate ~(750/4096)^3 ≈ 0.6% — small but
+# nonzero on purpose, so the branch exercises real Bloom semantics
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+_BLOOM_DEPTHS = ", ".join(f"({j})" for j in range(_BLOOM_K))
+DEDUP_EXACT_SQL += f"""
+UNION ALL
+SELECT 'bloom' AS method, h AS text_hash, doc_id AS keep_id,
+       CAST(maybe AS BIGINT) AS group_size
+FROM (
+  SELECT doc_id, h, min(CASE WHEN bb.bit IS NULL THEN 0 ELSE 1 END) AS maybe
+  FROM (
+    SELECT doc_id, h,
+      CAST(('0x' || substr(md5(h || ':bloom:' || j.d), 1, 8))::UBIGINT
+        % {_BLOOM_M} AS BIGINT) AS bit
+    FROM (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1)
+    CROSS JOIN (VALUES {_BLOOM_DEPTHS}) j(d)
+  ) probe
+  LEFT JOIN (
+    SELECT DISTINCT
+      CAST(('0x' || substr(md5(md5(text) || ':bloom:' || j.d), 1, 8))::UBIGINT
+        % {_BLOOM_M} AS BIGINT) AS bit
+    FROM documents CROSS JOIN (VALUES {_BLOOM_DEPTHS}) j(d)
+    WHERE doc_id % 2 = 0
+  ) bb ON bb.bit = probe.bit
+  GROUP BY doc_id, h
+)
 """
 
 

@@ -145,3 +145,71 @@ def test_sketch_param_validation(spark):
         sketch.cms_query(df, [])
     with pytest.raises(ValueError, match="p must"):
         sketch.hll_registers(df, "key", p=2)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+BLOOM_M, BLOOM_K = 256, 3
+
+
+def ref_bloom_bits(keys, m=BLOOM_M, k=BLOOM_K):
+    return {h32(key, f"bloom:{j}") % m for key in keys for j in range(k)}
+
+
+def test_bloom_build_matches_reference(spark):
+    keys = [f"doc{i}" for i in range(50)]
+    df = spark.createDataFrame([(k,) for k in keys], ["key"])
+    got = {r["bit"] for r in sketch.bloom_build(
+        df, "key", m_bits=BLOOM_M, k_hashes=BLOOM_K).collect()}
+    assert got == ref_bloom_bits(keys)
+
+
+def test_bloom_probe_no_false_negatives_and_bounded_fp(spark):
+    inserted = [f"doc{i}" for i in range(50)]
+    bloom = sketch.bloom_build(
+        spark.createDataFrame([(k,) for k in inserted], ["key"]),
+        "key", m_bits=BLOOM_M, k_hashes=BLOOM_K,
+    )
+    probes = inserted[:10] + [f"new{i}" for i in range(200)]
+    got = {
+        r["key"]: r["maybe_seen"]
+        for r in sketch.bloom_probe(
+            spark.createDataFrame([(k,) for k in probes], ["key"]),
+            bloom, "key", m_bits=BLOOM_M, k_hashes=BLOOM_K,
+        ).collect()
+    }
+    # every inserted key MUST report maybe_seen (no false negatives)
+    assert all(got[k] == 1 for k in inserted[:10])
+    # reference-exact: maybe_seen iff all k bits are in the bit set
+    bits = ref_bloom_bits(inserted)
+    for k in probes:
+        want = int(all(h32(k, f"bloom:{j}") % BLOOM_M in bits
+                       for j in range(BLOOM_K)))
+        assert got[k] == want
+    # with 50*3 bits of 256, the fp rate is (bits/m)^k — loose sanity cap
+    fp = sum(got[k] for k in probes[10:])
+    assert fp / 200 < 0.5
+
+
+def test_bloom_merge_equals_build_on_union(spark):
+    a = [f"a{i}" for i in range(30)]
+    b = [f"b{i}" for i in range(30)]
+    da = spark.createDataFrame([(k,) for k in a], ["key"])
+    db = spark.createDataFrame([(k,) for k in b], ["key"])
+    merged = sketch.bloom_merge(
+        sketch.bloom_build(da, "key", m_bits=BLOOM_M, k_hashes=BLOOM_K),
+        sketch.bloom_build(db, "key", m_bits=BLOOM_M, k_hashes=BLOOM_K),
+    )
+    assert {r["bit"] for r in merged.collect()} == ref_bloom_bits(a + b)
+
+
+def test_bloom_param_validation(spark):
+    df = spark.createDataFrame([("a",)], ["key"])
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="m_bits"):
+        sketch.bloom_build(df, "key", m_bits=1)
+    with _pt.raises(ValueError, match="m_bits"):
+        sketch.bloom_probe(df, df.selectExpr("1 as bit"), "key", k_hashes=0)

@@ -57,7 +57,16 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from sed_spark.binning import sparse_histogram
-    from sed_spark.ext import corpus, dedup, similarity, text, vocab
+    from sed_spark.ext import (
+        corpus,
+        dedup,
+        graph,
+        retrieval,
+        similarity,
+        sketch,
+        text,
+        vocab,
+    )
     from sed_spark.session import get_spark
 
     spark = get_spark(
@@ -201,6 +210,62 @@ def main() -> None:
             dedup.minhash_jaccard_estimate(prs, sigs, n_bands=4),
         )
 
+    def _bm25(n):
+        # every 8th doc carries one of three anchor terms so the query
+        # matches a bounded slice of the corpus at every size
+        d = pin(
+            synth_docs(spark, n).withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 8 == 0,
+                    F.concat(
+                        F.col("text"),
+                        F.lit(" anchor"),
+                        (F.col("doc_id") % 3).cast("string"),
+                    ),
+                ).otherwise(F.col("text")),
+            ),
+        )
+        return lambda: run_noop(
+            retrieval.bm25_score(d, ["anchor0", "anchor1", "anchor2"]),
+        )
+
+    def _pagerank(n):
+        # ring + long-jump graph: every node has out-degree 2, diameter
+        # O(log n); n rows of edges per iteration through 3 fixed rounds
+        e = pin(
+            spark.range(
+                0, n, 1, spark.sparkContext.defaultParallelism * 4,
+            ).select(
+                F.col("id").alias("a_id"),
+                ((F.col("id") + 1) % n).alias("b_id"),
+            ).union(
+                spark.range(
+                    0, n, 1, spark.sparkContext.defaultParallelism * 4,
+                ).select(
+                    F.col("id").alias("a_id"),
+                    ((F.col("id") * 31 + 7) % n).alias("b_id"),
+                ),
+            ),
+        )
+        return lambda: run_noop(graph.pagerank(e, n_iter=3))
+
+    def _cms(n):
+        d = pin(
+            spark.range(
+                0, n, 1, spark.sparkContext.defaultParallelism * 4,
+            ).select((F.col("id") % 100_000).cast("string").alias("key")),
+        )
+        return lambda: run_noop(sketch.cms_build(d, "key"))
+
+    def _hll(n):
+        d = pin(
+            spark.range(
+                0, n, 1, spark.sparkContext.defaultParallelism * 4,
+            ).select(F.col("id").cast("string").alias("key")),
+        )
+        return lambda: run_noop(sketch.hll_registers(d, "key", p=12))
+
     cases = [
         ("text_metrics (fused text scan)", [10**5, 10**6, 10**7], _text_metrics),
         ("dedup_exact (hash-groupBy)", [10**5, 10**6, 10**7], _dedup_exact),
@@ -216,7 +281,20 @@ def main() -> None:
         ("gumbel_topk (2-pass sample)", [10**5, 10**6, 10**7], _gumbel),
         ("semantic_dedup (k scaled, ~500/cluster)", [10**4, 10**5], _semantic_dedup),
         ("minhash_jaccard_estimate (pair joins)", [10**5, 10**6], _jaccard_est),
+        ("bm25_score (query-filtered postings)", [10**5, 10**6, 10**7], _bm25),
+        ("pagerank (3 int rounds, 2n edges)", [10**5, 10**6, 10**7], _pagerank),
+        ("cms_build (1024x4 counters)", [10**6, 10**7, 10**8], _cms),
+        ("hll_registers (p=12)", [10**6, 10**7, 10**8], _hll),
     ]
+
+    # optional substring filters: `scaling_report.py bm25 pagerank` times
+    # only the matching cases (for appending new-operator rows without a
+    # multi-hour full regen)
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if only:
+        cases = [
+            c for c in cases if any(s.lower() in c[0].lower() for s in only)
+        ]
 
     print("# Operator scaling (local[%s], best-of-2, noop sink, pinned inputs)\n"
           % spark.sparkContext.defaultParallelism)
