@@ -22,6 +22,7 @@ __all__ = [
     "cap_rates",
     "blocklist_filter",
     "mixture_rates",
+    "temperature_rates",
     "exact_cap_sample",
     "quantile_gates",
     "gumbel_topk",
@@ -337,6 +338,54 @@ def mixture_rates(
         )
     s = min(n / fracs[g] for g, n in rows.items())
     rate_map = {g: min(1.0, fracs[g] * s / n) for g, n in rows.items()}
+    mapping = F.create_map(
+        *[F.lit(x) for kv in rate_map.items() for x in kv],
+    )
+    return stats.select(
+        F.col(key_col),
+        F.coalesce(mapping[F.col(key_col)], F.lit(0.0)).alias(rate_col),
+    )
+
+
+def temperature_rates(
+    stats: DataFrame,
+    alpha: float = 0.5,
+    key_col: str = "domain",
+    count_col: str = "n_docs",
+    rate_col: str = "rate",
+) -> DataFrame:
+    """Per-group keep rates for TEMPERATURE-smoothed resampling: the
+    surviving corpus has group shares ``∝ n_g^alpha`` (XLM/mBERT-style
+    exponential smoothing — ``alpha = 1`` keeps natural proportions,
+    smaller alpha flattens toward uniform, boosting low-resource
+    sources without upsampling anything).
+
+    Downsample-only realization: ``rate_g = (n_min / n_g)^(1 - alpha)``
+    — the smallest group keeps everything, every larger group trims to
+    its smoothed share. ``alpha = 0.5`` (the default) computes through
+    ``sqrt``, which IEEE requires to be correctly rounded, so the rates
+    are bit-identical on any engine; other alphas go through ``pow``
+    (last-ulp differences between libms are possible — fine for
+    sampling policy, relevant only to bit-exact replays). Driver-side
+    math on the dimension-sized rollup, like :func:`mixture_rates`;
+    feed the result to :func:`rate_sample`.
+    """
+    import math
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    rows = {
+        r[0]: int(r[1])
+        for r in stats.select(key_col, count_col).collect()
+        if r[1] is not None and r[1] > 0
+    }
+    if not rows:
+        return stats.select(F.col(key_col), F.lit(0.0).alias(rate_col))
+    n_min = min(rows.values())
+    if alpha == 0.5:
+        rate_map = {g: math.sqrt(n_min / n) for g, n in rows.items()}
+    else:
+        rate_map = {g: (n_min / n) ** (1.0 - alpha) for g, n in rows.items()}
     mapping = F.create_map(
         *[F.lit(x) for kv in rate_map.items() for x in kv],
     )

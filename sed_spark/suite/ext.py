@@ -1788,12 +1788,19 @@ def pii_redact_q(spark, sf_dir):
     mixed = corpus.rate_sample(
         capped, mrates, salt="mix", method="md5", keep_col="kept_mix",
     )
+    # temperature smoothing (round 5): alpha=0.5 keep rates flatten the
+    # domain distribution toward uniform; sqrt is IEEE-correctly-rounded
+    # so the rates — and every keep decision — are bit-exact cross-engine
+    trates = corpus.temperature_rates(corpus.domain_stats(synth), alpha=0.5)
+    tempd = corpus.rate_sample(
+        mixed, trates, salt="temp", method="md5", keep_col="kept_temp",
+    )
     # domain denylist (flag mode, broadcast anti-semantics): one real
     # domain blocked, one absent entry proves no spurious matches
     blocked = spark.createDataFrame(
         [(_BLOCKED_DOMAIN,), ("spam.example",)], ["domain"],
     )
-    gated = corpus.blocklist_filter(mixed, blocked, keep_col="kept_domain")
+    gated = corpus.blocklist_filter(tempd, blocked, keep_col="kept_domain")
     split = corpus.hash_split(gated, _SPLIT_WEIGHTS, method="md5")
     # deterministic training order: shard + within-shard position (the
     # epoch-shuffle step; md5 so the oracle replays the permutation)
@@ -1897,6 +1904,16 @@ mixu AS (
   FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'mix') AS h3
         FROM documents)
 ),
+trate AS (
+  SELECT k,
+    sqrt(CAST((SELECT min(n) FROM dcount) AS DOUBLE) / n) AS trate
+  FROM dcount
+),
+tempu AS (
+  SELECT doc_id, (__HEX8T__) / 4294967296.0 AS utemp
+  FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'temp') AS h6
+        FROM documents)
+),
 tsh AS (
   SELECT doc_id, CAST((__HEX8S__) % __NSH__ AS INTEGER) AS shard
   FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'ord') AS h4
@@ -1929,6 +1946,7 @@ SELECT s.doc_id,
       PARTITION BY dom.domain ORDER BY capu.ucap, s.doc_id) <= __CAPN__
     THEN 1 ELSE 0 END AS INTEGER) AS kept_exact,
   CAST(mixu.umix < mrate.mrate AS INTEGER) AS kept_mix,
+  CAST(tempu.utemp < trate.trate AS INTEGER) AS kept_temp,
   CAST(CASE WHEN dom.domain = '__BLOCKED__' THEN 0 ELSE 1 END
     AS INTEGER) AS kept_domain,
   sp.split,
@@ -1939,10 +1957,14 @@ JOIN sp ON sp.doc_id = s.doc_id
 JOIN capu ON capu.doc_id = s.doc_id
 JOIN mixu ON mixu.doc_id = s.doc_id
 JOIN mrate ON mrate.k = s.doc_id % 7
+JOIN tempu ON tempu.doc_id = s.doc_id
+JOIN trate ON trate.k = s.doc_id % 7
 JOIN tord ON tord.doc_id = s.doc_id
 """.replace("__SPLIT_CASE__", split_case).replace(
         "__HEX8C__", _hex8("h2"),
     ).replace("__HEX8M__", _hex8("h3")).replace(
+        "__HEX8T__", _hex8("h6"),
+    ).replace(
         "__HEX8S__", _hex8("h4"),
     ).replace("__HEX8O__", _hex8("h5")).replace(
         "__NSH__", str(_ORDER_SHARDS),

@@ -496,3 +496,58 @@ def test_blocklist_filter_anti_join_and_flag(spark):
         ).collect()
     }
     assert flagged == {0: 1, 1: 0, 2: 1, 3: 1}
+
+
+def test_temperature_rates_flatten_toward_uniform(spark):
+    import math
+
+    import pytest
+
+    from sed_spark.ext.corpus import rate_sample, temperature_rates
+
+    stats = spark.createDataFrame(
+        [("big", 1600), ("mid", 400), ("small", 100)],
+        ["domain", "n_docs"],
+    )
+    rates = {r["domain"]: r["rate"]
+             for r in temperature_rates(stats, alpha=0.5).collect()}
+    # smallest group keeps everything; larger groups trim by sqrt ratio
+    assert rates == {"big": math.sqrt(100 / 1600),
+                     "mid": math.sqrt(100 / 400), "small": 1.0}
+    # surviving shares are proportional to n^alpha: 40 : 20 : 10
+    surv = {g: n * rates[g] for g, n in
+            [("big", 1600), ("mid", 400), ("small", 100)]}
+    assert surv["big"] == pytest.approx(2 * surv["mid"])
+    assert surv["mid"] == pytest.approx(2 * surv["small"])
+
+    # alpha=1 keeps natural proportions (every rate 1.0)
+    nat = {r["domain"]: r["rate"]
+           for r in temperature_rates(stats, alpha=1.0).collect()}
+    assert nat == {"big": 1.0, "mid": 1.0, "small": 1.0}
+
+    # the rates drive rate_sample like any other rate table
+    docs = spark.createDataFrame(
+        [(i, "big" if i % 2 == 0 else "small") for i in range(200)],
+        ["doc_id", "domain"],
+    )
+    kept = rate_sample(docs, temperature_rates(stats, alpha=0.5))
+    by_dom = {r["domain"]: r["n"] for r in kept.groupBy("domain")
+              .agg(F.count("*").alias("n")).collect()}
+    assert by_dom["small"] == 100            # rate 1.0: all kept
+    assert 10 <= by_dom.get("big", 0) <= 50  # rate 0.25 of 100, binomial
+
+
+def test_temperature_rates_validation_and_zero_counts(spark):
+    import pytest
+
+    from sed_spark.ext.corpus import temperature_rates
+
+    stats = spark.createDataFrame([("a", 10)], ["domain", "n_docs"])
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_rates(stats, alpha=0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_rates(stats, alpha=1.5)
+    empty = spark.createDataFrame([("a", 0)], ["domain", "n_docs"])
+    got = {r["domain"]: r["rate"]
+           for r in temperature_rates(empty).collect()}
+    assert got == {"a": 0.0}

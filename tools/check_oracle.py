@@ -10,6 +10,7 @@ Usage: PYTHONPATH=/root/repo python tools/check_oracle.py [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -17,7 +18,9 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-SF_DIR = "/root/testdata/sf0.01"
+# override for off-scale verification (the tri-scale recipe in
+# SCALING.md): CHECK_SF_DIR=/root/testdata/sf0.1 python tools/check_oracle.py
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
