@@ -42,6 +42,8 @@ __all__ = [
     "with_row_index",
     "sessionize",
     "asof_join",
+    "point_in_interval_join",
+    "interval_overlap_join",
 ]
 
 
@@ -750,3 +752,171 @@ def _asof_fill_keyless(
         out.filter(F.col("__side") == 1)
         .select(*[F.col(c) for c in left_cols], *[F.col(o) for o in ovs])
     )
+
+
+# ---------------------------------------------------------------------------
+# range / interval joins
+# ---------------------------------------------------------------------------
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    lo_col: str,
+    hi_col: str,
+    by: str | None = None,
+    bucket_width: float | None = None,
+    bounds: str = "[)",
+    max_buckets: int = 4096,
+    how: str = "inner",
+) -> DataFrame:
+    """Distributed point-in-interval (range) join: every point row paired
+    with every interval row whose ``[lo, hi)`` (or ``[lo, hi]``) range
+    contains it, optionally also matching a ``by`` key.
+
+    Spark has no native range join; the naive formulation is a
+    cross-join + filter (``O(n·m)`` — a non-starter at corpus scale).
+    The scalable shape buckets the domain: each interval explodes into
+    the ``width``-sized buckets it covers, each point computes its ONE
+    bucket, and the join becomes a plain hash equi-join on
+    ``(by, bucket)`` with an exact containment post-filter. A point
+    matches an interval in exactly the point's own bucket, so no
+    dedup pass is needed. Shuffle volume is ``n + m · ceil(len/width)``
+    rows — pick ``bucket_width`` near the TYPICAL interval length so
+    most intervals explode into 1-2 buckets; ``max_buckets`` turns a
+    catastrophic mis-pick (one giant interval fanning out millions of
+    rows) into an executor-side error instead of a silent blow-up.
+
+    ``bucket_width=None`` derives it from the intervals (the mean
+    length, one scalar aggregate = one job). ``how`` is ``inner`` or
+    ``left`` (unmatched points kept with NULL interval columns).
+    Column collisions between the two sides raise up front — rename
+    before joining.
+    """
+    if bounds not in ("[)", "[]"):
+        raise ValueError(f"bounds must be '[)' or '[]', got {bounds!r}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    clash = sorted(
+        (set(points.columns) & set(intervals.columns)) - ({by} if by else set()),
+    )
+    if clash:
+        raise ValueError(
+            f"point/interval column collision {clash}; rename before joining",
+        )
+    if bucket_width is None:
+        row = intervals.agg(
+            F.avg(F.col(hi_col) - F.col(lo_col)).alias("w"),
+        ).collect()[0]
+        if row["w"] is None or row["w"] <= 0:
+            raise ValueError("cannot derive bucket_width from empty intervals")
+        bucket_width = float(row["w"])
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be > 0")
+    w = F.lit(bucket_width)
+    lo_b = F.floor(F.col(lo_col) / w).cast("long")
+    hi_b = F.floor(F.col(hi_col) / w).cast("long")
+    n_b = hi_b - lo_b + 1
+    guarded = F.when(
+        n_b > max_buckets,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"interval spans more than max_buckets={max_buckets} "
+                    f"buckets of width {bucket_width}; raise bucket_width "
+                    "or max_buckets (interval length ",
+                ),
+                (F.col(hi_col) - F.col(lo_col)).cast("string"),
+                F.lit(")"),
+            ),
+        ).cast("long"),
+    ).otherwise(lo_b)
+    iv = intervals.select(
+        "*", F.explode(F.sequence(guarded, hi_b)).alias("__bucket"),
+    )
+    pt = points.withColumn(
+        "__bucket", F.floor(F.col(on) / w).cast("long"),
+    )
+    keys = ([by] if by else []) + ["__bucket"]
+    contain = (F.col(on) >= F.col(lo_col)) & (
+        F.col(on) < F.col(hi_col)
+        if bounds == "[)"
+        else F.col(on) <= F.col(hi_col)
+    )
+    if how == "inner":
+        return pt.join(iv, keys).filter(contain).drop("__bucket")
+    matched = pt.join(iv, keys).filter(contain).drop("__bucket")
+    iv_cols = [c for c in intervals.columns if c != by]
+    return points.join(
+        matched.select(*points.columns, *iv_cols),
+        points.columns,
+        "left",
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    by: str | None = None,
+    bucket_width: float | None = None,
+    max_buckets: int = 4096,
+) -> DataFrame:
+    """Distributed interval-overlap join: pairs of rows whose half-open
+    ranges intersect (``l.lo < r.hi AND r.lo < l.hi``), optionally per
+    ``by`` key.
+
+    Same bucketing strategy as :func:`point_in_interval_join`, with the
+    standard dedup rule for two exploded sides: a candidate pair can
+    share many buckets, so it is emitted ONLY in the first bucket both
+    occupy (``max(floor(l.lo/w), floor(r.lo/w))``) — a pure filter, no
+    distinct shuffle. ``bucket_width=None`` derives the mean length of
+    both sides combined.
+    """
+    clash = sorted(
+        (set(left.columns) & set(right.columns)) - ({by} if by else set()),
+    )
+    if clash:
+        raise ValueError(
+            f"left/right column collision {clash}; rename before joining",
+        )
+    if bucket_width is None:
+        l_len = left.select((F.col(left_hi) - F.col(left_lo)).alias("len"))
+        r_len = right.select((F.col(right_hi) - F.col(right_lo)).alias("len"))
+        row = l_len.unionByName(r_len).agg(F.avg("len").alias("w")).collect()[0]
+        if row["w"] is None or row["w"] <= 0:
+            raise ValueError("cannot derive bucket_width from empty inputs")
+        bucket_width = float(row["w"])
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be > 0")
+    w = F.lit(bucket_width)
+
+    def expand(df, lo, hi):
+        lo_b = F.floor(F.col(lo) / w).cast("long")
+        hi_b = F.floor(F.col(hi) / w).cast("long")
+        guarded = F.when(
+            hi_b - lo_b + 1 > max_buckets,
+            F.raise_error(F.lit(
+                f"interval spans more than max_buckets={max_buckets} "
+                f"buckets of width {bucket_width}",
+            )).cast("long"),
+        ).otherwise(lo_b)
+        return df.select(
+            "*", F.explode(F.sequence(guarded, hi_b)).alias("__bucket"),
+        )
+
+    keys = ([by] if by else []) + ["__bucket"]
+    pairs = expand(left, left_lo, left_hi).join(
+        expand(right, right_lo, right_hi), keys,
+    )
+    overlap = (F.col(left_lo) < F.col(right_hi)) & (
+        F.col(right_lo) < F.col(left_hi)
+    )
+    first_shared = F.col("__bucket") == F.greatest(
+        F.floor(F.col(left_lo) / w).cast("long"),
+        F.floor(F.col(right_lo) / w).cast("long"),
+    )
+    return pairs.filter(overlap & first_shared).drop("__bucket")

@@ -917,6 +917,10 @@ sql("flagship_momentum", _flagship_sql())
 # BOTH as-of operators in one oracle row, joined on event_id:
 # add_time_stamped_data (np.interp-parity interpolation against a
 # driver-held series) and the distributed per-key asof_join.
+#: attribution window length for the asof_ops range-join branch (µs)
+_RJ_WIN_US = 3_600_000_000
+
+
 @q("asof_ops")
 def asof_ops(spark, sf_dir):
     # time domain is MICROSECONDS: duckdb holds these timestamps at µs
@@ -958,7 +962,43 @@ def asof_ops(spark, sf_dir):
     glob = dfops.asof_join(
         left.select("event_id", "ts_d"), gright, on="ts_d",
     ).select("event_id", "gmark")
-    return interp.join(per_user, "event_id").join(glob, "event_id")
+    # bucketed range join (round 5): every event against the per-user
+    # signup attribution windows [signup_ts, signup_ts + _RJ_WIN_US) —
+    # the point-in-interval complement of the as-of join above
+    # (dfops.point_in_interval_join: interval -> covered buckets, point
+    # -> its one bucket, hash equi-join + exact containment filter)
+    iv = (
+        withts.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("iv_id"),
+            F.col("user_id").alias("iv_user"),
+            F.col("ts_d").alias("iv_lo"),
+            (F.col("ts_d") + F.lit(float(_RJ_WIN_US))).alias("iv_hi"),
+        )
+    )
+    rj = dfops.point_in_interval_join(
+        left.select(
+            "event_id", F.col("user_id").alias("iv_user"), "ts_d",
+        ),
+        iv,
+        on="ts_d",
+        lo_col="iv_lo",
+        hi_col="iv_hi",
+        by="iv_user",
+        bucket_width=float(_RJ_WIN_US),
+    )
+    in_windows = rj.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_windows_hit"),
+        F.min("iv_id").alias("first_window_id"),
+    )
+    return (
+        interp.join(per_user, "event_id")
+        .join(glob, "event_id")
+        .join(in_windows, "event_id", "left")
+        .withColumn(
+            "n_windows_hit", F.coalesce("n_windows_hit", F.lit(0)),
+        )
+    )
 
 
 sql("asof_ops", """
@@ -1009,10 +1049,24 @@ gr AS (
 g_asof AS (
   SELECT l.event_id, gr.gmark
   FROM l ASOF LEFT JOIN gr ON l.ts_d >= gr.ts_d
+),
+iv AS (
+  SELECT event_id AS iv_id, user_id AS iv_user,
+    CAST(epoch_us(ts) AS DOUBLE) AS iv_lo,
+    CAST(epoch_us(ts) AS DOUBLE) + 3600000000.0 AS iv_hi
+  FROM events WHERE event_type = 'signup'
+),
+rj AS (
+  SELECT l.event_id, count(*) AS n_windows_hit, min(iv.iv_id) AS first_window_id
+  FROM l JOIN iv ON iv.iv_user = l.user_id
+    AND l.ts_d >= iv.iv_lo AND l.ts_d < iv.iv_hi
+  GROUP BY l.event_id
 )
-SELECT i.event_id, i.interp_v, p.user_id, p.mark, g.gmark
+SELECT i.event_id, i.interp_v, p.user_id, p.mark, g.gmark,
+  COALESCE(rj.n_windows_hit, 0) AS n_windows_hit, rj.first_window_id
 FROM interp i JOIN per_user p ON i.event_id = p.event_id
 JOIN g_asof g ON i.event_id = g.event_id
+LEFT JOIN rj ON rj.event_id = i.event_id
 """)
 
 

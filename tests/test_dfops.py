@@ -364,3 +364,129 @@ def test_content_keyed_jitter_partition_invariant(spark):
     with pytest.raises(ValueError, match="uniform only"):
         apply_jitter(df, cols=["value"], jitter_type="normal",
                      seed_column="event_id")
+
+
+# ---------------------------------------------------------------------------
+# bucketed range / interval joins
+# ---------------------------------------------------------------------------
+
+def _brute_point_join(points, intervals, by=False, closed=False):
+    out = []
+    for p in points:
+        for iv in intervals:
+            if by and p[1] != iv[1]:
+                continue
+            hi_ok = p[2] <= iv[3] if closed else p[2] < iv[3]
+            if iv[2] <= p[2] and hi_ok:
+                out.append((p[0], iv[0]))
+    return sorted(out)
+
+
+def test_point_in_interval_join_matches_brute_force(spark):
+    import random
+
+    from sed_spark.dfops import point_in_interval_join
+
+    rng = random.Random(7)
+    points = [(i, rng.randrange(3), rng.uniform(0, 100)) for i in range(300)]
+    intervals = []
+    for j in range(40):
+        lo = rng.uniform(0, 95)
+        intervals.append((j, rng.randrange(3), lo, lo + rng.uniform(0.1, 20)))
+    pdf = spark.createDataFrame(points, ["pid", "k", "x"])
+    idf = spark.createDataFrame(intervals, ["iid", "k", "lo", "hi"])
+
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in point_in_interval_join(
+            pdf, idf.drop("k"), on="x", lo_col="lo", hi_col="hi",
+            bucket_width=7.0,
+        ).collect()
+    )
+    assert got == _brute_point_join(points, intervals)
+
+    # keyed variant restricts matches to the same k
+    got_by = sorted(
+        (r["pid"], r["iid"])
+        for r in point_in_interval_join(
+            pdf, idf, on="x", lo_col="lo", hi_col="hi", by="k",
+            bucket_width=7.0,
+        ).collect()
+    )
+    assert got_by == _brute_point_join(points, intervals, by=True)
+
+    # closed bounds include hi; derived bucket width agrees with explicit
+    got_closed = sorted(
+        (r["pid"], r["iid"])
+        for r in point_in_interval_join(
+            pdf, idf.drop("k"), on="x", lo_col="lo", hi_col="hi",
+            bounds="[]",
+        ).collect()
+    )
+    assert got_closed == _brute_point_join(points, intervals, closed=True)
+
+
+def test_point_in_interval_left_join_keeps_unmatched(spark):
+    from sed_spark.dfops import point_in_interval_join
+
+    pdf = spark.createDataFrame(
+        [(0, 5.0), (1, 50.0), (2, 99.0)], ["pid", "x"],
+    )
+    idf = spark.createDataFrame([(0, 4.0, 6.0)], ["iid", "lo", "hi"])
+    got = {
+        r["pid"]: r["iid"]
+        for r in point_in_interval_join(
+            pdf, idf, on="x", lo_col="lo", hi_col="hi",
+            bucket_width=10.0, how="left",
+        ).collect()
+    }
+    assert got == {0: 0, 1: None, 2: None}
+
+
+def test_point_in_interval_join_guards_runaway_fanout(spark):
+    import pytest
+
+    from sed_spark.dfops import point_in_interval_join
+
+    pdf = spark.createDataFrame([(0, 5.0)], ["pid", "x"])
+    idf = spark.createDataFrame([(0, 0.0, 1e6)], ["iid", "lo", "hi"])
+    with pytest.raises(Exception, match="max_buckets"):
+        point_in_interval_join(
+            pdf, idf, on="x", lo_col="lo", hi_col="hi",
+            bucket_width=1.0, max_buckets=100,
+        ).collect()
+    with pytest.raises(ValueError, match="collision"):
+        point_in_interval_join(
+            pdf.withColumnRenamed("pid", "iid"), idf,
+            on="x", lo_col="lo", hi_col="hi", bucket_width=1.0,
+        )
+
+
+def test_interval_overlap_join_matches_brute_force_no_dup_pairs(spark):
+    import random
+
+    from sed_spark.dfops import interval_overlap_join
+
+    rng = random.Random(11)
+    a = []
+    for i in range(60):
+        lo = rng.uniform(0, 90)
+        a.append((i, lo, lo + rng.uniform(0.1, 25)))
+    b = []
+    for j in range(60):
+        lo = rng.uniform(0, 90)
+        b.append((j, lo, lo + rng.uniform(0.1, 25)))
+    adf = spark.createDataFrame(a, ["aid", "alo", "ahi"])
+    bdf = spark.createDataFrame(b, ["bid", "blo", "bhi"])
+    rows = interval_overlap_join(
+        adf, bdf, "alo", "ahi", "blo", "bhi", bucket_width=8.0,
+    ).collect()
+    got = sorted((r["aid"], r["bid"]) for r in rows)
+    want = sorted(
+        (i, j)
+        for i, alo, ahi in a
+        for j, blo, bhi in b
+        if alo < bhi and blo < ahi
+    )
+    assert got == want          # exact pair set
+    assert len(got) == len(set(got))  # and no duplicate emissions

@@ -284,3 +284,23 @@ def test_pagerank_iteration_starts_from_checkpointed_tables(spark):
     plan = _plan(out)
     assert "Scan ExistingRDD" in plan
     assert "FileScan" not in plan
+
+
+def test_range_join_is_bucketed_hash_join_not_cartesian(spark):
+    # the whole point of the bucketed formulation: the planner must see a
+    # plain equi-join on (key, bucket), never a cartesian/nested-loop
+    # product with an inequality filter
+    from sed_spark.dfops import point_in_interval_join
+    from sed_spark.suite.common import load
+
+    ev = load(spark, SF_DIR, "events").limit(1000)
+    pts = ev.selectExpr("event_id AS pid", "value AS x")
+    ivs = ev.selectExpr(
+        "event_id AS iid", "value AS lo", "value + 25.0 AS hi",
+    )
+    plan = _plan(point_in_interval_join(
+        pts, ivs, on="x", lo_col="lo", hi_col="hi", bucket_width=25.0,
+    ))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__bucket" in plan
