@@ -40,6 +40,7 @@ __all__ = [
     "streaming_sessionize",
     "streaming_exact_dedup",
     "streaming_distinct_sketch",
+    "streaming_interval_join",
     "run_available_now",
 ]
 
@@ -119,6 +120,54 @@ def streaming_histogram(
         .agg(F.count(F.lit(1)).alias("count"))
         .select(F.col("w.start").alias("window_start"), *bin_names, "count")
     )
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    lag_seconds: int = 60,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Stream-stream interval join: every left event paired with the
+    right-stream events of the same key arriving within ``lag_seconds``
+    AFTER it — the click→conversion attribution shape, live.
+
+    This is Spark's watermarked stream-stream inner join: both sides
+    carry a watermark and the join condition bounds ``right_time`` to
+    ``[left_time, left_time + lag]``, which is what lets the engine
+    EVICT state — a left row can stop waiting once the right watermark
+    passes ``left_time + lag``, so state is bounded by (event rate ×
+    lag), not by stream length. Without the time bound Spark would have
+    to keep every row forever (and rejects the query). Column names
+    must be disjoint across the two sides apart from nothing — rename
+    before joining; the key columns may differ in name (``left_on`` /
+    ``right_on``).
+
+    Batch parity: the same join on the drained tables is a plain
+    inequality join — the replay harness checks the PAIR SET matches it
+    exactly (closed-open on the lag bound's upper edge is ``<=``:
+    both engines evaluate the identical predicate).
+    """
+    clash = sorted(set(left.columns) & set(right.columns))
+    if clash:
+        raise ValueError(
+            f"stream column collision {clash}; rename before joining",
+        )
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark)
+    cond = (
+        (F.col(left_on) == F.col(right_on))
+        & (F.col(right_time) >= F.col(left_time))
+        & (
+            F.col(right_time)
+            <= F.col(left_time) + F.expr(f"INTERVAL {int(lag_seconds)} SECONDS")
+        )
+    )
+    return lw.join(rw, cond, "inner")
 
 
 def streaming_distinct_sketch(

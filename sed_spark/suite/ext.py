@@ -2414,6 +2414,38 @@ def stream_dedup_replay(spark, sf_dir):
         ).alias("key"),
         F.col("count").cast("bigint").alias("cnt"),
     )
+    # sixth replay: the watermarked STREAM-STREAM interval join
+    # (streaming_interval_join) — every signup paired with the same
+    # user's events in the following hour, drained in append mode (the
+    # only mode stream-stream joins support). The timestamps are integer
+    # microseconds, so the batch inequality-join oracle reproduces the
+    # exact pair set.
+    from sed_spark.streaming import streaming_interval_join
+
+    l_stream = ev_stream.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("l_id"),
+        F.col("user_id").alias("l_user"),
+        F.col("__event_time").alias("l_time"),
+    )
+    r_stream = ev_stream.select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("__event_time").alias("r_time"),
+    )
+    sj = streaming_interval_join(
+        l_stream, r_stream, "l_user", "r_user", "l_time", "r_time",
+        lag_seconds=3600,
+    )
+    spark.catalog.dropTempView("stream_join_sink")
+    run_available_now(sj, "stream_join_sink", output_mode="append")
+    join_part = spark.table("stream_join_sink").select(
+        F.lit("join").alias("part"),
+        F.concat_ws(
+            "|", F.col("l_id").cast("string"), F.col("r_id").cast("string"),
+        ).alias("key"),
+        F.lit(1).cast("bigint").alias("cnt"),
+    )
+
     # fifth replay: the windowed HLL distinct sketch (streaming_
     # distinct_sketch) over user_id per 10-minute window, complete-mode
     # availableNow. Registers reuse the batch hll_register_cols
@@ -2438,7 +2470,7 @@ def stream_dedup_replay(spark, sf_dir):
     )
     return (
         dedup_part.unionAll(hist_part).unionAll(timed_part)
-        .unionAll(late_part).unionAll(hll_part)
+        .unionAll(late_part).unionAll(hll_part).unionAll(join_part)
     )
 
 
@@ -2527,6 +2559,14 @@ UNION ALL
 {_late_replay_sql().lstrip()}
 UNION ALL
 {_stream_hll_sql().lstrip()}
+UNION ALL
+SELECT 'join' AS part,
+  CAST(l.event_id AS VARCHAR) || '|' || CAST(r.event_id AS VARCHAR) AS key,
+  CAST(1 AS BIGINT) AS cnt
+FROM events l JOIN events r ON l.event_type = 'signup'
+  AND r.user_id = l.user_id
+  AND epoch_us(r.ts) >= epoch_us(l.ts)
+  AND epoch_us(r.ts) <= epoch_us(l.ts) + 3600000000
 """
 
 

@@ -140,3 +140,75 @@ def test_streaming_distinct_sketch_matches_batch_registers(spark, stream_dir):
         batch_df.select(key.alias("k")).distinct().count()
     )
     assert abs(est["estimate"] - true) / true < 4 * 1.04 / (1 << 3)
+
+
+def test_streaming_interval_join_matches_batch_inequality_join(spark, stream_dir):
+    from sed_spark.streaming import streaming_interval_join
+
+    path, batch_df = stream_dir
+    lag = 1800  # seconds
+
+    def prep(df, suffix):
+        return df.select(
+            F.col("file_id").alias(f"fid{suffix}"),
+            F.col("ADC").cast("long").alias(f"k{suffix}"),
+            F.col("timeStamp").cast("timestamp").alias(f"t{suffix}"),
+            F.col("row_index").alias(f"rid{suffix}"),
+        )
+
+    # left = a sparse trigger stream (every 20th event of one file),
+    # right = the full stream; ~18k key values keep the pair set bounded
+    l_stream = prep(
+        read_event_stream(
+            spark, path + "/chunk0*.parquet", batch_df.schema,
+            timestamp_column="timeStamp",
+        ).drop("__event_time").filter(F.col("row_index") % 20 == 0),
+        "l",
+    )
+    r_stream = prep(
+        read_event_stream(
+            spark, path, batch_df.schema, timestamp_column="timeStamp",
+        ).drop("__event_time"),
+        "r",
+    )
+    joined = streaming_interval_join(
+        l_stream, r_stream, "kl", "kr", "tl", "tr", lag_seconds=lag,
+    )
+    # stream-stream joins emit in APPEND mode only; aggregate in the sink
+    run_available_now(joined, "sj_sink", output_mode="append")
+    got = {
+        (r["kl"], r["n_pairs"])
+        for r in spark.table("sj_sink")
+        .groupBy("kl").agg(F.count(F.lit(1)).alias("n_pairs")).collect()
+    }
+    lb = spark.read.parquet(path + "/chunk0.parquet").filter(
+        F.col("row_index") % 20 == 0,
+    )
+    lbp = prep(lb, "l")
+    rbp = prep(spark.read.parquet(path), "r")
+    want = {
+        (r["kl"], r["n_pairs"])
+        for r in lbp.join(
+            rbp,
+            (F.col("kl") == F.col("kr"))
+            & (F.col("tr") >= F.col("tl"))
+            & (F.col("tr") <= F.col("tl") + F.expr(f"INTERVAL {lag} SECONDS")),
+        )
+        .groupBy("kl")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_streaming_interval_join_rejects_column_collision(spark, stream_dir):
+    import pytest
+
+    from sed_spark.streaming import streaming_interval_join
+
+    path, batch_df = stream_dir
+    s = read_event_stream(
+        spark, path, batch_df.schema, timestamp_column="timeStamp",
+    )
+    with pytest.raises(ValueError, match="collision"):
+        streaming_interval_join(s, s, "a", "a", "t", "t")
