@@ -723,3 +723,50 @@ def normalization_histogram_from_timed_dataframe(
                         axes=[axis], dtype="float64")
     res.data = res.data * time_unit
     return res
+
+
+def equidepth_edges(
+    df,
+    col: str,
+    nbins: int,
+    exact: bool = False,
+    relative_error: float = 1e-4,
+):
+    """EQUI-DEPTH bin edges for ``col``: the ``nbins + 1`` quantiles at
+    ``k / nbins`` — each resulting bin holds ~the same number of rows,
+    the right histogram for heavily skewed signals where uniform bins
+    put everything in a handful of cells.
+
+    One aggregate (an ``nbins+1``-element driver array), then bin with
+    the existing literal-edges grammar
+    (:func:`sed_spark.binning.spec.axis_from_edges` →
+    :func:`sparse_histogram`) — the data-driven edges reuse the same
+    bin-index expressions as every other histogram, not a second kernel.
+    ``exact=False`` (the 100 TB default) uses the bounded-memory
+    ``approx_percentile`` sketch; ``exact=True`` buffers per partition
+    (audit/oracle mode, matching DuckDB ``quantile_cont`` linear
+    interpolation).
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    if nbins < 1:
+        raise ValueError("nbins must be >= 1")
+    qs = [k / nbins for k in range(nbins + 1)]
+    if exact:
+        agg = F.percentile(F.col(col), F.lit(qs))
+    else:
+        agg = F.percentile_approx(
+            F.col(col), qs, max(1, int(1.0 / relative_error)),
+        )
+    row = df.agg(agg).collect()[0][0]
+    if row is None:
+        raise ValueError(f"no non-null values in column {col!r}")
+    edges = np.asarray([float(v) for v in row], dtype=np.float64)
+    if not np.all(np.diff(edges) > 0):
+        raise ValueError(
+            f"degenerate equi-depth edges for {col!r} (repeated quantile "
+            f"values — the column has heavy point masses); reduce nbins "
+            f"or de-duplicate: {edges.tolist()}",
+        )
+    return edges

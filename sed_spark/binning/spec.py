@@ -88,6 +88,17 @@ def normalize_bins(
         axes = list(bins.keys())
         bins = list(bins.values())
 
+    # pre-built axes pass through first: they carry their own names, so
+    # no axes list is required (the literal-edges grammar —
+    # axis_from_edges / equidepth_edges construct these)
+    if (
+        isinstance(bins, Sequence)
+        and not isinstance(bins, (str, bytes))
+        and len(bins) > 0
+        and all(isinstance(b, BinAxis) for b in bins)
+    ):
+        return list(bins)
+
     if axes is None:
         raise ValueError("axes must be given (or bins passed as a dict)")
     axes = list(axes)
@@ -138,3 +149,22 @@ def normalize_bins(
         return out
 
     raise TypeError(f"could not interpret bins: {bins!r}")
+
+
+def axis_from_edges(name: str, edges) -> BinAxis:
+    """A :class:`BinAxis` with LITERAL (possibly non-uniform) bin edges —
+    the grammar entry for data-driven edges (e.g.
+    :func:`sed_spark.binning.equidepth_edges`), where the
+    centers-to-edges round trip of the array grammar would move them."""
+    edges = np.asarray(edges, dtype=np.float64)
+    if edges.ndim != 1 or len(edges) < 2:
+        raise ValueError("edges must be a 1-D array of at least 2 values")
+    if not np.all(np.diff(edges) > 0):
+        raise ValueError("edges must be strictly increasing")
+    return BinAxis(
+        name=name,
+        nbins=len(edges) - 1,
+        lo=float(edges[0]),
+        hi=float(edges[-1]),
+        edges=edges,
+    )

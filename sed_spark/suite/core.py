@@ -103,6 +103,9 @@ _CENTERS = np.array([10.0, 30.0, 70.0, 150.0, 310.0, 470.0])
 _H1_AXES = normalize_bins([100], ["value"], [(0.0, 500.0)])
 
 
+_EQD_BINS = 8
+
+
 @q("hist_1d")
 def hist_1d(spark, sf_dir):
     df = load(spark, sf_dir, "events")
@@ -120,7 +123,21 @@ def hist_1d(spark, sf_dir):
         F.lit("edges").alias("grammar"),
         F.col(names_e[0]).alias("bin_value"), "cnt",
     )
-    return uniform.unionAll(edges)
+    # equi-depth grammar (round 5): DATA-DRIVEN edges at the k/nbins
+    # exact quantiles feed the same literal-edges bin expressions — the
+    # oracle recomputes identical edges via quantile_cont (the proven
+    # percentile parity of the filters row) and mirrors the bin CASE-sum
+    from sed_spark.binning import axis_from_edges, equidepth_edges
+
+    eqd_edges = equidepth_edges(df, "value", _EQD_BINS, exact=True)
+    agg_q, _, names_q = sparse_histogram(
+        df, bins=[axis_from_edges("value", eqd_edges)], count_alias="cnt",
+    )
+    eqd = agg_q.select(
+        F.lit("equidepth").alias("grammar"),
+        F.col(names_q[0]).alias("bin_value"), "cnt",
+    )
+    return uniform.unionAll(edges).unionAll(eqd)
 
 
 def _edges_sql():
@@ -137,9 +154,26 @@ def _edges_sql():
     )
 
 
+def _equidepth_sql() -> str:
+    n = _EQD_BINS
+    qs = ", ".join(fl(k / n) for k in range(n + 1))
+    # interior edges are list positions 2..n (1-based, inclusive slice);
+    # last edge inclusive, same rule as the literal-edges branch
+    return (
+        f"SELECT CAST(len(list_filter(q.es[2:{n}], e -> value >= e)) "
+        f"AS INTEGER) AS bin_value, COUNT(*) AS cnt "
+        f"FROM events, (SELECT quantile_cont(value, [{qs}]) AS es "
+        f"FROM events) q "
+        f"WHERE value IS NOT NULL AND value >= q.es[1] "
+        f"AND value <= q.es[{n + 1}] "
+        f"GROUP BY bin_value"
+    )
+
+
 sql("hist_1d",
     f"SELECT 'uniform' AS grammar, * FROM ({_hist_sql('events', _H1_AXES)}) "
-    f"UNION ALL SELECT 'edges' AS grammar, * FROM ({_edges_sql()})")
+    f"UNION ALL SELECT 'edges' AS grammar, * FROM ({_edges_sql()}) "
+    f"UNION ALL SELECT 'equidepth' AS grammar, * FROM ({_equidepth_sql()})")
 
 
 # jitter + binning, ORACLE-CHECKED: the content-keyed draw (noise = a

@@ -150,3 +150,63 @@ def test_bin_dataframe_occupancy_hint_same_result(spark, events_df):
     base = bin_dataframe(events_df, **kw)
     hinted = bin_dataframe(events_df, occupancy_hint=100, **kw)
     assert (base.data == hinted.data).all()
+
+
+# ---------------------------------------------------------------------------
+# literal-edges grammar + equi-depth edges
+# ---------------------------------------------------------------------------
+
+def test_axis_from_edges_passthrough_and_validation():
+    import pytest
+
+    from sed_spark.binning import axis_from_edges, normalize_bins
+
+    ax = axis_from_edges("x", [0.0, 1.0, 4.0, 10.0])
+    assert ax.nbins == 3 and ax.lo == 0.0 and ax.hi == 10.0
+    # normalize_bins passes pre-built axes through untouched (no
+    # centers->edges round trip that would move literal edges)
+    out = normalize_bins([ax])
+    assert out[0] is ax
+    with pytest.raises(ValueError, match="increasing"):
+        axis_from_edges("x", [0.0, 2.0, 1.0])
+    with pytest.raises(ValueError, match="at least 2"):
+        axis_from_edges("x", [0.0])
+
+
+def test_equidepth_histogram_balances_counts(spark):
+    import numpy as np
+
+    from sed_spark.binning import (
+        axis_from_edges,
+        equidepth_edges,
+        sparse_histogram,
+    )
+
+    # heavily skewed data: exponential-ish via value**3 over [0, 1000]
+    n = 20_000
+    df = spark.range(n).selectExpr("CAST(id*id*id AS DOUBLE)/4e7 AS v")
+    edges = equidepth_edges(df, "v", 10, exact=True)
+    assert len(edges) == 11 and np.all(np.diff(edges) > 0)
+    agg, _, names = sparse_histogram(
+        df, bins=[axis_from_edges("v", edges)], count_alias="cnt",
+    )
+    counts = {r[names[0]]: r["cnt"] for r in agg.collect()}
+    # each of the 10 bins holds ~n/10 rows
+    assert set(counts) == set(range(10))
+    assert all(abs(c - n / 10) <= n / 100 + 2 for c in counts.values())
+
+
+def test_equidepth_edges_errors(spark):
+    import pytest
+
+    from sed_spark.binning import equidepth_edges
+
+    df = spark.range(10).selectExpr("CAST(1.0 AS DOUBLE) AS v")
+    # a constant column has no distinct quantiles
+    with pytest.raises(ValueError, match="degenerate"):
+        equidepth_edges(df, "v", 4, exact=True)
+    with pytest.raises(ValueError, match="nbins"):
+        equidepth_edges(df, "v", 0)
+    empty = df.filter("v IS NULL")
+    with pytest.raises(ValueError, match="no non-null"):
+        equidepth_edges(empty, "v", 4, exact=True)
