@@ -107,3 +107,87 @@ def test_incremental_lsh_index_bucketed_removes_index_shuffle(spark, tmp_path):
     b = {(r.a_id, r.b_id) for r in
          dedup.incremental_lsh_pairs(new_sigs, index_t).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered writes
+# ---------------------------------------------------------------------------
+
+def _ref_morton(vals, mins, maxs, bits):
+    n = len(vals)
+    levels = (1 << bits) - 1
+    qs = []
+    for v, lo, hi in zip(vals, mins, maxs):
+        q = int((v - lo) / (hi - lo) * levels)
+        qs.append(max(0, min(levels, q)))
+    key = 0
+    for bit in range(bits):
+        for ci, q in enumerate(qs):
+            key |= ((q >> bit) & 1) << (bit * n + ci)
+    return key
+
+
+def test_zorder_key_matches_python_reference(spark):
+    from sed_spark.loader.bucketing import zorder_key_expr
+    from pyspark.sql import functions as F
+
+    rows = [(1.0, 900.0), (512.0, 0.0), (1023.0, 1023.0), (100.5, 300.25)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = [
+        r["k"]
+        for r in df.select(
+            zorder_key_expr(["x", "y"], [0.0, 0.0], [1023.0, 1023.0],
+                            bits_per_col=10).alias("k"),
+        ).collect()
+    ]
+    want = [_ref_morton(v, [0.0, 0.0], [1023.0, 1023.0], 10) for v in rows]
+    assert got == want
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    import glob
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sed_spark.loader.bucketing import write_zordered
+
+    # uniform 2-D cloud; after z-order clustering every file must cover
+    # a small X range AND a small Y range — a lexicographic sort on x
+    # would leave per-file y spreads at the full range
+    df = spark.range(40_000).select(
+        (F.rand(1) * 1000.0).alias("x"), (F.rand(2) * 1000.0).alias("y"),
+    )
+    out = str(tmp_path / "z")
+    write_zordered(df, out, ["x", "y"], n_files=16)
+
+    spreads_x, spreads_y = [], []
+    for f in glob.glob(out + "/part-*.parquet"):
+        pdf = pd.read_parquet(f)
+        if len(pdf) == 0:
+            continue
+        spreads_x.append(pdf["x"].max() - pdf["x"].min())
+        spreads_y.append(pdf["y"].max() - pdf["y"].min())
+    assert len(spreads_x) >= 8
+    med_x = sorted(spreads_x)[len(spreads_x) // 2]
+    med_y = sorted(spreads_y)[len(spreads_y) // 2]
+    # 16 files over a 1000x1000 square: typical z-order cells cover
+    # roughly a quarter of each axis; lexicographic would give ~1000 in y
+    assert med_x < 550 and med_y < 550, (med_x, med_y)
+    # round-trip: no rows lost, no helper column leaked
+    back = spark.read.parquet(out)
+    assert back.count() == 40_000
+    assert set(back.columns) == {"x", "y"}
+
+
+def test_zorder_validation(spark):
+    import pytest
+
+    from sed_spark.loader.bucketing import zorder_key_expr
+
+    with pytest.raises(ValueError, match="1-4"):
+        zorder_key_expr([], [], [])
+    with pytest.raises(ValueError, match="int64"):
+        zorder_key_expr(["a", "b"], [0, 0], [1, 1], bits_per_col=32)
+    with pytest.raises(ValueError, match="degenerate"):
+        zorder_key_expr(["a"], [1.0], [1.0])
