@@ -2321,6 +2321,13 @@ def stream_dedup_replay(spark, sf_dir):
       branch over the same events — the replay proves the streaming path
       reuses the batch bin-index expressions rather than reimplementing
       them.
+
+    The six replay queries run with ``spark.sql.shuffle.partitions=8``
+    (restored afterwards): every stateful operator allocates one state
+    store PER partition PER query, and the default 64 spent ~5x more
+    wall time opening/committing near-empty stores than joining the
+    sf0.1 data (19.3 s -> 3.5 s for the stream-stream join alone, same
+    results — the compare is partition-count-invariant by design).
     """
     from sed_spark.streaming import (
         run_available_now,
@@ -2328,6 +2335,22 @@ def stream_dedup_replay(spark, sf_dir):
         streaming_histogram,
         timed_table_stream,
     )
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _stream_dedup_replay_body(
+            spark, sf_dir, run_available_now, streaming_exact_dedup,
+            streaming_histogram, timed_table_stream,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _stream_dedup_replay_body(
+    spark, sf_dir, run_available_now, streaming_exact_dedup,
+    streaming_histogram, timed_table_stream,
+):
     from sed_spark.suite.common import ts_us
 
     docs_schema = load(spark, sf_dir, "documents").schema
