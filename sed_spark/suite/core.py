@@ -1237,7 +1237,38 @@ def sessionization(spark, sf_dir):
         F.unix_micros(F.col("session_start")).alias("k2"),
         F.col("events").cast("long").alias("v"),
     )
-    return batch.unionAll(live)
+    # interval-overlap branch (round 5): each session's [first, last+1µs)
+    # span overlap-joined against the user's signup attribution windows
+    # via the bucketed dfops.interval_overlap_join (first-shared-bucket
+    # dedup — no distinct pass), rolled up per session. Single-event
+    # sessions get the 1 µs width so they can still overlap.
+    spans = out.groupBy(
+        F.col("user_id").alias("u"),
+        F.col("session_id").alias("sid"),
+    ).agg(
+        F.min("ts_d").alias("s_lo"),
+        (F.max("ts_d") + F.lit(1.0)).alias("s_hi"),
+    )
+    wins = df.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("u"),
+        F.col("ts_d").alias("w_lo"),
+        (F.col("ts_d") + F.lit(float(_RJ_WIN_US))).alias("w_hi"),
+    )
+    hits = dfops.interval_overlap_join(
+        spans, wins, "s_lo", "s_hi", "w_lo", "w_hi", by="u",
+        bucket_width=float(_RJ_WIN_US),
+    )
+    overlap = (
+        hits.groupBy("u", "s_lo")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+        .select(
+            F.lit("overlap").alias("part"),
+            F.col("u").alias("k1"),
+            F.col("s_lo").cast("long").alias("k2"),
+            F.col("n_overlaps").cast("long").alias("v"),
+        )
+    )
+    return batch.unionAll(live).unionAll(overlap)
 
 
 sql("sessionization", f"""
@@ -1260,6 +1291,19 @@ UNION ALL
 SELECT 'stream' AS part, user_id AS k1,
   CAST(min(ts_d) AS BIGINT) AS k2, count(*) AS v
 FROM sess GROUP BY user_id, session_id
+UNION ALL
+SELECT 'overlap' AS part, s.u AS k1, CAST(s.s_lo AS BIGINT) AS k2,
+  count(*) AS v
+FROM (
+  SELECT user_id AS u, min(ts_d) AS s_lo, max(ts_d) + 1.0 AS s_hi
+  FROM sess GROUP BY user_id, session_id
+) s
+JOIN (
+  SELECT user_id AS u, CAST(epoch_us(ts) AS DOUBLE) AS w_lo,
+    CAST(epoch_us(ts) AS DOUBLE) + {fl(float(_RJ_WIN_US))} AS w_hi
+  FROM events WHERE event_type = 'signup'
+) w ON w.u = s.u AND s.s_lo < w.w_hi AND w.w_lo < s.s_hi
+GROUP BY s.u, s.s_lo
 """)
 
 
