@@ -687,6 +687,15 @@ def ann_topk(spark, sf_dir):
                 similarity.ivf_topk(df, _trained(df, sf_dir), qvec, k=10),
             ),
         )
+    if PQ_CODEBOOKS_SF0_01 is not None:
+        # product quantization (round 5): asymmetric-distance top-k over
+        # the compressed codes — live per-subspace k-means at the pin
+        # scale (the oracle carries the pinned codebooks as literals, so
+        # a green row proves pq_train reproduces them), pinned books
+        # elsewhere (same de-trap gating as the IVF centroids)
+        branches.append(
+            ("pq", similarity.pq_topk(df, _pq_books(df, sf_dir), qvec, k=10)),
+        )
     parts = [
         b.select(F.lit(tag).alias("method"), "vec_id", "cos_sim")
         for tag, b in branches
@@ -984,6 +993,86 @@ try:
     from sed_spark.suite._trained_centroids import TRAINED_CENTROIDS_SF0_01
 except ImportError:  # pragma: no cover - bootstrap only
     TRAINED_CENTROIDS_SF0_01 = None
+
+# pinned sf0.01 PQ codebooks (tools/gen_pq_codebooks.py) — same contract
+try:
+    from sed_spark.suite._pq_codebooks import PQ_CODEBOOKS_SF0_01
+except ImportError:  # pragma: no cover - bootstrap only
+    PQ_CODEBOOKS_SF0_01 = None
+
+_PQ_FIT_CACHE: dict[str, list] = {}
+
+
+def _pq_books(df, sf_dir: str) -> list:
+    if not _is_pin_sf(sf_dir):
+        return PQ_CODEBOOKS_SF0_01
+    if sf_dir not in _PQ_FIT_CACHE:
+        _PQ_FIT_CACHE[sf_dir] = similarity.pq_train(df, m=4, k=8, max_iter=3)
+    return _PQ_FIT_CACHE[sf_dir]
+
+
+def _pq_sql(books) -> str:
+    """Mirror of ``similarity.pq_topk`` over the pinned codebooks: the
+    squared-L2 code argmin (same fl() literals, same left-associated
+    difference chains, first-min tie-break) and the ADC score — the T
+    tables come from the in-SQL-normalized query (list_sum's sequential
+    fold matches the Python accumulation, as everywhere in this suite)
+    and the ``|c|²`` N tables are pure Python-float literals."""
+    from sed_spark.suite.common import fl
+
+    m = len(books)
+    k = len(books[0])
+    dsub = len(books[0][0])
+
+    def dist(mm, c):
+        terms = []
+        for i, cv in enumerate(c):
+            x = f"CAST(embedding[{mm * dsub + i + 1}] AS DOUBLE)"
+            terms.append(f"(({x} - {fl(float(cv))}) * ({x} - {fl(float(cv))}))")
+        return "(" + " + ".join(terms) + ")"
+
+    d_cols = ", ".join(
+        "[" + ", ".join(dist(mm, c) for c in books[mm]) + f"] AS d{mm}"
+        for mm in range(m)
+    )
+    c_cols = ", ".join(
+        f"CAST(list_position(d{mm}, list_min(d{mm})) - 1 AS INTEGER) AS c{mm}"
+        for mm in range(m)
+    )
+    # per-subspace T lookup: dot of the normalized query slice with the
+    # selected centroid — a list literal of k dot expressions, indexed
+    # by the code; N lookup is a pure literal list
+    t_lookups, n_lookups = [], []
+    for mm in range(m):
+        dots = []
+        for c in books[mm]:
+            parts = [
+                f"(CAST(qe[{mm * dsub + i + 1}] AS DOUBLE) / qn) * "
+                f"{fl(float(cv))}"
+                for i, cv in enumerate(c)
+            ]
+            dots.append("(" + " + ".join(parts) + ")")
+        t_lookups.append("([" + ", ".join(dots) + f"])[c{mm} + 1]")
+        norms = [
+            fl(sum(float(cv) * float(cv) for cv in c)) for c in books[mm]
+        ]
+        n_lookups.append("([" + ", ".join(norms) + f"])[c{mm} + 1]")
+    num = " + ".join(t_lookups)
+    den = " + ".join(n_lookups)
+    return f"""
+WITH pq_q AS (
+  SELECT embedding AS qe,
+    sqrt(list_sum(list_transform(generate_series(1, {m * dsub}),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+      AS qn
+  FROM embeddings WHERE vec_id = 0
+),
+pqd AS (SELECT vec_id, {d_cols} FROM embeddings),
+pqc AS (SELECT vec_id, {c_cols} FROM pqd)
+SELECT vec_id, round(({num}) / sqrt({den}), 6) AS cos_sim
+FROM pqc, pq_q
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
 
 
 def _cent_cos_lit(vec_sql: str, cent: list[float]) -> str:
@@ -2617,6 +2706,12 @@ QUERIES.update(
                     " UNION ALL SELECT 'ivf_trained' AS method, * FROM "
                     f"({_ivf_sql(TRAINED_CENTROIDS_SF0_01)})"
                     if TRAINED_CENTROIDS_SF0_01 is not None
+                    else ""
+                )
+                + (
+                    " UNION ALL SELECT 'pq' AS method, * FROM "
+                    f"({_pq_sql(PQ_CODEBOOKS_SF0_01)})"
+                    if PQ_CODEBOOKS_SF0_01 is not None
                     else ""
                 )
             ),

@@ -1338,3 +1338,120 @@ def test_classifier_fit_early_stop_and_errors(spark):
         text.classifier_fit(df, "y", n_iter=0)
     with pytest.raises(ValueError, match="empty"):
         text.classifier_fit(df.filter("doc_id < 0"), "y")
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+def _pq_ref_codes(vecs, books):
+    """Brute-force argmin-squared-L2 encoder (ties to lowest code)."""
+    m, dsub = len(books), len(books[0][0])
+    out = []
+    for v in vecs:
+        codes = []
+        for mm in range(m):
+            sub = v[mm * dsub:(mm + 1) * dsub]
+            d = [
+                sum((float(x) - float(c)) ** 2 for x, c in zip(sub, cent))
+                for cent in books[mm]
+            ]
+            codes.append(d.index(min(d)))
+        out.append(codes)
+    return out
+
+
+def test_pq_encode_is_argmin_squared_l2(spark):
+    import numpy as np
+
+    from sed_spark.ext import similarity as S
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(200, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    books = S.pq_train(df, m=4, k=4, max_iter=3)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in S.pq_encode(df, books).collect()
+    }
+    ref = _pq_ref_codes([[float(x) for x in v] for v in vecs], books)
+    assert [got[i] for i in range(len(vecs))] == ref
+
+
+def test_pq_train_is_reproducible_and_improves_quantization(spark):
+    import numpy as np
+
+    from sed_spark.ext import similarity as S
+
+    rng = np.random.default_rng(5)
+    # clustered subvectors so training has something to learn
+    centers = rng.normal(size=(4, 16)) * 3
+    vecs = centers[rng.integers(0, 4, 300)] + rng.normal(size=(300, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    b1 = S.pq_train(df, m=4, k=4, max_iter=4)
+    b2 = S.pq_train(df, m=4, k=4, max_iter=4)
+    assert b1 == b2
+
+    def recon_err(books):
+        codes = _pq_ref_codes([[float(x) for x in v] for v in vecs], books)
+        err = 0.0
+        dsub = len(books[0][0])
+        for v, cs in zip(vecs, codes):
+            for mm, c in enumerate(cs):
+                sub = v[mm * dsub:(mm + 1) * dsub]
+                err += sum(
+                    (float(x) - float(y)) ** 2
+                    for x, y in zip(sub, books[mm][c])
+                )
+        return err
+
+    # more training passes must not increase reconstruction error
+    b_short = S.pq_train(df, m=4, k=4, max_iter=1)
+    assert recon_err(b1) <= recon_err(b_short) + 1e-9
+
+
+def test_pq_topk_ranks_query_reconstruction_first(spark):
+    import numpy as np
+
+    from sed_spark.ext import similarity as S
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(300, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    books = S.pq_train(df, m=4, k=8, max_iter=3)
+    q = [float(x) for x in vecs[42]]
+    top = S.pq_topk(df, books, q, k=10).collect()
+    ids = [r["vec_id"] for r in top]
+    # the query's own row shares its reconstruction, so it must appear
+    assert 42 in ids
+    # scores are descending with deterministic id tie-break
+    scores = [r["cos_sim"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+    # zero-norm query rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="nonzero"):
+        S.pq_topk(df, books, [0.0] * 16, k=5)
+
+
+def test_pq_train_validation(spark):
+    import pytest
+
+    from sed_spark.ext import similarity as S
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        S.pq_train(df, m=2, k=1)
+    with pytest.raises(ValueError, match="at least k"):
+        S.pq_train(df.limit(1), m=1, k=4)
