@@ -1,6 +1,6 @@
 """Regenerate EVERY pinned oracle artifact in one shot.
 
-The suite pins four fitted artifacts against sf0.01 testdata so the
+The suite pins five fitted artifacts against sf0.01 testdata so the
 oracle can carry them as literals while the Spark side fits live:
 
 * ``sed_spark/suite/_trained_centroids.py`` — IVF k-means fit
@@ -11,6 +11,8 @@ oracle can carry them as literals while the Spark side fits live:
   from the independent pure-Python reference (tools/gen_bpe_expected.py)
 * ``sed_spark/suite/_trained_classifier.py`` — logistic-regression fit
   (tools/gen_trained_classifier.py)
+* ``sed_spark/suite/_pq_codebooks.py`` — product-quantization codebooks
+  (tools/gen_pq_codebooks.py)
 
 If the driver regenerates ``/root/testdata/sf0.01`` the pins go stale and
 the affected rows (ann_topk, text_metrics) go red BY DESIGN — run this,
@@ -33,6 +35,7 @@ def main() -> None:
         "tools/gen_dsir_logratios.py",
         "tools/gen_bpe_expected.py",
         "tools/gen_trained_classifier.py",
+        "tools/gen_pq_codebooks.py",
     ):
         print(f"== {mod}")
         runpy.run_path(f"/root/repo/{mod}", run_name="__main__")
