@@ -198,6 +198,11 @@ def main() -> None:
     hll_est = sketch.hll_estimate(
         sketch.hll_registers(toks, "term"),
     ).first()["estimate"]
+    # compressed vector serving: PQ codebooks + m-byte codes + ADC top-k
+    pq_books = similarity.pq_train(emb, m=4, k=8, max_iter=2)
+    pq_codes = similarity.pq_encode(emb, pq_books)
+    q0 = emb.limit(1).collect()[0]["embedding"]
+    pq_top = similarity.pq_topk(emb, pq_books, q0, k=5).count()
 
     # 10. materialize the training order: a deterministic epoch shuffle
     # written as one ordered file per shard (a trainer reading shards in
@@ -223,6 +228,8 @@ def main() -> None:
     print(f"trained classifier scored {scored.count()} docs "
           f"(bias={cls_b})")
     print(f"cms('customer')={term_est}; hll distinct terms ~{hll_est}")
+    print(f"pq: {pq_codes.count()} vectors -> 4-byte codes; "
+          f"adc top-5 returned {pq_top}")
     for r in per_split_domain:
         print(f"  split={r['split']:<5} domain={r['domain']:<20} "
               f"docs={r['n_docs']}")
