@@ -833,7 +833,7 @@ def pq_train(
     billion-vector index live in RAM as ``m`` bytes per vector.
 
     ALL subspaces train in each pass: the assignment is the row-local
-    :func:`pq_codes_expr` projection, and one explode + hash aggregate
+    :func:`_with_pq_codes` projection, and one explode + hash aggregate
     collects every ``(subspace, code, dim)`` partial sum — an
     ``m·k·dsub``-row table, driver-sized by construction, exactly the
     k-means update shape. Initialization is the first ``k`` vectors in

@@ -490,3 +490,51 @@ def test_interval_overlap_join_matches_brute_force_no_dup_pairs(spark):
     )
     assert got == want          # exact pair set
     assert len(got) == len(set(got))  # and no duplicate emissions
+
+
+def test_range_join_results_invariant_to_bucket_width(spark):
+    # the bucketing is an EXECUTION strategy, not a semantics knob: any
+    # width must produce the identical pair set (only shuffle volume
+    # changes). A width-dependent result would mean a bucket-boundary
+    # bug (off-by-one in the covered-bucket expansion or the dedup rule).
+    import random
+
+    from sed_spark.dfops import interval_overlap_join, point_in_interval_join
+
+    rng = random.Random(23)
+    points = [(i, rng.uniform(0, 200)) for i in range(150)]
+    ivs = []
+    for j in range(30):
+        lo = rng.uniform(-10, 190)
+        ivs.append((j, lo, lo + rng.uniform(0.01, 60)))
+    pdf = spark.createDataFrame(points, ["pid", "x"])
+    idf = spark.createDataFrame(ivs, ["iid", "lo", "hi"])
+
+    def pij(width):
+        return sorted(
+            (r["pid"], r["iid"])
+            for r in point_in_interval_join(
+                pdf, idf, on="x", lo_col="lo", hi_col="hi",
+                bucket_width=width,
+            ).collect()
+        )
+
+    base = pij(13.7)
+    assert base  # non-trivial case
+    for width in (0.9, 7.0, 60.0, 500.0):
+        assert pij(width) == base, f"width {width} changed the pair set"
+
+    b = spark.createDataFrame(ivs, ["bid", "blo", "bhi"])
+
+    def ovl(width):
+        return sorted(
+            (r["iid"], r["bid"])
+            for r in interval_overlap_join(
+                idf, b, "lo", "hi", "blo", "bhi", bucket_width=width,
+            ).collect()
+        )
+
+    obase = ovl(13.7)
+    assert obase
+    for width in (0.9, 7.0, 60.0, 500.0):
+        assert ovl(width) == obase, f"width {width} changed the overlap set"

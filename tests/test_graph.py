@@ -241,3 +241,29 @@ def test_pagerank_rejects_bad_params(spark):
         pagerank(edf, n_iter=0)
     with pytest.raises(ValueError, match="damping"):
         pagerank(edf, damping_num=100, damping_den=100)
+
+
+def test_pagerank_is_partition_count_invariant(spark):
+    # the integer micro-rank claim, tested directly: identical ranks no
+    # matter how the edge/node tables are partitioned (double-based
+    # power iteration would drift in the last ulps here)
+    import random
+
+    rng = random.Random(31)
+    n = 200
+    edges = [
+        (rng.randrange(n), rng.randrange(n), rng.randrange(1, 4))
+        for _ in range(600)
+    ]
+    nodes = [(v,) for v in range(n)]
+
+    def run(parts):
+        edf = spark.createDataFrame(edges, ["a_id", "b_id", "w"]).repartition(parts)
+        ndf = spark.createDataFrame(nodes, ["node"]).repartition(parts)
+        return {
+            r["node"]: r["rank_micro"]
+            for r in pagerank(edf, nodes=ndf, weight="w", n_iter=3).collect()
+        }
+
+    r1, r7, r32 = run(1), run(7), run(32)
+    assert r1 == r7 == r32
