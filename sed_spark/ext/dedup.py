@@ -28,6 +28,7 @@ __all__ = [
     "incremental_lsh_pairs",
     "jaccard_pairs",
     "simhash16",
+    "simhash_pairs",
     "benchmark_contamination",
     "boilerplate_stats",
     "strip_boilerplate",
@@ -794,4 +795,75 @@ def verify_pairs_editdist(
         return out
     return out.filter(
         (F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist),
+    )
+
+
+def simhash_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+) -> DataFrame:
+    """Near-duplicate candidate pairs from 16-bit SimHash fingerprints:
+    ``(a_id, b_id, hamming)`` for every pair within ``max_hamming`` bits.
+
+    The pigeonhole banding of Manku et al. (WWW 2007): split the 16 bits
+    into ``max_hamming + 1`` blocks — any pair within distance ``d``
+    agrees EXACTLY on at least one block — so candidate generation is a
+    self-equi-join on ``(block_index, block_value)``, never an all-pairs
+    scan, and the exact ``bit_count(a XOR b)`` verify runs on candidates
+    only. Pairs sharing several blocks are emitted once (dedup on the
+    FIRST agreeing block — a filter over the co-agreeing blocks, not a
+    distinct shuffle). Input is the fingerprint table (one row per doc),
+    so the text is never touched.
+    """
+    if not 0 <= max_hamming <= 15:
+        raise ValueError("max_hamming must be in [0, 15]")
+    n_blocks = max_hamming + 1
+    base = 16 // n_blocks
+    extra = 16 % n_blocks
+    # block b covers [off_b, off_b + len_b) with the remainder spread
+    # over the first blocks; every bit lands in exactly one block
+    lengths = [base + (1 if b < extra else 0) for b in range(n_blocks)]
+    offsets = [sum(lengths[:b]) for b in range(n_blocks)]
+
+    def block_val(col, b):
+        return F.shiftright(col, offsets[b]) % F.lit(1 << lengths[b])
+
+    h = F.col(hash_col)
+    blocks = fingerprints.select(
+        F.col(id_col), h.alias(hash_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("blk"),
+                    block_val(h, b).alias("val"),
+                )
+                for b in range(n_blocks)
+            ]),
+        ).alias("c"),
+    ).select(id_col, hash_col, "c.blk", "c.val")
+    a = blocks.select(
+        F.col(id_col).alias("a_id"), F.col(hash_col).alias("a_hash"),
+        "blk", "val",
+    )
+    b_side = blocks.select(
+        F.col(id_col).alias("b_id"), F.col(hash_col).alias("b_hash"),
+        "blk", "val",
+    )
+    pairs = a.join(b_side, ["blk", "val"]).filter(F.col("a_id") < F.col("b_id"))
+    # first agreeing block: no earlier block has equal values
+    first_agree = None
+    for b in range(n_blocks):
+        earlier = (
+            block_val(F.col("a_hash"), b) == block_val(F.col("b_hash"), b)
+        ) & (F.col("blk") > b)
+        first_agree = earlier if first_agree is None else first_agree | earlier
+    ham = F.bit_count(
+        F.col("a_hash").bitwiseXOR(F.col("b_hash")),
+    ).cast("int")
+    return (
+        pairs.filter(~first_agree)
+        .filter(ham <= max_hamming)
+        .select("a_id", "b_id", ham.alias("hamming"))
     )

@@ -459,6 +459,7 @@ WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.05
 # sketch parameters for the simhash row's widened branches (round 5)
 _CMS_W = 256
 _CMS_D = 4
+_SIMHASH_MAXD = 2
 _CMS_PROBES = ("table", "spark", "vector", "zzz-absent")
 _HLL_P = 8
 
@@ -535,8 +536,20 @@ def simhash(spark, sf_dir):
         F.col("n_distinct").alias("val_int"),
         F.lit(None).cast("double").alias("val_dbl"),
     )
+    # near-dup pairs from the fingerprints (round 5): Manku-style
+    # pigeonhole banding generates candidates (never all-pairs); the
+    # oracle verifies the SEMANTIC pair set with a brute-force
+    # bit_count self-join — asymmetric strategies, identical result
+    sh_tbl = dedup.simhash16(docs)
+    pair_rows = dedup.simhash_pairs(sh_tbl, max_hamming=_SIMHASH_MAXD).select(
+        F.lit("pairs").alias("method"),
+        F.col("a_id").alias("key_a"),
+        F.col("b_id").alias("key_b"),
+        F.col("hamming").cast("long").alias("val_int"),
+        F.lit(None).cast("double").alias("val_dbl"),
+    )
     out = sh
-    for branch in (cms_rows, est_rows, reg_rows, hest, true_row):
+    for branch in (cms_rows, est_rows, reg_rows, hest, true_row, pair_rows):
         out = out.unionAll(branch)
     return out
 
@@ -641,7 +654,14 @@ FROM hest
 UNION ALL
 SELECT 'hll_true', 0, CAST(NULL AS BIGINT), count(DISTINCT term),
   CAST(NULL AS DOUBLE)
-FROM tok"""
+FROM tok
+UNION ALL
+SELECT 'pairs', a.key_a, b.key_a,
+  bit_count(xor(a.sh, b.sh)), CAST(NULL AS DOUBLE)
+FROM (SELECT doc_id AS key_a, CAST({bits} AS BIGINT) AS sh FROM s) a
+JOIN (SELECT doc_id AS key_a, CAST({bits} AS BIGINT) AS sh FROM s) b
+  ON a.key_a < b.key_a
+  AND bit_count(xor(a.sh, b.sh)) <= {_SIMHASH_MAXD}"""
 
 
 # ---------------------------------------------------------------------------

@@ -1455,3 +1455,45 @@ def test_pq_train_validation(spark):
         S.pq_train(df, m=2, k=1)
     with pytest.raises(ValueError, match="at least k"):
         S.pq_train(df.limit(1), m=1, k=4)
+
+
+def test_simhash_pairs_matches_brute_force(spark):
+    import itertools
+    import random
+
+    from sed_spark.ext import dedup
+
+    rng = random.Random(17)
+    # clustered fingerprints: base patterns with few flipped bits
+    bases = [rng.randrange(1 << 16) for _ in range(8)]
+    fps = []
+    for i in range(120):
+        h = bases[i % 8]
+        for _ in range(rng.randrange(0, 3)):
+            h ^= 1 << rng.randrange(16)
+        fps.append((i, h))
+    df = spark.createDataFrame(fps, ["doc_id", "simhash"])
+    for d in (1, 3, 5):
+        got = sorted(
+            (r["a_id"], r["b_id"], r["hamming"])
+            for r in dedup.simhash_pairs(df, max_hamming=d).collect()
+        )
+        ref = sorted(
+            (a, b, bin(ha ^ hb).count("1"))
+            for (a, ha), (b, hb) in itertools.combinations(fps, 2)
+            if bin(ha ^ hb).count("1") <= d
+        )
+        assert got == ref, f"d={d}"
+        # every emitted pair appears exactly once (band dedup works)
+        keys = [(a, b) for a, b, _ in got]
+        assert len(keys) == len(set(keys))
+
+
+def test_simhash_pairs_validation(spark):
+    import pytest
+
+    from sed_spark.ext import dedup
+
+    df = spark.createDataFrame([(0, 1)], ["doc_id", "simhash"])
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_pairs(df, max_hamming=16)
