@@ -34,6 +34,8 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_topk",
+    "ivfpq_train",
+    "ivfpq_topk",
 ]
 
 
@@ -967,6 +969,173 @@ def pq_topk(
         nm = F.element_at(n_arr, idx)
         num = tm if num is None else num + tm
         den = nm if den is None else den + nm
+    score = F.round(num / F.sqrt(den), round_decimals)
+    return (
+        coded.select(F.col(id_col), score.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse probe pruning + residual product quantization
+# ---------------------------------------------------------------------------
+
+def _residual_sql(
+    vec_col: str, centroids: Sequence[Sequence[float]],
+) -> str:
+    """Spark-SQL string for the residual vector ``x - c_bucket``: the
+    bucket's coarse centroid is an ``element_at`` on an array-of-arrays
+    literal, the subtraction a single ``zip_with`` — one F.expr
+    round-trip (see :func:`_pq_score_sql` for why strings)."""
+    cents = ", ".join(
+        "array(" + ", ".join(
+            f"CAST('{float(v)!r}' AS DOUBLE)" for v in c
+        ) + ")"
+        for c in centroids
+    )
+    return (
+        f"zip_with({vec_col}, element_at(array({cents}), bucket), "
+        "(x, c) -> CAST(x AS DOUBLE) - c)"
+    )
+
+
+def ivfpq_train(
+    df: DataFrame,
+    coarse_centroids: Sequence[Sequence[float]],
+    m: int = 4,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 3,
+    quantize_decimals: int | None = 9,
+) -> list[list[list[float]]]:
+    """Train RESIDUAL PQ codebooks for IVF-PQ (Jégou et al. TPAMI 2011,
+    the full architecture): vectors quantize as ``x ≈ c_bucket + r̂``,
+    so the codebooks learn the residuals ``x - c_bucket`` — much
+    tighter cells than quantizing raw vectors, because the coarse
+    assignment has already removed the between-cluster variance. One
+    shared codebook set across buckets (the standard memory/accuracy
+    trade). Same reproducibility contract as :func:`pq_train`."""
+    assigned = ivf_assign(
+        df, coarse_centroids, id_col=id_col, vec_col=vec_col,
+    )
+    res = assigned.withColumn(
+        "__residual", F.expr(_residual_sql(vec_col, coarse_centroids)),
+    )
+    return pq_train(
+        res, m=m, k=k, vec_col="__residual", id_col=id_col,
+        max_iter=max_iter, quantize_decimals=quantize_decimals,
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    coarse_centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """IVF-PQ top-k: prune to the query's ``nprobe`` nearest coarse
+    buckets, then score each surviving vector's RECONSTRUCTION
+    ``x̂ = c_b + r̂(codes)`` against the unit query — approximate cosine
+    ``(⟨q̂,c_b⟩ + Σ T[code]) / sqrt(|c_b|² + 2·Σ M_b[code] + Σ N[code])``
+    where T (query·residual-centroid), M_b (coarse·residual-centroid)
+    and N (residual-centroid norms) are tiny per-query lookup tables in
+    the expression tree. The scan does the residual encode plus ``3m``
+    table lookups per probed vector — never a ``d``-dim dot — and the
+    probe pruning touches ~``nprobe/len(centroids)`` of the corpus.
+    """
+    import math
+
+    qn2 = 0.0
+    for v in query:
+        qn2 += float(v) * float(v)
+    if qn2 <= 0:
+        raise ValueError("query must have nonzero norm")
+    qnorm = math.sqrt(qn2)
+    dsub = len(codebooks[0][0])
+    mm_count = len(codebooks)
+
+    probes = _rank_probes(coarse_centroids, query, nprobe, round_decimals)
+    assigned = ivf_assign(
+        df, coarse_centroids, id_col=id_col, vec_col=vec_col,
+        round_decimals=round_decimals,
+    ).filter(F.col("bucket").isin(probes))
+    res = assigned.withColumn(
+        "__residual", F.expr(_residual_sql(vec_col, coarse_centroids)),
+    )
+    coded = _with_pq_codes(
+        res, codebooks, "__residual", keep=[id_col, "bucket"],
+    )
+
+    # per-query tables (python floats; sequential folds mirror the SQL)
+    t_tabs, n_tabs = [], []
+    for mi, book in enumerate(codebooks):
+        qs = [float(query[mi * dsub + i]) / qnorm for i in range(dsub)]
+        trow, nrow = [], []
+        for c in book:
+            t = 0.0
+            n = 0.0
+            for qv, cv in zip(qs, c):
+                t += qv * float(cv)
+            for cv in c:
+                n += float(cv) * float(cv)
+            trow.append(t)
+            nrow.append(n)
+        t_tabs.append(trow)
+        n_tabs.append(nrow)
+    # per-bucket constants and cross tables
+    qc_b, cb2_b, m_tabs = {}, {}, {}
+    for b in probes:
+        cb = [float(v) for v in coarse_centroids[b - 1]]
+        qc = 0.0
+        for v, cv in zip(query, cb):
+            qc += (float(v) / qnorm) * cv
+        qc_b[b] = qc
+        c2 = 0.0
+        for cv in cb:
+            c2 += cv * cv
+        cb2_b[b] = c2
+        per_m = []
+        for mi, book in enumerate(codebooks):
+            sub = cb[mi * dsub:(mi + 1) * dsub]
+            row = []
+            for c in book:
+                d = 0.0
+                for sv, cv in zip(sub, c):
+                    d += sv * float(cv)
+                row.append(d)
+            per_m.append(row)
+        m_tabs[b] = per_m
+
+    def bucket_case(values: dict) -> Column:
+        out = None
+        for b, v in values.items():
+            cond = F.col("bucket") == b
+            out = F.when(cond, v) if out is None else out.when(cond, v)
+        return out
+
+    num = bucket_case({b: F.lit(v) for b, v in qc_b.items()})
+    den = bucket_case({b: F.lit(v) for b, v in cb2_b.items()})
+    for mi in range(mm_count):
+        idx = (F.col(f"__code_{mi}") + 1).cast("int")
+        num = num + F.element_at(
+            F.array(*[F.lit(v) for v in t_tabs[mi]]), idx,
+        )
+        den = den + F.lit(2.0) * bucket_case({
+            b: F.element_at(
+                F.array(*[F.lit(v) for v in m_tabs[b][mi]]), idx,
+            )
+            for b in probes
+        })
+        den = den + F.element_at(
+            F.array(*[F.lit(v) for v in n_tabs[mi]]), idx,
+        )
     score = F.round(num / F.sqrt(den), round_decimals)
     return (
         coded.select(F.col(id_col), score.alias("cos_sim"))

@@ -716,6 +716,18 @@ def ann_topk(spark, sf_dir):
         branches.append(
             ("pq", similarity.pq_topk(df, _pq_books(df, sf_dir), qvec, k=10)),
         )
+    if IVFPQ_CODEBOOKS_SF0_01 is not None:
+        # the full IVF-PQ architecture: coarse probe pruning + RESIDUAL
+        # codebooks (x ~ c_bucket + r-hat) with reconstruction scoring
+        branches.append(
+            (
+                "ivfpq",
+                similarity.ivfpq_topk(
+                    df, _IVF_CENTROIDS, _ivfpq_books(df, sf_dir), qvec,
+                    k=10, nprobe=1,
+                ),
+            ),
+        )
     parts = [
         b.select(F.lit(tag).alias("method"), "vec_id", "cos_sim")
         for tag, b in branches
@@ -1020,6 +1032,24 @@ try:
 except ImportError:  # pragma: no cover - bootstrap only
     PQ_CODEBOOKS_SF0_01 = None
 
+# pinned sf0.01 residual PQ codebooks (tools/gen_ivfpq_codebooks.py)
+try:
+    from sed_spark.suite._ivfpq_codebooks import IVFPQ_CODEBOOKS_SF0_01
+except ImportError:  # pragma: no cover - bootstrap only
+    IVFPQ_CODEBOOKS_SF0_01 = None
+
+_IVFPQ_FIT_CACHE: dict[str, list] = {}
+
+
+def _ivfpq_books(df, sf_dir: str) -> list:
+    if not _is_pin_sf(sf_dir):
+        return IVFPQ_CODEBOOKS_SF0_01
+    if sf_dir not in _IVFPQ_FIT_CACHE:
+        _IVFPQ_FIT_CACHE[sf_dir] = similarity.ivfpq_train(
+            df, _IVF_CENTROIDS, m=4, k=8, max_iter=2,
+        )
+    return _IVFPQ_FIT_CACHE[sf_dir]
+
 _PQ_FIT_CACHE: dict[str, list] = {}
 
 
@@ -1115,6 +1145,130 @@ def _cent_arr_sql(centroids, vec_sql: str = "embedding") -> str:
     """Array of rounded centroid cosines (bucket = ``list_position`` of
     its max, matching ``ivf_assign``'s first-max tie-break)."""
     return "[" + ", ".join(_cent_cos_lit(vec_sql, c) for c in centroids) + "]"
+
+
+def _ivfpq_sql(coarse, books) -> str:
+    """Oracle for the ``ivfpq`` branch (nprobe=1): probe selection and
+    per-row bucketing reuse the ``_ivf_sql`` rounded-cosine machinery;
+    the residual, its codes, and the reconstruction score replay
+    ``similarity.ivfpq_topk`` — the static tables (|c_b|², coarse ×
+    residual-centroid cross terms, residual norms) are the SAME
+    sequential Python accumulations emitted as ``fl()`` literals, and
+    the query-dependent tables compute in SQL from ``qe`` with the
+    ordered ``list_sum`` folds that mirror the Python sums."""
+    from sed_spark.suite.common import fl
+
+    n_coarse = len(coarse)
+    m = len(books)
+    dsub = len(books[0][0])
+    dim = m * dsub
+    arr = _cent_arr_sql(coarse)
+
+    def lits(vals):
+        return "[" + ", ".join(fl(float(v)) for v in vals) + "]"
+
+    cents_ll = "[" + ", ".join(lits(c) for c in coarse) + "]"
+    # residual codes: per subspace, argmax of <r_m, c> - |c|^2/2
+    code_cols = []
+    for mi, book in enumerate(books):
+        scores = []
+        for c in book:
+            half = 0.0
+            for v in c:
+                half += float(v) * float(v)
+            half *= 0.5
+            dot = (
+                f"list_sum(list_transform(generate_series(1, {dsub}), "
+                f"i -> r[{mi * dsub} + i] * ({lits(c)})[i]))"
+            )
+            scores.append(f"({dot} - {fl(half)})")
+        sl = "[" + ", ".join(scores) + "]"
+        code_cols.append(
+            f"CAST(list_position({sl}, list_max({sl})) - 1 AS INTEGER) "
+            f"AS c{mi}",
+        )
+
+    # static per-bucket tables (Python sequential accumulation -> fl)
+    def cb2(b):
+        s = 0.0
+        for v in coarse[b]:
+            s += float(v) * float(v)
+        return s
+
+    def mtab(b, mi):
+        sub = [float(v) for v in coarse[b][mi * dsub:(mi + 1) * dsub]]
+        row = []
+        for c in books[mi]:
+            d = 0.0
+            for sv, cv in zip(sub, c):
+                d += sv * float(cv)
+            row.append(d)
+        return row
+
+    def ntab(mi):
+        row = []
+        for c in books[mi]:
+            n = 0.0
+            for cv in c:
+                n += float(cv) * float(cv)
+            row.append(n)
+        return row
+
+    qc_case = "CASE pb.b " + " ".join(
+        f"WHEN {b + 1} THEN list_sum(list_transform(generate_series(1, "
+        f"{dim}), i -> (CAST(q.embedding[i] AS DOUBLE) / q.qn) * "
+        f"({lits(coarse[b])})[i]))"
+        for b in range(n_coarse)
+    ) + " END"
+    cb2_case = "CASE pb.b " + " ".join(
+        f"WHEN {b + 1} THEN {fl(cb2(b))}" for b in range(n_coarse)
+    ) + " END"
+    num = qc_case
+    den = cb2_case
+    for mi in range(m):
+        tdots = []
+        for c in books[mi]:
+            tdots.append(
+                f"list_sum(list_transform(generate_series(1, {dsub}), "
+                f"i -> (CAST(q.embedding[{mi * dsub} + i] AS DOUBLE) "
+                f"/ q.qn) * ({lits(c)})[i]))",
+            )
+        num += f" + ([{', '.join(tdots)}])[c{mi} + 1]"
+        mc = "CASE pb.b " + " ".join(
+            f"WHEN {b + 1} THEN ({lits(mtab(b, mi))})[c{mi} + 1]"
+            for b in range(n_coarse)
+        ) + " END"
+        den += f" + 2.0 * ({mc}) + ({lits(ntab(mi))})[c{mi} + 1]"
+
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding, list_position(arr, list_max(arr)) AS bucket, arr
+  FROM (SELECT vec_id, embedding, {arr} AS arr FROM embeddings)
+),
+q AS (
+  SELECT embedding, arr,
+    sqrt(list_sum(list_transform(generate_series(1, {dim}),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+      AS qn
+  FROM assigned WHERE vec_id = 0
+),
+pb AS (
+  SELECT b FROM (
+    SELECT unnest(generate_series(1, {n_coarse})) AS b, unnest(arr) AS s
+    FROM q
+  ) ORDER BY s DESC, b LIMIT 1
+),
+probed AS (
+  SELECT a.vec_id, a.bucket,
+    list_transform(generate_series(1, {dim}),
+      i -> CAST(a.embedding[i] AS DOUBLE) - ({cents_ll})[a.bucket][i]) AS r
+  FROM assigned a, pb WHERE a.bucket = pb.b
+),
+coded AS (SELECT vec_id, bucket, {', '.join(code_cols)} FROM probed)
+SELECT vec_id, round(({num}) / sqrt({den}), 6) AS cos_sim
+FROM coded, q, pb
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
 
 
 def _ivf_sql(centroids, nprobe: int = 1) -> str:
@@ -2732,6 +2886,12 @@ QUERIES.update(
                     " UNION ALL SELECT 'pq' AS method, * FROM "
                     f"({_pq_sql(PQ_CODEBOOKS_SF0_01)})"
                     if PQ_CODEBOOKS_SF0_01 is not None
+                    else ""
+                )
+                + (
+                    " UNION ALL SELECT 'ivfpq' AS method, * FROM "
+                    f"({_ivfpq_sql(_IVF_CENTROIDS, IVFPQ_CODEBOOKS_SF0_01)})"
+                    if IVFPQ_CODEBOOKS_SF0_01 is not None
                     else ""
                 )
             ),

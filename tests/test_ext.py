@@ -1497,3 +1497,96 @@ def test_simhash_pairs_validation(spark):
     df = spark.createDataFrame([(0, 1)], ["doc_id", "simhash"])
     with pytest.raises(ValueError, match="max_hamming"):
         dedup.simhash_pairs(df, max_hamming=16)
+
+
+def test_ivfpq_matches_numpy_reconstruction_reference(spark):
+    import numpy as np
+
+    from sed_spark.ext import similarity as S
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(3, 32)) * 2
+    vecs = centers[rng.integers(0, 3, 240)] + rng.normal(size=(240, 32)) * 0.5
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    coarse = [[float(x) for x in c] for c in centers]
+    books = S.ivfpq_train(df, coarse, m=4, k=4, max_iter=2)
+    # reproducible like every other fit
+    assert books == S.ivfpq_train(df, coarse, m=4, k=4, max_iter=2)
+
+    q = [float(x) for x in vecs[7]]
+    got = [
+        (r["vec_id"], r["cos_sim"])
+        for r in S.ivfpq_topk(df, coarse, books, q, k=10, nprobe=1).collect()
+    ]
+
+    C = np.array(coarse)
+    B = [np.array(b) for b in books]
+    qv = np.array(q)
+    qh = qv / np.linalg.norm(qv)
+
+    def bucket(v):
+        sims = np.round(
+            C @ v / (np.linalg.norm(C, axis=1) * np.linalg.norm(v)), 6,
+        )
+        return int(np.argmax(sims))
+
+    pb = bucket(qv)
+    scores = {}
+    for i, vrow in enumerate(vecs):
+        v = np.array([float(np.float32(x)) for x in vrow])
+        b = bucket(v)
+        if b != pb:
+            continue
+        resid = v - C[b]
+        rec = C[b].copy()
+        for mi in range(4):
+            sub = resid[mi * 8:(mi + 1) * 8]
+            d = ((B[mi] - sub) ** 2).sum(axis=1)
+            rec[mi * 8:(mi + 1) * 8] += B[mi][int(np.argmin(d))]
+        scores[i] = round(float(qh @ rec / np.linalg.norm(rec)), 6)
+    ref = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [g[0] for g in got] == [r[0] for r in ref]
+    assert all(abs(g[1] - r[1]) < 2e-6 for g, r in zip(got, ref))
+
+
+def test_ivfpq_residual_books_beat_raw_books_on_reconstruction(spark):
+    import numpy as np
+
+    from sed_spark.ext import similarity as S
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(4, 32)) * 4
+    vecs = centers[rng.integers(0, 4, 300)] + rng.normal(size=(300, 32)) * 0.3
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    coarse = [[float(x) for x in c] for c in centers]
+    res_books = S.ivfpq_train(df, coarse, m=4, k=4, max_iter=3)
+    raw_books = S.pq_train(df, m=4, k=4, max_iter=3)
+
+    C = np.array(coarse)
+
+    def bucket(v):
+        sims = np.round(
+            C @ v / (np.linalg.norm(C, axis=1) * np.linalg.norm(v)), 6,
+        )
+        return int(np.argmax(sims))
+
+    def err(books, residual):
+        B = [np.array(b) for b in books]
+        total = 0.0
+        for vrow in vecs:
+            v = np.array([float(np.float32(x)) for x in vrow])
+            target = v - C[bucket(v)] if residual else v
+            for mi in range(4):
+                sub = target[mi * 8:(mi + 1) * 8]
+                d = ((B[mi] - sub) ** 2).sum(axis=1)
+                total += float(d.min())
+        return total
+
+    # removing the between-cluster variance first must tighten the cells
+    assert err(res_books, True) < err(raw_books, False)

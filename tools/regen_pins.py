@@ -1,6 +1,6 @@
 """Regenerate EVERY pinned oracle artifact in one shot.
 
-The suite pins five fitted artifacts against sf0.01 testdata so the
+The suite pins six fitted artifacts against sf0.01 testdata so the
 oracle can carry them as literals while the Spark side fits live:
 
 * ``sed_spark/suite/_trained_centroids.py`` — IVF k-means fit
@@ -13,6 +13,8 @@ oracle can carry them as literals while the Spark side fits live:
   (tools/gen_trained_classifier.py)
 * ``sed_spark/suite/_pq_codebooks.py`` — product-quantization codebooks
   (tools/gen_pq_codebooks.py)
+* ``sed_spark/suite/_ivfpq_codebooks.py`` — residual PQ codebooks
+  (tools/gen_ivfpq_codebooks.py)
 
 If the driver regenerates ``/root/testdata/sf0.01`` the pins go stale and
 the affected rows (ann_topk, text_metrics) go red BY DESIGN — run this,
@@ -36,6 +38,7 @@ def main() -> None:
         "tools/gen_bpe_expected.py",
         "tools/gen_trained_classifier.py",
         "tools/gen_pq_codebooks.py",
+        "tools/gen_ivfpq_codebooks.py",
     ):
         print(f"== {mod}")
         runpy.run_path(f"/root/repo/{mod}", run_name="__main__")
