@@ -716,6 +716,13 @@ def ann_topk(spark, sf_dir):
         branches.append(
             ("pq", similarity.pq_topk(df, _pq_books(df, sf_dir), qvec, k=10)),
         )
+    # SQ8 (round 5): the codebook-free compression rung — per-dim
+    # min/max ranges are exact, so the fit is live at EVERY scale and
+    # needs no pin
+    los, his = _sq8_ranges(df, sf_dir)
+    branches.append(
+        ("sq8", similarity.sq8_topk(df, los, his, qvec, k=10)),
+    )
     if IVFPQ_CODEBOOKS_SF0_01 is not None:
         # the full IVF-PQ architecture: coarse probe pruning + RESIDUAL
         # codebooks (x ~ c_bucket + r-hat) with reconstruction scoring
@@ -1039,6 +1046,13 @@ except ImportError:  # pragma: no cover - bootstrap only
     IVFPQ_CODEBOOKS_SF0_01 = None
 
 _IVFPQ_FIT_CACHE: dict[str, list] = {}
+_SQ8_CACHE: dict[str, tuple] = {}
+
+
+def _sq8_ranges(df, sf_dir: str) -> tuple:
+    if sf_dir not in _SQ8_CACHE:
+        _SQ8_CACHE[sf_dir] = similarity.sq8_fit(df)
+    return _SQ8_CACHE[sf_dir]
 
 
 def _ivfpq_books(df, sf_dir: str) -> list:
@@ -1268,6 +1282,60 @@ coded AS (SELECT vec_id, bucket, {', '.join(code_cols)} FROM probed)
 SELECT vec_id, round(({num}) / sqrt({den}), 6) AS cos_sim
 FROM coded, q, pb
 ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def _sq8_sql(dim: int = 64) -> str:
+    """Oracle for the ``sq8`` branch: per-dimension [min, max] ranges
+    recomputed in SQL (min/max are EXACT and partition-invariant, so no
+    pin is needed — the only range-free fit in the row), then the same
+    quantize→dequantize→cosine expression chain as
+    ``similarity.sq8_topk`` with every literal an explicit DOUBLE (bare
+    ``255.0`` parses as DECIMAL on the Spark side and drifted the math
+    — both mirrors cast explicitly)."""
+    los = "[" + ", ".join(
+        f"min(CAST(embedding[{i + 1}] AS DOUBLE))" for i in range(dim)
+    ) + "]"
+    his = "[" + ", ".join(
+        f"max(CAST(embedding[{i + 1}] AS DOUBLE))" for i in range(dim)
+    ) + "]"
+    c255 = "CAST(255.0 AS DOUBLE)"
+    c0 = "CAST(0.0 AS DOUBLE)"
+    deq = (
+        "list_transform(generate_series(1, 64), i -> "
+        f"CASE WHEN r.spans[i] > {c0} THEN "
+        "r.los[i] + floor(least(" + c255 + ", greatest(" + c0 + ", "
+        "(CAST(e.embedding[i] AS DOUBLE) - r.los[i]) / r.spans[i] "
+        f"* {c255}))) / {c255} * r.spans[i] "
+        "ELSE r.los[i] END)"
+    )
+    return f"""
+WITH sqr0 AS (SELECT {los} AS los, {his} AS his FROM embeddings),
+sqr AS (
+  SELECT los,
+    list_transform(generate_series(1, {dim}),
+      i -> CASE WHEN his[i] > los[i] THEN his[i] - los[i]
+           ELSE {c0} END) AS spans
+  FROM sqr0
+),
+sq_q AS (
+  SELECT embedding,
+    sqrt(list_sum(list_transform(generate_series(1, {dim}),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+      AS qn
+  FROM embeddings WHERE vec_id = 0
+),
+sq_scored AS (
+  SELECT e.vec_id, {deq} AS xh
+  FROM embeddings e, sqr r
+)
+SELECT s.vec_id,
+  round(list_sum(list_transform(generate_series(1, {dim}),
+      i -> s.xh[i] * (CAST(q.embedding[i] AS DOUBLE) / q.qn)))
+    / sqrt(list_sum(list_transform(generate_series(1, {dim}),
+      i -> s.xh[i] * s.xh[i]))), 6) AS cos_sim
+FROM sq_scored s, sq_q q
+ORDER BY cos_sim DESC, s.vec_id LIMIT 10
 """
 
 
@@ -2893,6 +2961,10 @@ QUERIES.update(
                     f"({_ivfpq_sql(_IVF_CENTROIDS, IVFPQ_CODEBOOKS_SF0_01)})"
                     if IVFPQ_CODEBOOKS_SF0_01 is not None
                     else ""
+                )
+                + (
+                    " UNION ALL SELECT 'sq8' AS method, * FROM "
+                    f"({_sq8_sql()})"
                 )
             ),
         },

@@ -1590,3 +1590,56 @@ def test_ivfpq_residual_books_beat_raw_books_on_reconstruction(spark):
 
     # removing the between-cluster variance first must tighten the cells
     assert err(res_books, True) < err(raw_books, False)
+
+
+def test_sq8_matches_python_reference_and_bounds(spark):
+    import math
+
+    import numpy as np
+
+    from sed_spark.ext import similarity as S
+
+    rng = np.random.default_rng(21)
+    vecs = rng.normal(size=(150, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    los, his = S.sq8_fit(df)
+    assert los == [float(np.min(vecs[:, i])) for i in range(8)]
+    assert his == [float(np.max(vecs[:, i])) for i in range(8)]
+    codes = {r["vec_id"]: list(r["codes"])
+             for r in S.sq8_encode(df, los, his).collect()}
+    assert all(0 <= c <= 255 for cs in codes.values() for c in cs)
+
+    q = [float(x) for x in vecs[3]]
+    got = [(r["vec_id"], r["cos_sim"])
+           for r in S.sq8_topk(df, los, his, q, k=10).collect()]
+
+    def r6(x):
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+    qn = math.sqrt(sum(v * v for v in q))
+    qh = [v / qn for v in q]
+    scores = {}
+    for i, vr in enumerate(vecs):
+        xh = []
+        for x, lo, hi in zip(vr, los, his):
+            s = hi - lo if hi > lo else 0.0
+            if s > 0:
+                c = math.floor(min(255.0, max(0.0, (float(x) - lo) / s * 255.0)))
+                xh.append(lo + c / 255.0 * s)
+            else:
+                xh.append(lo)
+        num = sum(a * b for a, b in zip(xh, qh))
+        den = math.sqrt(sum(a * a for a in xh))
+        scores[i] = r6(num / den)
+    ref = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == [tuple(x) for x in ref]
+    # the quantization is coarse but the query's own row must rank top
+    assert got[0][0] == 3
+
+    import pytest
+
+    with pytest.raises(ValueError, match="nonzero"):
+        S.sq8_topk(df, los, his, [0.0] * 8)
