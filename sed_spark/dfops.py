@@ -845,13 +845,17 @@ def point_in_interval_join(
     )
     if how == "inner":
         return pt.join(iv, keys).filter(contain).drop("__bucket")
+    # left: re-attach matches by a surrogate row id, NOT by equi-joining
+    # on all point columns — a NULL in any point column would make a
+    # genuinely matched row come back unmatched (null-unsafe keys), and
+    # duplicate point rows would fan out multiplicatively
+    pts = points.withColumn("__pid", F.monotonically_increasing_id())
+    pt = pts.withColumn("__bucket", F.floor(F.col(on) / w).cast("long"))
     matched = pt.join(iv, keys).filter(contain).drop("__bucket")
     iv_cols = [c for c in intervals.columns if c != by]
-    return points.join(
-        matched.select(*points.columns, *iv_cols),
-        points.columns,
-        "left",
-    )
+    return pts.join(
+        matched.select("__pid", *iv_cols), "__pid", "left",
+    ).drop("__pid")
 
 
 def interval_overlap_join(

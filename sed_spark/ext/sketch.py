@@ -317,7 +317,11 @@ def bloom_probe(
     if m_bits < 2 or k_hashes < 1:
         raise ValueError("m_bits must be >= 2 and k_hashes >= 1")
     k = F.col(key_col).cast("string")
-    cells = df.select(
+    # collapse the k probe cells per INPUT ROW, not per distinct column
+    # tuple: grouping on *df.columns would silently deduplicate identical
+    # input rows, returning fewer rows than it claims to annotate
+    tagged = df.withColumn("__rid", F.monotonically_increasing_id())
+    cells = tagged.select(
         "*",
         F.explode(
             F.array(*[
@@ -329,9 +333,10 @@ def bloom_probe(
     marked = bloom.select("bit", F.lit(1).alias("__set"))
     return (
         cells.join(marked, "bit", "left")
-        .groupBy(*df.columns)
+        .groupBy("__rid", *df.columns)
         .agg(
             F.min(F.coalesce("__set", F.lit(0))).cast("int")
             .alias("maybe_seen"),
         )
+        .drop("__rid")
     )

@@ -595,7 +595,7 @@ cms AS (
   SELECT j.d AS depth,
     CAST(('0x' || substr(md5(term || ':cms:' || j.d), 1, 8))::UBIGINT
       % {_CMS_W} AS BIGINT) AS bucket,
-    SUM(cnt) AS cnt
+    CAST(SUM(cnt) AS BIGINT) AS cnt
   FROM tcnt CROSS JOIN (VALUES {depths}) j(d)
   GROUP BY 1, 2
 ),
@@ -606,7 +606,7 @@ probe_cells AS (
   FROM (VALUES {probes}) q(i, term) CROSS JOIN (VALUES {depths}) j(d)
 ),
 cms_est AS (
-  SELECT pc.i, MIN(COALESCE(cms.cnt, 0)) AS est
+  SELECT pc.i, CAST(MIN(COALESCE(cms.cnt, 0)) AS BIGINT) AS est
   FROM probe_cells pc
   LEFT JOIN cms ON cms.depth = pc.depth AND cms.bucket = pc.bucket
   GROUP BY pc.i
@@ -1077,30 +1077,40 @@ def _pq_books(df, sf_dir: str) -> list:
 
 def _pq_sql(books) -> str:
     """Mirror of ``similarity.pq_topk`` over the pinned codebooks: the
-    squared-L2 code argmin (same fl() literals, same left-associated
-    difference chains, first-min tie-break) and the ADC score — the T
-    tables come from the in-SQL-normalized query (list_sum's sequential
-    fold matches the Python accumulation, as everywhere in this suite)
-    and the ``|c|²`` N tables are pure Python-float literals."""
+    code assignment replays the EXACT Spark expression — argmax of the
+    sequential fold ``⟨x_m, c⟩ - |c|²/2`` (``_pq_score_sql``), not the
+    real-arithmetic-equivalent squared-L2 argmin, so a near-tie can
+    never pick different codes cross-engine (the ivfpq mirror already
+    did this; round-5 ADVICE flagged the pq mirror's inconsistency) —
+    and the ADC score: the T tables come from the in-SQL-normalized
+    query (list_sum's sequential fold matches the Python accumulation,
+    as everywhere in this suite) and the ``|c|²`` N tables are pure
+    Python-float literals."""
     from sed_spark.suite.common import fl
 
     m = len(books)
     k = len(books[0])
     dsub = len(books[0][0])
 
-    def dist(mm, c):
-        terms = []
-        for i, cv in enumerate(c):
-            x = f"CAST(embedding[{mm * dsub + i + 1}] AS DOUBLE)"
-            terms.append(f"(({x} - {fl(float(cv))}) * ({x} - {fl(float(cv))}))")
-        return "(" + " + ".join(terms) + ")"
+    def score(mm, c):
+        # dot as the same ordered fold Spark's aggregate() runs, minus
+        # the identically-accumulated half-norm literal
+        half = similarity.pq_half_norm(c)
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {dsub}), "
+            f"i -> CAST(embedding[{mm * dsub} + i] AS DOUBLE) * "
+            "(["
+            + ", ".join(fl(float(v)) for v in c)
+            + "])[i]))"
+        )
+        return f"({dot} - {fl(half)})"
 
     d_cols = ", ".join(
-        "[" + ", ".join(dist(mm, c) for c in books[mm]) + f"] AS d{mm}"
+        "[" + ", ".join(score(mm, c) for c in books[mm]) + f"] AS d{mm}"
         for mm in range(m)
     )
     c_cols = ", ".join(
-        f"CAST(list_position(d{mm}, list_min(d{mm})) - 1 AS INTEGER) AS c{mm}"
+        f"CAST(list_position(d{mm}, list_max(d{mm})) - 1 AS INTEGER) AS c{mm}"
         for mm in range(m)
     )
     # per-subspace T lookup: dot of the normalized query slice with the

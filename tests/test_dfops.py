@@ -443,6 +443,27 @@ def test_point_in_interval_left_join_keeps_unmatched(spark):
     assert got == {0: 0, 1: None, 2: None}
 
 
+def test_point_in_interval_left_join_null_cols_and_dup_rows(spark):
+    # regression: the left path used to re-attach matches by equi-joining
+    # on ALL point columns — a NULL in any extra column dropped genuinely
+    # matched rows, and duplicate point rows fanned out multiplicatively
+    from sed_spark.dfops import point_in_interval_join
+
+    pdf = spark.createDataFrame(
+        [(5.0, None), (5.0, None), (50.0, "tag")],
+        "x double, note string",
+    )
+    idf = spark.createDataFrame([(0, 4.0, 6.0)], ["iid", "lo", "hi"])
+    rows = point_in_interval_join(
+        pdf, idf, on="x", lo_col="lo", hi_col="hi",
+        bucket_width=10.0, how="left",
+    ).collect()
+    # exactly one output row per input row (no fan-out, no drops)
+    assert len(rows) == 3
+    got = sorted((r["x"], r["note"], r["iid"]) for r in rows)
+    assert got == [(5.0, None, 0), (5.0, None, 0), (50.0, "tag", None)]
+
+
 def test_point_in_interval_join_guards_runaway_fanout(spark):
     import pytest
 

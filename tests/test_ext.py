@@ -1047,18 +1047,28 @@ def test_bpe_train_local_engine_matches_distributed(spark):
     ]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
 
-    tracker = spark.sparkContext.statusTracker()
+    # count jobs via a dedicated job group: in a shared module-scoped
+    # session, unrelated async jobs (AQE / broadcast cleanup from earlier
+    # tests) land between two getJobIdsForGroup(None) reads and inflate
+    # the delta — counting only our group's ids is race-free
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
 
-    def n_jobs() -> int:
-        return len(tracker.getJobIdsForGroup(None))
+    def run_grouped(group: str, fn):
+        sc.setJobGroup(group, group)
+        try:
+            out = fn()
+        finally:
+            sc.setJobGroup("", "")
+        return out, len(tracker.getJobIdsForGroup(group))
 
-    before = n_jobs()
-    local = vocab.bpe_train(docs, n_merges=10)
-    local_jobs = n_jobs() - before
-
-    before = n_jobs()
-    dist = vocab.bpe_train(docs, n_merges=10, local_vocab_threshold=0)
-    dist_jobs = n_jobs() - before
+    local, local_jobs = run_grouped(
+        "bpe-local", lambda: vocab.bpe_train(docs, n_merges=10),
+    )
+    dist, dist_jobs = run_grouped(
+        "bpe-dist",
+        lambda: vocab.bpe_train(docs, n_merges=10, local_vocab_threshold=0),
+    )
 
     assert local == dist
     assert len(local) == 10

@@ -193,6 +193,26 @@ def test_bloom_probe_no_false_negatives_and_bounded_fp(spark):
     assert fp / 200 < 0.5
 
 
+def test_bloom_probe_preserves_duplicate_rows(spark):
+    # regression: grouping on the full column set silently deduplicated
+    # identical input rows — the probe must return one row per input row
+    bloom = sketch.bloom_build(
+        spark.createDataFrame([("doc0",)], ["key"]),
+        "key", m_bits=BLOOM_M, k_hashes=BLOOM_K,
+    )
+    probes = spark.createDataFrame(
+        [("doc0",), ("doc0",), ("new1",), ("new1",), ("new1",)], ["key"],
+    )
+    rows = sketch.bloom_probe(
+        probes, bloom, "key", m_bits=BLOOM_M, k_hashes=BLOOM_K,
+    ).collect()
+    assert len(rows) == 5
+    assert sorted(r["key"] for r in rows) == sorted(
+        ["doc0", "doc0", "new1", "new1", "new1"],
+    )
+    assert all(r["maybe_seen"] == 1 for r in rows if r["key"] == "doc0")
+
+
 def test_bloom_merge_equals_build_on_union(spark):
     a = [f"a{i}" for i in range(30)]
     b = [f"b{i}" for i in range(30)]

@@ -57,6 +57,15 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     a, b = canon(spark_pdf), canon(duck_pdf)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
+        # The driver's value hash is representation-sensitive: an int64 Spark
+        # column vs a float64 oracle column (DuckDB HUGEINT promotion) fails
+        # there even when values are numerically equal — so fail it here too.
+        if {av.dtype.kind, bv.dtype.kind} == {"i", "f"}:
+            problems.append(
+                f"col {c}: dtype-class mismatch spark={av.dtype} duck={bv.dtype} "
+                "(DuckDB HUGEINT->float64 promotion? CAST the aggregate to BIGINT)",
+            )
+            continue
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             eq = (av == bv) | (pd.isna(av) & pd.isna(bv))
         else:
