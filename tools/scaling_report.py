@@ -250,6 +250,148 @@ def main() -> None:
         )
         return lambda: run_noop(graph.pagerank(e, n_iter=3))
 
+    def _pt_interval_join(n):
+        # n points, n/10 touching width-10 intervals -> every point lands
+        # in exactly one interval; output n rows, 1-2 buckets per interval
+        from sed_spark.dfops import point_in_interval_join
+
+        par = spark.sparkContext.defaultParallelism * 4
+        pts = pin(
+            spark.range(0, n, 1, par).select(
+                F.col("id").alias("pid"), (F.rand(11) * n).alias("x"),
+            ),
+        )
+        ivs = pin(
+            spark.range(0, n // 10, 1, par).select(
+                F.col("id").alias("iid"),
+                (F.col("id") * 10.0).alias("lo"),
+                (F.col("id") * 10.0 + 10.0).alias("hi"),
+            ),
+        )
+        return lambda: run_noop(
+            point_in_interval_join(
+                pts, ivs, on="x", lo_col="lo", hi_col="hi",
+                bucket_width=10.0,
+            ),
+        )
+
+    def _overlap_join(n):
+        # two sides of n unit-length intervals uniform on [0, n/2]
+        # (density 2/unit -> ~4 overlaps per left row, linear output)
+        from sed_spark.dfops import interval_overlap_join
+
+        par = spark.sparkContext.defaultParallelism * 4
+
+        def side(prefix, seed):
+            lo = F.rand(seed) * (n / 2.0)
+            return pin(
+                spark.range(0, n, 1, par).select(
+                    F.col("id").alias(f"{prefix}_id"),
+                    lo.alias(f"{prefix}_lo"),
+                    (lo + 1.0).alias(f"{prefix}_hi"),
+                ),
+            )
+
+        lhs, rhs = side("a", 21), side("b", 22)
+        return lambda: run_noop(
+            interval_overlap_join(
+                lhs, rhs, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=1.0,
+            ),
+        )
+
+    def _simhash16(n):
+        d = pin(synth_docs(spark, n))
+        return lambda: run_noop(dedup.simhash16(d))
+
+    def _simhash_pairs(n):
+        # NOTE: a 16-bit fingerprint space saturates once n >> 2^16 — the
+        # PAIR OUTPUT itself grows ~n^2/2^16, so the step ratio here reads
+        # the output size, not the banding machinery; real corpora use the
+        # operator after sharding or with wider fingerprints. max_hamming=1
+        # (2 blocks of 8 bits) keeps candidates ~n^2/128.
+        par = spark.sparkContext.defaultParallelism * 4
+        fps = pin(
+            spark.range(0, n, 1, par).select(
+                F.col("id").alias("doc_id"),
+                ((F.col("id") * 2654435761) % 65536).alias("simhash"),
+            ),
+        )
+        return lambda: run_noop(dedup.simhash_pairs(fps, max_hamming=1))
+
+    # deterministic PQ codebooks (m=4, k=8 over dim 64): Knuth-hash
+    # values in [-1, 1), the same rule as text.hashed_weights
+    def _pq_books(m=4, k=8, dsub=16):
+        def h(i):
+            return ((i * 2654435761) % 4294967296) / 4294967296 * 2 - 1
+        return [
+            [[h(mm * 1000 + j * 100 + i) for i in range(dsub)]
+             for j in range(k)]
+            for mm in range(m)
+        ]
+
+    def _pq_adc(n):
+        # encode (argmax over 8 codes x 4 subspaces) + ADC lookup scoring
+        emb = pin(synth_embeddings(spark, n))
+        books = _pq_books()
+        query = [_pq_books(1, 1, 64)[0][0][i] for i in range(64)]
+        return lambda: run_noop(
+            similarity.pq_topk(emb, books, query, k=10),
+        )
+
+    def _equidepth(n):
+        from sed_spark.binning import equidepth_edges
+
+        par = spark.sparkContext.defaultParallelism * 4
+        d = pin(
+            spark.range(0, n, 1, par).select(
+                (F.rand(31) ** 4 * 1e6).alias("x"),  # heavy skew
+            ),
+        )
+        return lambda: equidepth_edges(d, "x", 64)
+
+    def _stream_interval_join(n):
+        # file-source replay of the watermarked stream-stream interval
+        # join: n left x n right events, ~1 match per left row; the
+        # parquet staging is NOT timed (pinned-input rule)
+        import shutil
+        import tempfile
+
+        from sed_spark import streaming as sstream
+
+        par = spark.sparkContext.defaultParallelism * 4
+        tmp = tempfile.mkdtemp(prefix="scaling_sij_")
+        base = spark.range(0, n, 1, par)
+        base.select(
+            F.col("id").alias("lk"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + (F.col("id") % 1000),
+            ).alias("lt"),
+        ).write.mode("overwrite").parquet(f"{tmp}/left")
+        base.select(
+            F.col("id").alias("rk"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + (F.col("id") % 1000)
+                + (F.col("id") % 30),
+            ).alias("rt"),
+        ).write.mode("overwrite").parquet(f"{tmp}/right")
+        lschema = spark.read.parquet(f"{tmp}/left").schema
+        rschema = spark.read.parquet(f"{tmp}/right").schema
+
+        def thunk(tmp=tmp):
+            lhs = spark.readStream.schema(lschema).parquet(f"{tmp}/left")
+            rhs = spark.readStream.schema(rschema).parquet(f"{tmp}/right")
+            joined = sstream.streaming_interval_join(
+                lhs, rhs, "lk", "rk", "lt", "rt",
+                lag_seconds=60, watermark="10 seconds",
+            )
+            sstream.run_available_now(
+                joined, "scaling_sij", output_mode="append",
+            )
+            spark.catalog.dropTempView("scaling_sij")
+
+        thunk.cleanup = lambda: shutil.rmtree(tmp, ignore_errors=True)
+        return thunk
+
     def _cms(n):
         d = pin(
             spark.range(
