@@ -1019,7 +1019,16 @@ def ivfpq_train(
     tighter cells than quantizing raw vectors, because the coarse
     assignment has already removed the between-cluster variance. One
     shared codebook set across buckets (the standard memory/accuracy
-    trade). Same reproducibility contract as :func:`pq_train`."""
+    trade). Same reproducibility contract as :func:`pq_train`.
+
+    The coarse centroids MUST be data centroids (:func:`kmeans_fit`)
+    for the residual trick to help: random hyperplanes
+    (:func:`deterministic_planes`) are a valid bucketing function but
+    a terrible reconstruction anchor — measured on the sf0.1
+    embeddings, ``|x - c_bucket|/|x|`` was 7.3 with random planes (the
+    "residual" is bigger than the vector, recall@10 collapsed to 0.03)
+    vs trained-centroid IVF-PQ recall tracking plain IVF
+    (tools/ann_recall.py, SCALING.md "ANN recall")."""
     assigned = ivf_assign(
         df, coarse_centroids, id_col=id_col, vec_col=vec_col,
     )

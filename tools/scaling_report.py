@@ -427,6 +427,13 @@ def main() -> None:
         ("pagerank (3 int rounds, 2n edges)", [10**5, 10**6, 10**7], _pagerank),
         ("cms_build (1024x4 counters)", [10**6, 10**7, 10**8], _cms),
         ("hll_registers (p=12)", [10**6, 10**7, 10**8], _hll),
+        ("point_in_interval_join (bucketed)", [10**5, 10**6, 10**7], _pt_interval_join),
+        ("interval_overlap_join (bucketed)", [10**5, 10**6], _overlap_join),
+        ("simhash16 (explode + 16-sum agg)", [10**5, 10**6, 10**7], _simhash16),
+        ("simhash_pairs (16-bit space saturates)", [10**4, 10**5], _simhash_pairs),
+        ("pq_topk (encode + ADC scoring)", [10**5, 10**6, 10**7], _pq_adc),
+        ("equidepth_edges (approx, 64 bins)", [10**6, 10**7, 10**8], _equidepth),
+        ("streaming_interval_join (replay)", [10**5, 10**6], _stream_interval_join),
     ]
 
     # optional substring filters: `scaling_report.py bm25 pagerank` times
@@ -453,6 +460,8 @@ def main() -> None:
         for n in sizes:
             thunk = builder(n)
             t = timed(thunk)
+            if hasattr(thunk, "cleanup"):
+                thunk.cleanup()
             unpin_all()
             ratio = "" if prev is None else f"{t / prev:.1f}x"
             print(
