@@ -2404,7 +2404,8 @@ wn AS (
 sw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 swins AS (
   SELECT doc_id, pos - 1 AS pos,
-    md5(array_to_string(w[pos:pos+{_SPAN_WINDOW - 1}], ' ')) AS h
+    CAST(('0x' || substr(md5(array_to_string(w[pos:pos+{_SPAN_WINDOW - 1}], ' ')),
+                         1, 15))::UBIGINT AS BIGINT) AS h
   FROM (
     SELECT doc_id, w,
       unnest(generate_series(1, len(w) - {_SPAN_WINDOW - 1})) AS pos

@@ -173,9 +173,11 @@ def test_dsir_score_is_single_projection_no_shuffle(spark):
     assert "Join" not in plan and "HashAggregate" not in plan
 
 
-def test_duplicate_spans_windows_partition_by_doc(spark):
-    # the gaps-and-islands stage must be a window PARTITIONED on doc_id
-    # (document-local), and no join in the plan may be a cartesian product
+def test_duplicate_spans_no_window_no_cartesian(spark):
+    # round-6 form: the interval union is an ordered array fold per
+    # document (no window-function stage, hence no sort-based exchange
+    # over the duplicated-window rows), and no join in the plan may be a
+    # cartesian product
     from sed_spark.ext.dedup import duplicate_spans
     from sed_spark.suite.common import load
 
@@ -183,10 +185,12 @@ def test_duplicate_spans_windows_partition_by_doc(spark):
     df.collect()  # let AQE finalize
     plan = _plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
-    assert "Window" in plan
+    assert "Window" not in plan
+    # the only sort left is inside sort_array (an expression, not a
+    # physical Sort over the exploded rows)
     for line in plan.splitlines():
-        if "Window [" in line or "RunningWindowFunction" in line:
-            assert "doc_id" in line, line
+        if line.strip().startswith(("Sort ", "+- Sort ", ":- Sort ")):
+            raise AssertionError(f"unexpected physical Sort: {line}")
 
 
 def test_gumbel_topk_uses_take_ordered_not_global_window(spark):
