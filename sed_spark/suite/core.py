@@ -1336,18 +1336,70 @@ sql("run_stats",
     "FROM events GROUP BY user_id)")
 
 
+#: z-order fold parameters (round 6): 8 bits per dim over the two value
+#: dims, coarse bucket = top 6 of the 16 interleaved bits
+_Z_RANGES = [("l_quantity", 0.0, 51.0), ("l_extendedprice", 900.0, 105000.0)]
+_Z_BITS = 8
+_Z_SHIFT = 10
+
+
 @q("file_stats")
 def file_stats(spark, sf_dir):
     """get_stats / get_parquet_metadata equivalent (SURVEY §2.1): per-file
     row count + column min/max over the file_id dimension the loader
-    materializes (reference src/sed/loader/utils.py:209-266)."""
+    materializes (reference src/sed/loader/utils.py:209-266).
+
+    Round-6 widening: the same stats shape per Z-ORDER BUCKET (top
+    ``16 - _Z_SHIFT`` bits of the Morton interleave of the two value
+    dims, ``sed_spark.layout.zorder_value``) — exactly the per-file
+    bounds a `zorder_write` layout hands the row-group pruner; tight
+    per-bucket min/max here IS the file-skipping win the writer buys.
+    Branch rows carry file_id = 100000 + bucket (disjoint from real
+    file ids)."""
+    from sed_spark import layout
     from sed_spark.loader.generic import GenericLoader
     from sed_spark.loader.stats import file_stats_df
 
     df, _ = GenericLoader(spark).read_dataframe(
         files=[f"{sf_dir}/lineitem.parquet"],
     )
-    return file_stats_df(df, ["l_quantity", "l_extendedprice", "l_shipdate"])
+    cols = ["l_quantity", "l_extendedprice", "l_shipdate"]
+    plain = file_stats_df(df, cols)
+    zdf = layout.zorder_value(
+        df,
+        [c for c, _, _ in _Z_RANGES],
+        [(lo, hi) for _, lo, hi in _Z_RANGES],
+        bits_per_dim=_Z_BITS,
+    ).withColumn(
+        "file_id",
+        (F.shiftright(F.col("__zval"), _Z_SHIFT) + 100000).cast(
+            plain.schema["file_id"].dataType,
+        ),
+    )
+    zstats = file_stats_df(zdf, cols)
+    return plain.unionByName(zstats)
+
+
+def _zbin_sql(col: str, lo: float, hi: float, bits: int) -> str:
+    n = 1 << bits
+    step = (float(hi) - float(lo)) / n
+    return (
+        f"COALESCE(least(greatest(CAST(floor((CAST({col} AS DOUBLE) - "
+        f"{fl(float(lo))}) / {fl(step)}) AS BIGINT), 0), {n - 1}), 0)"
+    )
+
+
+def _zval_sql() -> str:
+    k = len(_Z_RANGES)
+    bins = ", ".join(
+        _zbin_sql(c, lo, hi, _Z_BITS) + f" AS b{j}"
+        for j, (c, lo, hi) in enumerate(_Z_RANGES)
+    )
+    terms = []
+    for j in range(k):
+        for bit in range(_Z_BITS):
+            terms.append(f"(((b{j} >> {bit}) & 1) << {bit * k + j})")
+    return f"SELECT *, ({' + '.join(terms)}) AS zval FROM (SELECT *, {bins} FROM lineitem)"
 
 
 sql("file_stats",
@@ -1356,4 +1408,12 @@ sql("file_stats",
     "min(l_extendedprice) AS l_extendedprice_min, "
     "max(l_extendedprice) AS l_extendedprice_max, "
     "min(l_shipdate) AS l_shipdate_min, max(l_shipdate) AS l_shipdate_max "
-    "FROM lineitem")
+    "FROM lineitem "
+    "UNION ALL "
+    "SELECT CAST((zval >> " + str(_Z_SHIFT) + ") + 100000 AS INTEGER) AS file_id, "
+    "COUNT(*) AS num_rows, "
+    "min(l_quantity) AS l_quantity_min, max(l_quantity) AS l_quantity_max, "
+    "min(l_extendedprice) AS l_extendedprice_min, "
+    "max(l_extendedprice) AS l_extendedprice_max, "
+    "min(l_shipdate) AS l_shipdate_min, max(l_shipdate) AS l_shipdate_max "
+    "FROM (" + _zval_sql() + ") GROUP BY 1")
