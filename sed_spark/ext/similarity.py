@@ -42,6 +42,22 @@ __all__ = [
 ]
 
 
+#: Scoring-expression strategy. ``False`` (default) builds dot products
+#: and norms as ``zip_with``+``aggregate`` FOLDS — tiny plans, tiny
+#: generated code, safe in a 1 GB driver (the folds execute interpreted
+#: per element, which only matters on large scans). ``True`` EXPANDS
+#: them into flat left-associated sums that stay inside whole-stage
+#: codegen: measured 2.0x on the 1e7-row PQ encode+ADC scan (93.5 s ->
+#: 46.5 s, identical values — the fold's first step is ``0.0 + t0``,
+#: so left-assoc expansion is bit-identical), but the bigger generated
+#: code costs ~5 s of Janino compile per query and OOMed a 1 GB driver
+#: on the 8-branch suite row — set True on real clusters with
+#: multi-GB drivers scanning >=1e7 rows, leave False for small-heap /
+#: small-data sessions. Either setting produces the same values, so
+#: the DuckDB oracle agrees with both.
+EXPANDED_SCORING = False
+
+
 def _sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -74,19 +90,53 @@ def cosine_topk(
     the scan is embarrassingly parallel and the only shuffle is the global
     top-k (Spark's TakeOrderedAndProject — per-partition heaps then a
     driver merge, not a full sort).
+
+    With :data:`EXPANDED_SCORING` the similarity is the EXPANDED
+    left-associated dot and norm sums (codegen) rather than
+    :func:`cosine_expr`'s interpreted folds — bit-identical values (the
+    fold's first step is ``0.0 + t0 = t0``), and ``sqrt(|q|²)``
+    precomputes to a Python literal (IEEE sqrt is correctly rounded in
+    both runtimes, on the identically-accumulated ``|q|²``).
     """
     from sed_spark.ext import scale_out
 
     df = scale_out(df)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    sim = cosine_expr(F.col(vec_col), q)
-    if round_decimals is not None:
-        sim = F.round(sim, round_decimals)
+    if EXPANDED_SCORING:
+        sim = F.expr(_expanded_cosine_sql(vec_col, query_vec, round_decimals))
+    else:
+        q = F.array(*[F.lit(float(v)) for v in query_vec])
+        sim = cosine_expr(F.col(vec_col), q)
+        if round_decimals is not None:
+            sim = F.round(sim, round_decimals)
     return (
         df.select(F.col(id_col), sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def _expanded_cosine_sql(
+    vec_col: str, query_vec, round_decimals: int | None,
+) -> str:
+    """Flat-sum cosine against a literal query (see
+    :data:`EXPANDED_SCORING`)."""
+    import math
+
+    qn2 = 0.0
+    for v in query_vec:
+        qn2 += float(v) * float(v)
+    dot = " + ".join(
+        f"(CAST({vec_col}[{i}] AS DOUBLE) * CAST('{float(v)!r}' AS DOUBLE))"
+        for i, v in enumerate(query_vec)
+    )
+    nx = " + ".join(
+        f"(CAST({vec_col}[{i}] AS DOUBLE) * CAST({vec_col}[{i}] AS DOUBLE))"
+        for i in range(len(query_vec))
+    )
+    sim = f"(({dot}) / (sqrt({nx}) * CAST('{math.sqrt(qn2)!r}' AS DOUBLE)))"
+    if round_decimals is not None:
+        sim = f"round({sim}, {int(round_decimals)})"
+    return sim
 
 
 def batch_cosine_topk(
@@ -439,9 +489,22 @@ def ivf_assign(
     from sed_spark.ext import scale_out
 
     df = scale_out(df)
-    sims = _centroid_sims_expr(vec_col, centroids, round_decimals)
-    bucket = F.array_position(sims, F.array_max(sims)).cast("int")
-    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    # staged so argmax references the sims array ONCE by name:
+    # array_position(sims, array_max(sims)) over the inline expression
+    # duplicated the k*dim expanded terms and the generated code for the
+    # single projection OOMed a 1 GB driver at compile time
+    staged = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _centroid_sims_expr(vec_col, centroids, round_decimals)
+        .alias("__sims"),
+    )
+    bucket = F.array_position(
+        F.col("__sims"), F.array_max(F.col("__sims")),
+    ).cast("int")
+    return staged.select(
+        F.col(id_col), F.col(vec_col), bucket.alias("bucket"),
+    )
 
 
 def _centroid_sims_expr(
@@ -449,16 +512,28 @@ def _centroid_sims_expr(
 ) -> Column:
     """Row-local array of rounded cosines to every centroid — the shared
     quantization rule of :func:`ivf_assign` and :func:`semantic_dedup`
-    (centroids ride in the expression tree as literals, zero shuffle)."""
-    return F.array(
-        *[
-            F.round(
-                cosine_expr(F.col(vec_col), F.array(*[F.lit(float(v)) for v in c])),
-                round_decimals,
-            )
-            for c in centroids
-        ],
-    )
+    (centroids ride in the expression tree as literals, zero shuffle).
+
+    With :data:`EXPANDED_SCORING`, flat sums instead of folds (values
+    bit-identical — each centroid's ``sqrt(|c|²)`` precomputes to a
+    Python literal with the identical sequential accumulation)."""
+    if not EXPANDED_SCORING:
+        return F.array(
+            *[
+                F.round(
+                    cosine_expr(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(v)) for v in c]),
+                    ),
+                    round_decimals,
+                )
+                for c in centroids
+            ],
+        )
+    sims = [
+        _expanded_cosine_sql(vec_col, c, round_decimals) for c in centroids
+    ]
+    return F.expr("array(" + ", ".join(sims) + ")")
 
 
 def kmeans_fit(
@@ -685,8 +760,11 @@ def _score_probed(
     vec_col: str,
     round_decimals: int,
 ) -> DataFrame:
-    qarr = F.array(*[F.lit(float(v)) for v in query_vec])
-    sim = F.round(cosine_expr(F.col(vec_col), qarr), round_decimals)
+    if EXPANDED_SCORING:
+        sim = F.expr(_expanded_cosine_sql(vec_col, query_vec, round_decimals))
+    else:
+        qarr = F.array(*[F.lit(float(v)) for v in query_vec])
+        sim = F.round(cosine_expr(F.col(vec_col), qarr), round_decimals)
     cond = (
         F.col("bucket") == probes[0] if len(probes) == 1
         else F.col("bucket").isin(probes)
@@ -774,22 +852,36 @@ def _pq_score_sql(vec_col: str, m: int, dsub: int, centroid) -> str:
     Spark-SQL STRING: ``⟨x_m, c⟩ - |c|²/2`` (argmax over the codebook ≡
     argmin squared L2, since ``|x_m|²`` is constant across codes).
 
-    A string on purpose, twice over: the dot is a ``zip_with`` +
-    sequential ``aggregate`` fold (one higher-order node, not ``dsub``
-    expanded difference terms — the expanded form cost seconds of
-    Catalyst time per query), and building the tree from Python Column
-    objects issued thousands of Py4J calls (~3-5 s per projection at
-    m=4, k=8); one ``F.expr`` round-trip parses the whole thing
-    JVM-side in milliseconds. Literals go through ``CAST('repr' AS
-    DOUBLE)`` — the repr round-trip, same bits as the DuckDB mirror's
-    ``fl()`` literals, and the mirror replays the identical ordered
-    fold, so codes agree bit-for-bit."""
-    clit = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in centroid)
-    dot = (
-        f"aggregate(zip_with(slice({vec_col}, {m * dsub + 1}, {dsub}), "
-        f"array({clit}), (x, y) -> CAST(x AS DOUBLE) * y), "
-        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    )
+    A string on purpose (building the tree from Python Column objects
+    issued thousands of Py4J calls — ~3-5 s per projection at m=4,
+    k=8; one ``F.expr`` round-trip parses JVM-side in milliseconds).
+
+    With :data:`EXPANDED_SCORING` the dot is the EXPANDED
+    left-associated sum of ``dsub`` product terms instead of the
+    ``zip_with``+``aggregate`` fold: higher-order lambdas execute
+    interpreted per element while the flat sum stays inside whole-stage
+    codegen — measured 2.0x on the 1e7-row encode+ADC scan (93.5 s fold
+    vs 46.5 s expanded, identical codes). Left-assoc ``((x0·c0 + x1·c1)
+    + ...)`` is bit-identical to the fold (whose first step is ``0.0 +
+    x0·c0 = x0·c0``), so the DuckDB mirror's ordered ``list_sum``
+    agrees with BOTH settings bit-for-bit. Literals go through
+    ``CAST('repr' AS DOUBLE)`` — the repr round-trip, same bits as the
+    mirror's ``fl()`` literals. NOTE: SQL bracket indexing is 0-based
+    in Spark; ``slice`` is 1-based."""
+    if EXPANDED_SCORING:
+        dot = " + ".join(
+            f"(CAST({vec_col}[{m * dsub + i}] AS DOUBLE) * "
+            f"CAST('{float(v)!r}' AS DOUBLE))"
+            for i, v in enumerate(centroid)
+        )
+        dot = f"({dot})"
+    else:
+        clit = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in centroid)
+        dot = (
+            f"aggregate(zip_with(slice({vec_col}, {m * dsub + 1}, {dsub}), "
+            f"array({clit}), (x, y) -> CAST(x AS DOUBLE) * y), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
     return f"({dot} - CAST('{pq_half_norm(centroid)!r}' AS DOUBLE))"
 
 
@@ -805,22 +897,36 @@ def _with_pq_codes(
     :func:`ivf_assign`.
 
     The code is ``array_position(S, array_max(S)) - 1`` over the score
-    array (first occurrence of the max = ties to the lowest code); the
-    whole projection is one ``F.expr`` string per subspace — see
-    :func:`_pq_score_sql` for why strings.
+    array (first occurrence of the max = ties to the lowest code),
+    staged as TWO projections: the first computes each subspace's score
+    array once, the second takes the argmax — referencing the array by
+    name instead of repeating its ``k·dsub`` product terms inside both
+    ``array_position`` and ``array_max`` (which doubled the generated
+    code). See :func:`_pq_score_sql` for why strings and why expanded
+    sums.
     """
     dsub = len(codebooks[0][0])
-    cols = []
-    for m, book in enumerate(codebooks):
-        arr = "array(" + ", ".join(
-            _pq_score_sql(vec_col, m, dsub, c) for c in book
-        ) + ")"
-        cols.append(
+    stage1 = df.select(
+        *keep,
+        *[
             F.expr(
-                f"CAST(array_position({arr}, array_max({arr})) - 1 AS INT)",
-            ).alias(f"__code_{m}"),
-        )
-    return df.select(*keep, *cols)
+                "array(" + ", ".join(
+                    _pq_score_sql(vec_col, m, dsub, c) for c in book
+                ) + ")",
+            ).alias(f"__sc_{m}")
+            for m, book in enumerate(codebooks)
+        ],
+    )
+    return stage1.select(
+        *keep,
+        *[
+            F.expr(
+                f"CAST(array_position(__sc_{m}, array_max(__sc_{m})) - 1 "
+                "AS INT)",
+            ).alias(f"__code_{m}")
+            for m in range(len(codebooks))
+        ],
+    )
 
 
 def pq_train(
@@ -1248,28 +1354,59 @@ def sq8_topk(
         (float(h) - float(lo)) if float(h) > float(lo) else 0.0
         for lo, h in zip(los, his)
     ]
+    # staged either way: stage 1 dequantizes each dimension ONCE into a
+    # named array column (the round-5 form evaluated the whole
+    # dequantize chain twice — numerator fold + norm fold), stage 2
+    # computes the score. With EXPANDED_SCORING, stage 1 is a
+    # literal-built array (no higher-order lambda; every term is the
+    # same arithmetic the zip_with computes, in the same order) and
+    # stage 2 the flat left-associated sums — bit-identical values.
+    dim = len(los)
     qhat = "array(" + ", ".join(
         f"CAST('{float(v) / qn!r}' AS DOUBLE)" for v in query
     ) + ")"
-    deq = (
-        f"zip_with({vec_col}, "
-        f"zip_with({_sq8_lits(los)}, {_sq8_lits(spans)}, "
-        "(l, s) -> named_struct('l', l, 's', s)), "
-        "(x, b) -> CASE WHEN b.s > CAST(0.0 AS DOUBLE) THEN "
-        "b.l + floor(least(CAST(255.0 AS DOUBLE), "
-        "greatest(CAST(0.0 AS DOUBLE), "
-        "(CAST(x AS DOUBLE) - b.l) / b.s * CAST(255.0 AS DOUBLE)))) "
-        "/ CAST(255.0 AS DOUBLE) * b.s "
-        "ELSE b.l END)"
-    )
-    score = (
-        f"round(aggregate(zip_with({deq}, {qhat}, (x, q) -> x * q), "
-        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / "
-        f"sqrt(aggregate({deq}, CAST(0.0 AS DOUBLE), "
-        f"(acc, x) -> acc + x * x)), {round_decimals})"
-    )
+    if EXPANDED_SCORING:
+        def d(i: int) -> str:
+            lo = f"CAST('{float(los[i])!r}' AS DOUBLE)"
+            s = f"CAST('{float(spans[i])!r}' AS DOUBLE)"
+            x = f"CAST({vec_col}[{i}] AS DOUBLE)"
+            if spans[i] <= 0.0:
+                return lo
+            return (
+                f"({lo} + floor(least(CAST(255.0 AS DOUBLE), "
+                f"greatest(CAST(0.0 AS DOUBLE), ({x} - {lo}) / {s} * "
+                "CAST(255.0 AS DOUBLE)))) "
+                f"/ CAST(255.0 AS DOUBLE) * {s})"
+            )
+
+        deq = "array(" + ", ".join(d(i) for i in range(dim)) + ")"
+        num = " + ".join(
+            f"(__deq[{i}] * CAST('{float(query[i]) / qn!r}' AS DOUBLE))"
+            for i in range(dim)
+        )
+        den = " + ".join(f"(__deq[{i}] * __deq[{i}])" for i in range(dim))
+        score = f"round(({num}) / sqrt({den}), {round_decimals})"
+    else:
+        deq = (
+            f"zip_with({vec_col}, "
+            f"zip_with({_sq8_lits(los)}, {_sq8_lits(spans)}, "
+            "(l, s) -> named_struct('l', l, 's', s)), "
+            "(x, b) -> CASE WHEN b.s > CAST(0.0 AS DOUBLE) THEN "
+            "b.l + floor(least(CAST(255.0 AS DOUBLE), "
+            "greatest(CAST(0.0 AS DOUBLE), "
+            "(CAST(x AS DOUBLE) - b.l) / b.s * CAST(255.0 AS DOUBLE)))) "
+            "/ CAST(255.0 AS DOUBLE) * b.s "
+            "ELSE b.l END)"
+        )
+        score = (
+            f"round(aggregate(zip_with(__deq, {qhat}, (x, q) -> x * q), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / "
+            "sqrt(aggregate(__deq, CAST(0.0 AS DOUBLE), "
+            f"(acc, x) -> acc + x * x)), {round_decimals})"
+        )
+    staged = df.select(F.col(id_col), F.expr(deq).alias("__deq"))
     return (
-        df.select(F.col(id_col), F.expr(score).alias("cos_sim"))
+        staged.select(F.col(id_col), F.expr(score).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -35,6 +35,40 @@ def test_cosine_topk_matches_numpy(emb_df):
     assert got[1].vec_id == 50  # planted near-dup second
 
 
+def test_expanded_scoring_mode_is_bit_identical(emb_df):
+    # EXPANDED_SCORING swaps interpreted folds for flat codegen sums;
+    # the two must produce IDENTICAL rows for every scoring family
+    df, vecs = emb_df
+    q = [float(v) for v in vecs[10]]
+    cents = similarity.deterministic_planes(4, 16, seed=5)
+    books = [
+        [[((m * 100 + j * 10 + i) % 7 - 3) / 3.0 for i in range(4)]
+         for j in range(4)]
+        for m in range(4)
+    ]
+    los, his = similarity.sq8_fit(df)
+
+    def snap():
+        return {
+            "cos": similarity.cosine_topk(df, q, k=5).collect(),
+            "ivf": similarity.ivf_topk(df, cents, q, k=5, nprobe=2).collect(),
+            "pq": similarity.pq_topk(df, books, q, k=5).collect(),
+            "sq8": similarity.sq8_topk(df, los, his, q, k=5).collect(),
+            "ivfpq": similarity.ivfpq_topk(
+                df, cents, books, q, k=5, nprobe=2,
+            ).collect(),
+        }
+
+    assert similarity.EXPANDED_SCORING is False  # suite-safe default
+    fold = snap()
+    similarity.EXPANDED_SCORING = True
+    try:
+        expanded = snap()
+    finally:
+        similarity.EXPANDED_SCORING = False
+    assert fold == expanded
+
+
 def test_embedding_near_dup_finds_planted_pairs(emb_df):
     df, _ = emb_df
     planes = similarity.deterministic_planes(16, 16, seed=5)

@@ -338,6 +338,22 @@ def main() -> None:
             similarity.pq_topk(emb, books, query, k=10),
         )
 
+    def _pq_adc_expanded(n):
+        # the EXPANDED_SCORING variant: flat codegen sums instead of
+        # interpreted folds (identical values; needs a multi-GB driver)
+        emb = pin(synth_embeddings(spark, n))
+        books = _pq_books()
+        query = [_pq_books(1, 1, 64)[0][0][i] for i in range(64)]
+
+        def thunk():
+            similarity.EXPANDED_SCORING = True
+            try:
+                run_noop(similarity.pq_topk(emb, books, query, k=10))
+            finally:
+                similarity.EXPANDED_SCORING = False
+
+        return thunk
+
     def _equidepth(n):
         from sed_spark.binning import equidepth_edges
 
@@ -432,6 +448,7 @@ def main() -> None:
         ("simhash16 (explode + 16-sum agg)", [10**5, 10**6, 10**7], _simhash16),
         ("simhash_pairs (16-bit space saturates)", [10**4, 10**5], _simhash_pairs),
         ("pq_topk (encode + ADC scoring)", [10**5, 10**6, 10**7], _pq_adc),
+        ("pq_topk EXPANDED_SCORING", [10**6, 10**7], _pq_adc_expanded),
         ("equidepth_edges (approx, 64 bins)", [10**6, 10**7, 10**8], _equidepth),
         ("streaming_interval_join (replay)", [10**5, 10**6], _stream_interval_join),
     ]
