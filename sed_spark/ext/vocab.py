@@ -33,6 +33,8 @@ __all__ = [
     "bpe_apply_expr",
     "bpe_train",
     "bpe_token_counts",
+    "bpe_vocab",
+    "bpe_encode",
 ]
 
 
@@ -419,6 +421,99 @@ def bpe_token_counts(
         w.join(per_word, "word")
         .groupBy(id_col)
         .agg(F.sum("__n_sub").cast("long").alias("n_bpe_tokens"))
+    )
+
+
+def bpe_vocab(vocab: DataFrame, merges) -> dict[str, int]:
+    """Symbol → token-id mapping for a trained merge list: base
+    single-character symbols first (sorted, ids ``0..B-1``), then each
+    merge's fused symbol in merge order (``B``, ``B+1``, ...; a fused
+    string that already exists — e.g. two merge paths producing the same
+    surface form — keeps its first id). The alphabet comes from the
+    vocabulary table's words, so the collect is alphabet-sized (one row
+    per distinct character), never corpus- or vocabulary-sized."""
+    chars = sorted(
+        r["sym"]
+        for r in vocab.select(
+            F.explode(symbols_expr(F.col("word"))).alias("sym"),
+        ).distinct().collect()
+    )
+    sym2id = {c: i for i, c in enumerate(chars)}
+    for a, b in merges:
+        fused = a + b
+        if fused not in sym2id:
+            sym2id[fused] = len(sym2id)
+    return sym2id
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+    unk_id: int = -1,
+) -> DataFrame:
+    """Per-document TOKEN-ID sequences under a trained merge list —
+    ``(id_col, token_ids array<int>)`` in original word order, the array
+    a packing stage (:func:`sed_spark.ext.text.pack_sequences`) or a
+    shard writer feeds a trainer.
+
+    Scale design (same contract as :func:`bpe_token_counts`): the merges
+    are applied once per VOCABULARY word and mapped to ids through a
+    literal map (alphabet + merges entries — tokenizer-sized, rides in
+    the expression tree), so the corpus itself is never re-tokenized row
+    by row. Documents then ``posexplode`` their words, join the per-word
+    id arrays on the word key, and reassemble with
+    ``array_sort(collect_list(struct(pos, ids)))`` + ``flatten`` — the
+    per-document group is document-sized, never corpus-sized. Symbols
+    outside the vocabulary's alphabet (only possible when ``vocab`` is a
+    different corpus's table) encode as ``unk_id``.
+    """
+    from sed_spark.ext import scale_out
+
+    if vocab is None:
+        vocab = word_doc_freq(df, id_col, text_col)
+    sym2id = bpe_vocab(vocab, merges)
+    id_map = F.create_map(
+        *[F.lit(x) for kv in sym2id.items() for x in kv],
+    )
+    per_word = vocab.select(
+        "word",
+        F.transform(
+            bpe_apply_expr(symbols_expr(F.col("word")), merges),
+            lambda s: F.coalesce(
+                F.element_at(id_map, s), F.lit(int(unk_id)),
+            ).cast("int"),
+        ).alias("__ids"),
+    )
+    pos_words = scale_out(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("__pos", "word"),
+    )
+    per_doc = (
+        pos_words.join(per_word, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__ids")),
+                    ),
+                    lambda x: x["__ids"],
+                ),
+            ).alias("token_ids"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                "token_ids", F.expr("CAST(array() AS array<int>)"),
+            ).alias("token_ids"),
+        )
     )
 
 

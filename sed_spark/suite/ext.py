@@ -1424,11 +1424,13 @@ try:
     from sed_spark.suite._bpe_expected import (
         BPE_CORPUS_SIG_SF0_01,
         BPE_COUNTS_SF0_01,
+        BPE_ID_DIGESTS_SF0_01,
         BPE_N_MERGES,
     )
 except ImportError:  # pragma: no cover - bootstrap only
     BPE_CORPUS_SIG_SF0_01 = None
     BPE_COUNTS_SF0_01 = None
+    BPE_ID_DIGESTS_SF0_01 = None
     BPE_N_MERGES = 12
 
 #: per-process cache of the corpus signature check, keyed by sf_dir
@@ -1525,12 +1527,30 @@ def text_metrics(spark, sf_dir):
             # the independent pure-Python reference implementation
             bpe = vocab.bpe_token_counts(docs, _bpe_fit_cached(docs, sf_dir))
             out = out.join(bpe, "doc_id")
+            # round 6: the full ENCODE — per-doc token-ID sequences under
+            # the live merges (vocab.bpe_encode: per-vocabulary-word
+            # apply + alphabet-then-merges id map + ordered reassembly),
+            # digested so the row stays one value per doc; the oracle
+            # carries the reference implementation's digests, so a green
+            # row proves ids, order, and the id-assignment rule
+            enc = vocab.bpe_encode(docs, _bpe_fit_cached(docs, sf_dir))
+            out = out.join(
+                enc.select(
+                    "doc_id",
+                    F.md5(F.concat_ws(",", "token_ids"))
+                    .alias("bpe_ids_digest"),
+                ),
+                "doc_id",
+            )
         else:
             # the pin is a per-doc VALUES list scoped to the pinned
             # corpus — unlike the fit pins it cannot be re-applied to
             # other data, so both engines degrade the column to NULL
             # (the oracle's CASE gates on the same content signature)
             out = out.withColumn("n_bpe_tokens", F.lit(None).cast("long"))
+            out = out.withColumn(
+                "bpe_ids_digest", F.lit(None).cast("string"),
+            )
     return out
 
 
@@ -1785,6 +1805,9 @@ def _bpe_col_sql() -> str:
         f", CASE WHEN (SELECT count(*) FROM documents) = {n} "
         f"AND (SELECT sum(length(text)) FROM documents) = {text_len} "
         "THEN CAST(bpe.cnt AS BIGINT) ELSE NULL END AS n_bpe_tokens\n"
+        f", CASE WHEN (SELECT count(*) FROM documents) = {n} "
+        f"AND (SELECT sum(length(text)) FROM documents) = {text_len} "
+        "THEN bpeids.digest ELSE NULL END AS bpe_ids_digest\n"
     )
 
 
@@ -1795,9 +1818,14 @@ def _bpe_join_sql() -> str:
     if BPE_COUNTS_SF0_01 is None:  # pragma: no cover - bootstrap only
         return ""
     values = ", ".join(f"({d}, {c})" for d, c in BPE_COUNTS_SF0_01)
+    dvalues = ", ".join(
+        f"({d}, '{h}')" for d, h in (BPE_ID_DIGESTS_SF0_01 or [])
+    )
     return (
         f"LEFT JOIN (VALUES {values}) AS bpe(doc_id, cnt) "
         "ON bpe.doc_id = keyed.doc_id\n"
+        f"LEFT JOIN (VALUES {dvalues}) AS bpeids(doc_id, digest) "
+        "ON bpeids.doc_id = keyed.doc_id\n"
     )
 
 

@@ -1124,6 +1124,76 @@ def test_bpe_train_local_engine_matches_distributed(spark):
     )
 
 
+def test_bpe_encode_matches_python_reference(spark):
+    from sed_spark.ext import vocab
+
+    docs = spark.createDataFrame(
+        [(0, "low lower low"), (1, "lowest low newer"), (2, "wider new newer")],
+        ["doc_id", "text"],
+    )
+    merges = vocab.bpe_train(docs, n_merges=6)
+    v = vocab.word_doc_freq(docs)
+    sym2id = vocab.bpe_vocab(v, merges)
+
+    def py_apply(word):
+        s = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    want = {
+        r["doc_id"]: [
+            sym2id[t] for w in r["text"].split(" ") for t in py_apply(w)
+        ]
+        for r in docs.collect()
+    }
+    got = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in vocab.bpe_encode(docs, merges).collect()
+    }
+    assert got == want
+    # id space: base alphabet first (sorted), merges after, contiguous
+    n_chars = len({c for r in docs.collect() for c in r["text"] if c != " "})
+    assert set(sym2id.values()) == set(range(n_chars + len(
+        {a + b for a, b in merges},
+    )))
+    # round-trip: ids -> symbols -> concatenation recovers the text sans
+    # spaces (the id map is injective on the used symbols)
+    id2sym = {i: s for s, i in sym2id.items()}
+    for r in docs.collect():
+        toks = got[r["doc_id"]]
+        assert "".join(id2sym[t] for t in toks) == r["text"].replace(" ", "")
+
+    # a vocabulary whose alphabet lacks the corpus's letters yields unk
+    # ids (the word must be IN the vocab to join; its symbols map to unk)
+    foreign = spark.createDataFrame(
+        [("low", 1, 1), ("zzz", 1, 1)], ["word", "tf", "df"],
+    )
+    unk = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in vocab.bpe_encode(
+            docs, [], vocab=foreign, unk_id=-9,
+        ).collect()
+    }
+    # doc 0 = "low lower low": only the two bare "low"s join; with no
+    # merges each is 3 single chars, all chars present in foreign's
+    # alphabet (l, o, w, z) so they encode normally
+    assert len(unk[0]) == 6
+    # empty text encodes to an empty array
+    empty = vocab.bpe_encode(
+        spark.createDataFrame([(7, "")], ["doc_id", "text"]), merges,
+    ).collect()
+    assert empty[0]["token_ids"] == []
+
+
 def test_chunk_documents_overlap_and_clamping(spark):
     from sed_spark.ext import text
 
