@@ -40,6 +40,9 @@ __all__ = [
     "hll_registers",
     "hll_merge",
     "hll_estimate",
+    "hll_registers_by",
+    "hll_merge_by",
+    "hll_estimate_by",
 ]
 
 
@@ -247,6 +250,86 @@ def hll_estimate(
         .otherwise(raw)
     )
     return agg.select(
+        "n_registers_set",
+        F.round(raw, round_decimals).alias("raw_est"),
+        F.round(corrected, round_decimals).alias("estimate"),
+    )
+
+
+def hll_registers_by(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    p: int = 8,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-GROUP HyperLogLog register tables in one aggregate:
+    ``(*group_cols, register, max_rho)`` — at most ``2^p`` rows per
+    group. The grouped analog of :func:`hll_registers` (same bit split,
+    same salt, so a group's rows merge with any other table built with
+    identical ``(p, salt)`` via :func:`hll_merge_by`); the shape behind
+    "distinct users per event type over 100 TB" without a
+    count-distinct expand or a corpus distinct shuffle — the shuffle
+    carries at most ``groups * 2^p`` partial rows."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    register, rho = hll_register_cols(F.col(key_col), p, salt)
+    return (
+        df.select(*group_cols, register.alias("register"), rho.alias("rho"))
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge_by(
+    a: DataFrame, b: DataFrame, group_cols: Sequence[str],
+) -> DataFrame:
+    """Merge two grouped register tables built with identical
+    ``(p, salt)``: register-wise max per group."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
+def hll_estimate_by(
+    registers: DataFrame,
+    group_cols: Sequence[str],
+    p: int = 8,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Per-group distinct-count estimates from a grouped register table:
+    ``(*group_cols, n_registers_set, raw_est, estimate)`` — the same
+    dyadic-exact harmonic sum and the same linear-counting /
+    large-range corrections as :func:`hll_estimate`, per group."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    m = 1 << p
+    alpha = hll_alpha(p)
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_registers_set"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_h"),
+    )
+    denom = (F.lit(float(m)) - F.col("n_registers_set")) + F.coalesce(
+        F.col("_h"), F.lit(0.0),
+    )
+    raw = F.lit(alpha * m * m) / denom
+    v = F.lit(m) - F.col("n_registers_set")
+    two32 = 4294967296.0
+    corrected = (
+        F.when(
+            (raw <= F.lit(2.5 * m)) & (v > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+        )
+        .when(
+            raw > F.lit(two32 / 30.0),
+            F.lit(-two32) * F.log(F.lit(1.0) - raw / F.lit(two32)),
+        )
+        .otherwise(raw)
+    )
+    return agg.select(
+        *group_cols,
         "n_registers_set",
         F.round(raw, round_decimals).alias("raw_est"),
         F.round(corrected, round_decimals).alias("estimate"),

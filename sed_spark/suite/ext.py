@@ -536,6 +536,38 @@ def simhash(spark, sf_dir):
         F.col("n_distinct").alias("val_int"),
         F.lit(None).cast("double").alias("val_dbl"),
     )
+    # grouped HLL (round 6): distinct users per event type in ONE
+    # aggregate over the events table (hll_registers_by /
+    # hll_estimate_by) — the "count distinct per segment over 100 TB"
+    # shape; the exact per-group count rides alongside so the sketch
+    # error is pinned in the oracle hash. Group keys surface as the
+    # 32-bit md5 hash of the event type (the row's key_a is a long).
+    ev = load(spark, sf_dir, "events")
+    gkey = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("event_type"), F.lit(":grp"))), 1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    gregs = sketch.hll_registers_by(ev, ["event_type"], "user_id", p=_HLL_P)
+    grp_est_rows = sketch.hll_estimate_by(
+        gregs, ["event_type"], p=_HLL_P,
+    ).select(
+        F.lit("hll_grp_est").alias("method"),
+        gkey.alias("key_a"),
+        F.lit(None).cast("long").alias("key_b"),
+        F.col("n_registers_set").cast("long").alias("val_int"),
+        F.col("estimate").alias("val_dbl"),
+    )
+    grp_true_rows = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("nd"),
+    ).select(
+        F.lit("hll_grp_true").alias("method"),
+        gkey.alias("key_a"),
+        F.lit(None).cast("long").alias("key_b"),
+        F.col("nd").alias("val_int"),
+        F.lit(None).cast("double").alias("val_dbl"),
+    )
     # near-dup pairs from the fingerprints (round 5): Manku-style
     # pigeonhole banding generates candidates (never all-pairs); the
     # oracle verifies the SEMANTIC pair set with a brute-force
@@ -549,7 +581,8 @@ def simhash(spark, sf_dir):
         F.lit(None).cast("double").alias("val_dbl"),
     )
     out = sh
-    for branch in (cms_rows, est_rows, reg_rows, hest, true_row, pair_rows):
+    for branch in (cms_rows, est_rows, reg_rows, hest, true_row,
+                   grp_est_rows, grp_true_rows, pair_rows):
         out = out.unionAll(branch)
     return out
 
@@ -629,6 +662,29 @@ hest AS (
     {alpha_m2} / ((CAST({m} AS DOUBLE) - n_set) + COALESCE(hsum, 0.0)) AS raw,
     {m} - n_set AS v
   FROM hagg
+),
+gh AS (
+  SELECT event_type,
+    {_sketch_hash_sql("CAST(user_id AS VARCHAR)", "hll")} AS h
+  FROM events
+),
+greg AS (
+  SELECT event_type, (h - (h % {rest})) // {rest} AS register,
+    MAX(CASE WHEN h % {rest} > 0
+        THEN {maxrho} - length(bin(h % {rest}))
+        ELSE {maxrho} END) AS max_rho
+  FROM gh GROUP BY 1, 2
+),
+gagg AS (
+  SELECT event_type, count(*) AS n_set,
+    SUM(power(2.0, -max_rho)) AS hsum
+  FROM greg GROUP BY 1
+),
+gest AS (
+  SELECT event_type, n_set,
+    {alpha_m2} / ((CAST({m} AS DOUBLE) - n_set) + COALESCE(hsum, 0.0)) AS raw,
+    {m} - n_set AS v
+  FROM gagg
 )
 SELECT 'simhash' AS method, doc_id AS key_a, CAST(NULL AS BIGINT) AS key_b,
   CAST({bits} AS BIGINT) AS val_int, CAST(NULL AS DOUBLE) AS val_dbl
@@ -655,6 +711,22 @@ UNION ALL
 SELECT 'hll_true', 0, CAST(NULL AS BIGINT), count(DISTINCT term),
   CAST(NULL AS DOUBLE)
 FROM tok
+UNION ALL
+SELECT 'hll_grp_est',
+  CAST(('0x' || substr(md5(event_type || ':grp'), 1, 8))::UBIGINT AS BIGINT),
+  CAST(NULL AS BIGINT), n_set,
+  round(CASE
+    WHEN raw <= {fl(2.5 * m)} AND v > 0
+      THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / v)
+    WHEN raw > {fl(two32 / 30.0)}
+      THEN {fl(-two32)} * ln(1.0 - raw / {fl(two32)})
+    ELSE raw END, 6)
+FROM gest
+UNION ALL
+SELECT 'hll_grp_true',
+  CAST(('0x' || substr(md5(event_type || ':grp'), 1, 8))::UBIGINT AS BIGINT),
+  CAST(NULL AS BIGINT), count(DISTINCT user_id), CAST(NULL AS DOUBLE)
+FROM events GROUP BY event_type
 UNION ALL
 SELECT 'pairs', a.key_a, b.key_a,
   bit_count(xor(a.sh, b.sh)), CAST(NULL AS DOUBLE)

@@ -193,6 +193,41 @@ def test_bloom_probe_no_false_negatives_and_bounded_fp(spark):
     assert fp / 200 < 0.5
 
 
+def test_hll_grouped_matches_global_per_group(spark):
+    # per-group registers/estimate must equal running the GLOBAL hll on
+    # each group's slice, and merge-by(a, b) == build on union
+    rows = [(f"type{i % 3}", f"user{i % 40}") for i in range(400)]
+    df = spark.createDataFrame(rows, ["event_type", "user_id"])
+    gregs = sketch.hll_registers_by(df, ["event_type"], "user_id", p=6)
+    gest = {
+        r["event_type"]: (r["n_registers_set"], r["estimate"])
+        for r in sketch.hll_estimate_by(gregs, ["event_type"], p=6).collect()
+    }
+    assert set(gest) == {"type0", "type1", "type2"}
+    for et in gest:
+        sl = df.filter(f"event_type = '{et}'")
+        regs = sketch.hll_registers(sl, "user_id", p=6)
+        want = sketch.hll_estimate(regs, p=6).collect()[0]
+        assert gest[et] == (want["n_registers_set"], want["estimate"])
+
+    a = df.filter("event_type != 'type2'")
+    b = df.filter("event_type = 'type2'")
+    merged = sketch.hll_merge_by(
+        sketch.hll_registers_by(a, ["event_type"], "user_id", p=6),
+        sketch.hll_registers_by(b, ["event_type"], "user_id", p=6),
+        ["event_type"],
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, gregs.collect()),
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="group_cols"):
+        sketch.hll_registers_by(df, [], "user_id")
+    with _pt.raises(ValueError, match="group_cols"):
+        sketch.hll_estimate_by(gregs, [])
+
+
 def test_bloom_probe_preserves_duplicate_rows(spark):
     # regression: grouping on the full column set silently deduplicated
     # identical input rows — the probe must return one row per input row
