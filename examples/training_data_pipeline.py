@@ -158,6 +158,9 @@ def main() -> None:
     # tokens under the learned merges, then pack into context windows
     merges = vocab.bpe_train(docs, n_merges=8)
     bpe_tok = vocab.bpe_token_counts(docs, merges)
+    # the actual token-id sequences a trainer consumes (round 6)
+    encoded = vocab.bpe_encode(docs, merges)
+    n_total_ids = encoded.agg(F.sum(F.size("token_ids"))).collect()[0][0]
     train_tok = bpe_tok.join(
         split.filter(F.col("split") == "train"), "doc_id", "left_semi",
     )
@@ -198,6 +201,10 @@ def main() -> None:
     hll_est = sketch.hll_estimate(
         sketch.hll_registers(toks, "term"),
     ).first()["estimate"]
+    # grouped HLL (round 6): distinct-doc reach per split, one aggregate
+    grp = sketch.hll_estimate_by(
+        sketch.hll_registers_by(split, ["split"], "doc_id"), ["split"],
+    ).collect()
     # compressed vector serving: PQ codebooks + m-byte codes + ADC top-k
     pq_books = similarity.pq_train(emb, m=4, k=8, max_iter=2)
     pq_codes = similarity.pq_encode(emb, pq_books)
@@ -221,6 +228,9 @@ def main() -> None:
           f"semantic contamination flagged {n_sem_contam}")
     print(f"dsir resample kept {n_resampled} docs")
     print(f"bpe merges: {merges}")
+    print(f"bpe-encoded corpus: {n_total_ids} token ids")
+    for r in grp:
+        print(f"  split={r['split']:<5} ~distinct docs={r['estimate']}")
     print(f"train split packs into {n_packs} x 2048-token windows")
     print(f"training shards hold {n_shard_rows} ordered rows")
     print(f"bm25 matched {n_bm25_hits} docs; most-central doc "
