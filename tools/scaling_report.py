@@ -408,6 +408,39 @@ def main() -> None:
         thunk.cleanup = lambda: shutil.rmtree(tmp, ignore_errors=True)
         return thunk
 
+    def _zorder_value(n):
+        # the Morton projection alone (the write adds one range exchange
+        # + an in-partition sort on top): 2 dims x 12 bits, expression-only
+        from sed_spark import layout
+
+        par = spark.sparkContext.defaultParallelism * 4
+        d = pin(
+            spark.range(0, n, 1, par).select(
+                (F.rand(41) * 1000).alias("x"), (F.rand(42) * 1000).alias("y"),
+            ),
+        )
+        return lambda: run_noop(
+            layout.zorder_value(
+                d, ["x", "y"], [(0.0, 1000.0), (0.0, 1000.0)],
+                bits_per_dim=12,
+            ),
+        )
+
+    def _hll_by_group(n):
+        # grouped HLL: 100 groups x p=12 registers from n rows
+        par = spark.sparkContext.defaultParallelism * 4
+        d = pin(
+            spark.range(0, n, 1, par).select(
+                (F.col("id") % 100).cast("string").alias("g"),
+                F.col("id").cast("string").alias("key"),
+            ),
+        )
+        return lambda: run_noop(
+            sketch.hll_estimate_by(
+                sketch.hll_registers_by(d, ["g"], "key", p=12), ["g"], p=12,
+            ),
+        )
+
     def _cms(n):
         d = pin(
             spark.range(
@@ -451,6 +484,8 @@ def main() -> None:
         ("pq_topk EXPANDED_SCORING", [10**6, 10**7], _pq_adc_expanded),
         ("equidepth_edges (approx, 64 bins)", [10**6, 10**7, 10**8], _equidepth),
         ("streaming_interval_join (replay)", [10**5, 10**6], _stream_interval_join),
+        ("zorder_value (2x12-bit Morton proj)", [10**6, 10**7, 10**8], _zorder_value),
+        ("hll_estimate_by (100 grp, p=12)", [10**6, 10**7, 10**8], _hll_by_group),
     ]
 
     # optional substring filters: `scaling_report.py bm25 pagerank` times
