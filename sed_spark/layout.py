@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "zorder_bin",
+    "zorder_edge_bin",
     "zorder_value",
     "zorder_write",
     "file_range_stats",
@@ -50,12 +51,44 @@ def zorder_bin(col: Column, lo: float, hi: float, bits: int) -> Column:
     return F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1))
 
 
+def zorder_edge_bin(col: Column, edges: Sequence[float], bits: int) -> Column:
+    """Bin index of ``col`` against EXPLICIT ascending edges (e.g. from
+    :func:`sed_spark.binning.equidepth_edges` — the right binning for a
+    skewed dimension, where uniform bins would collapse most rows into
+    a handful of z-cells and the layout's pruning power with them).
+    The index is the count of interior edges <= x (left-closed bins,
+    self-clamping: below-range -> 0, above-range -> last bin), NULL ->
+    bin 0. Duplicate quantile edges (heavy ties) are collapsed, so the
+    bin count may be below ``2^bits`` — the interleave just leaves high
+    values unused."""
+    uniq: list[float] = []
+    for e in edges:
+        fe = float(e)
+        if not uniq or fe > uniq[-1]:
+            uniq.append(fe)
+    if len(uniq) < 2:
+        raise ValueError("edges must contain at least 2 distinct values")
+    if len(uniq) - 1 > (1 << bits):
+        raise ValueError(
+            f"{len(uniq) - 1} bins exceed 2^{bits}; raise bits_per_dim",
+        )
+    interior = F.array(*[F.lit(e) for e in uniq[1:-1]])
+    c = col.cast("double")
+    idx = F.aggregate(
+        interior,
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + F.when(c >= e, 1).otherwise(0),
+    )
+    return F.coalesce(idx, F.lit(0).cast("long"))
+
+
 def zorder_value(
     df: DataFrame,
     cols: Sequence[str],
-    ranges: Sequence[tuple[float, float]],
+    ranges: Sequence[tuple[float, float]] | None = None,
     bits_per_dim: int = 12,
     out_col: str = "__zval",
+    edges: Sequence[Sequence[float]] | None = None,
 ) -> DataFrame:
     """Adds the Morton interleave of the ``cols`` bin indices: bit ``b``
     of dimension ``j`` lands at position ``b * k + j``, so the z-value
@@ -63,21 +96,36 @@ def zorder_value(
     tree of shift/mask/or terms (``bits_per_dim * k`` terms), zero
     shuffle, codegen-friendly.
 
+    Binning is uniform over ``ranges`` by default; pass ``edges`` (one
+    ascending edge list per dim, e.g. ``equidepth_edges`` output) to bin
+    skewed dimensions by quantile instead — pruning selectivity then
+    holds in the DENSE region, where uniform bins would put most rows in
+    one z-cell (see the layout test: a 5%-of-rows predicate touches
+    every uniform file but a fraction of the equi-depth ones).
+
     ``bits_per_dim * len(cols)`` must stay <= 62 (signed BIGINT in both
     Spark and the SQL mirror). NULLs bin to 0 (they sort first, like
     NULLS FIRST)."""
     k = len(cols)
-    if k < 1 or k != len(ranges):
-        raise ValueError("cols and ranges must be same nonzero length")
+    if (ranges is None) == (edges is None):
+        raise ValueError("pass exactly one of ranges / edges")
+    spec = ranges if edges is None else edges
+    if k < 1 or k != len(spec):
+        raise ValueError("cols and ranges/edges must be same nonzero length")
     if bits_per_dim * k > 62:
         raise ValueError(
             f"bits_per_dim * dims = {bits_per_dim * k} exceeds 62 bits",
         )
     z = F.lit(0).cast("long")
-    for j, (c, (lo, hi)) in enumerate(zip(cols, ranges)):
-        b = F.coalesce(
-            zorder_bin(F.col(c), lo, hi, bits_per_dim), F.lit(0).cast("long"),
-        )
+    for j, (c, s) in enumerate(zip(cols, spec)):
+        if edges is None:
+            lo, hi = s
+            b = F.coalesce(
+                zorder_bin(F.col(c), lo, hi, bits_per_dim),
+                F.lit(0).cast("long"),
+            )
+        else:
+            b = zorder_edge_bin(F.col(c), s, bits_per_dim)
         for bit in range(bits_per_dim):
             z = z + F.shiftleft(
                 F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * k + j,
@@ -89,11 +137,12 @@ def zorder_write(
     df: DataFrame,
     path: str,
     cols: Sequence[str],
-    ranges: Sequence[tuple[float, float]],
-    n_files: int,
+    ranges: Sequence[tuple[float, float]] | None = None,
+    n_files: int = 64,
     bits_per_dim: int = 12,
     mode: str = "overwrite",
     keep_zval: bool = False,
+    edges: Sequence[Sequence[float]] | None = None,
 ) -> None:
     """Write ``df`` as ``n_files`` parquet files laid out along the
     Z-order curve over ``cols``: range-partition on the z-value (one
@@ -103,8 +152,10 @@ def zorder_write(
     min/max stats stay tight on EVERY z-ordered column.
 
     The z-value column is dropped by default (it is derivable); pass
-    ``keep_zval=True`` to persist it for z-range predicates."""
-    zdf = zorder_value(df, cols, ranges, bits_per_dim)
+    ``keep_zval=True`` to persist it for z-range predicates. ``edges``
+    switches to explicit (e.g. equi-depth) binning per dim — see
+    :func:`zorder_value`."""
+    zdf = zorder_value(df, cols, ranges, bits_per_dim, edges=edges)
     out = zdf.repartitionByRange(n_files, F.col("__zval")).sortWithinPartitions(
         "__zval",
     )

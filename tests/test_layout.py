@@ -92,6 +92,79 @@ def test_zorder_write_improves_two_dim_locality(spark, tmp_path):
     assert z_area * 4 < naive_area, (z_area, naive_area)
 
 
+def test_zorder_edges_beat_uniform_on_skewed_data(spark, tmp_path):
+    # x ~ (uniform)^4 concentrates 84% of rows in the bottom 50% of the
+    # domain's first 6% — uniform z-bins put them all in a few cells, so
+    # a dense-region predicate touches ~every file; equi-depth edges
+    # keep per-file bounds tight exactly where the rows are
+    from sed_spark.binning import equidepth_edges
+
+    n, files, bits = 80_000, 32, 8
+    df = spark.range(n).select(
+        (F.pow(F.rand(7), 4.0) * 1000.0).alias("x"),
+        (F.rand(8) * 1000.0).alias("y"),
+    ).persist()
+    ex = equidepth_edges(df, "x", 1 << bits)
+    ey = equidepth_edges(df, "y", 1 << bits)
+    upath, epath = str(tmp_path / "uni"), str(tmp_path / "eq")
+    layout.zorder_write(
+        df, upath, ["x", "y"], ranges=[(0.0, 1000.0), (0.0, 1000.0)],
+        n_files=files, bits_per_dim=bits,
+    )
+    layout.zorder_write(
+        df, epath, ["x", "y"], edges=[ex, ey],
+        n_files=files, bits_per_dim=bits,
+    )
+    # a 5%-of-rows slice DEEP in the dense region: [q10, q15] of x. All
+    # of q0..q25 lives inside uniform bin 0 (x < 1000/256 holds ~25% of
+    # (u^4)-distributed rows), so the uniform layout must scan that whole
+    # mega-cell; equi-depth bins hold ~n/256 rows each, so the pruner
+    # scans ~the slice
+    q10, q15 = df.approxQuantile("x", [0.10, 0.15], 0.001)
+
+    def rows_scanned(path):
+        rows = layout.file_range_stats(spark, path, ["x"]).collect()
+        assert len(rows) >= files // 2
+        return sum(
+            r["num_rows"]
+            for r in rows
+            if r["x_min"] <= q15 and r["x_max"] >= q10
+        )
+
+    u_rows, e_rows = rows_scanned(upath), rows_scanned(epath)
+    # measured band: uniform scans ~72% (the bin-0 mega-cell plus its
+    # z-neighbors), equi-depth ~34%; assert a conservative 1.5x margin
+    assert e_rows * 3 <= u_rows * 2, (e_rows, u_rows)
+    df.unpersist()
+
+
+def test_zorder_edge_bin_reference_and_guards(spark):
+    edges = [0.0, 1.0, 1.0, 4.0, 9.0]  # duplicate edge collapses
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (0.5,), (1.0,), (3.9,), (4.0,), (9.0,), (99.0,),
+         (None,)],
+        "x double",
+    )
+    got = [
+        r["b"]
+        for r in df.select(
+            layout.zorder_edge_bin(F.col("x"), edges, 2).alias("b"),
+        ).collect()
+    ]
+    #        -5   0  0.5   1  3.9   4    9   99  NULL
+    assert got == [0, 0, 0, 1, 1, 2, 2, 2, 0]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="distinct"):
+        layout.zorder_edge_bin(F.col("x"), [1.0, 1.0], 2)
+    with _pt.raises(ValueError, match="bins exceed"):
+        layout.zorder_edge_bin(F.col("x"), [0.0, 1.0, 2.0, 3.0, 4.0, 5.0], 2)
+    with _pt.raises(ValueError, match="exactly one"):
+        layout.zorder_value(df, ["x"], ranges=[(0.0, 1.0)], edges=[[0.0, 1.0]])
+    with _pt.raises(ValueError, match="exactly one"):
+        layout.zorder_value(df, ["x"])
+
+
 def test_zorder_write_round_trips_all_rows(spark, tmp_path):
     df = spark.range(5000).select(
         F.col("id"),
