@@ -308,3 +308,59 @@ def test_range_join_is_bucketed_hash_join_not_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "__bucket" in plan
+
+
+def test_zorder_layout_is_range_exchange_plus_local_sort(spark):
+    # the writer's shape contract: ONE range exchange on the z-value and
+    # a within-partition (non-global) sort — no hash shuffle, no extra
+    # exchange, so the layout costs exactly one pass over the data
+    from sed_spark import layout
+
+    df = spark.range(10_000).select(
+        (F.rand(1) * 100).alias("x"), (F.rand(2) * 100).alias("y"),
+    )
+    staged = layout.zorder_value(
+        df, ["x", "y"], [(0.0, 100.0), (0.0, 100.0)], bits_per_dim=8,
+    ).repartitionByRange(8, F.col("__zval")).sortWithinPartitions("__zval")
+    plan = _plan(staged)
+    assert "rangepartitioning(__zval" in plan
+    assert plan.count("Exchange") == 1
+    # the sort must be partition-local (global=false), not a total sort
+    for line in plan.splitlines():
+        if line.strip().startswith(("Sort ", "+- Sort ", ":- Sort ")):
+            assert "false" in line, line
+            break
+    else:
+        raise AssertionError("no Sort in plan")
+
+
+def test_bpe_encode_is_vocab_join_no_cartesian(spark):
+    # the corpus is never re-tokenized row by row: encode = one
+    # vocabulary-keyed equi-join plus one per-document aggregate, with
+    # no cartesian/nested-loop join anywhere
+    from sed_spark.ext import vocab
+
+    docs = spark.createDataFrame(
+        [(i, "low lower low newer") for i in range(50)], ["doc_id", "text"],
+    )
+    plan = _plan(vocab.bpe_encode(docs, [("l", "o"), ("lo", "w")]))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # vocab agg + doc reassembly
+
+
+def test_grouped_hll_is_two_hash_aggregates(spark):
+    # registers_by + estimate_by must plan as hash aggregates (map-side
+    # partials collapse duplicate (group, register) rows before the
+    # shuffle) — no window, no sort, no count-distinct Expand
+    from sed_spark.ext import sketch
+
+    df = spark.createDataFrame(
+        [(f"t{i % 3}", f"u{i % 17}") for i in range(100)], ["g", "k"],
+    )
+    out = sketch.hll_estimate_by(
+        sketch.hll_registers_by(df, ["g"], "k", p=6), ["g"], p=6,
+    )
+    plan = _plan(out)
+    assert "HashAggregate" in plan
+    assert "Expand" not in plan and "Window" not in plan
