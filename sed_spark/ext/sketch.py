@@ -36,6 +36,7 @@ __all__ = [
     "cms_build",
     "cms_merge",
     "cms_query",
+    "cms_query_df",
     "hll_register_cols",
     "hll_registers",
     "hll_merge",
@@ -115,14 +116,39 @@ def cms_query(
 ) -> DataFrame:
     """Point-estimate the weight of each key: ``(key, est)``.
 
-    The query keys are a literal table (broadcast by size); each key
-    probes its ``depth`` cells with an equi-join against the sketch and
-    takes the min, absent counters counting as zero.
+    The query keys are a literal table (broadcast by size); delegates to
+    :func:`cms_query_df`, so both entry points share one probe plan.
     """
     if not keys:
         raise ValueError("keys must be a non-empty sequence")
     spark = sketch.sparkSession
     kdf = spark.createDataFrame([(k,) for k in keys], "key string")
+    return cms_query_df(
+        sketch, kdf, "key", width=width, depth=depth, salt=salt,
+        broadcast_keys=True,
+    )
+
+
+def cms_query_df(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str = "key",
+    width: int = 1024,
+    depth: int = 4,
+    salt: str = "cms",
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """Point-estimate the weight of every DISTINCT key in a DataFrame
+    column: ``(key_col, est)`` — the probe shape for key sets that are
+    themselves query results (heavy-hitter candidates, a new batch's
+    vocabulary) rather than literals. Each key fans into its ``depth``
+    cells, equi-joins the sketch (which is at most ``depth * width``
+    rows — set ``broadcast_keys=False`` for huge key sets and the
+    SKETCH side broadcasts instead), and takes the min counter, absent
+    cells counting as zero. Parameters must match the build."""
+    if width < 1 or depth < 1:
+        raise ValueError("width and depth must be >= 1")
+    kdf = keys.select(F.col(key_col).cast("string").alias("key")).distinct()
     cells = kdf.select(
         "key",
         F.explode(
@@ -136,11 +162,18 @@ def cms_query(
             ]),
         ).alias("cell"),
     ).select("key", "cell.depth", "cell.bucket")
+    if broadcast_keys:
+        cells = F.broadcast(cells)
+        joined = cells.join(sketch, ["depth", "bucket"], "left")
+    else:
+        joined = cells.join(
+            F.broadcast(sketch), ["depth", "bucket"], "left",
+        )
     return (
-        F.broadcast(cells)
-        .join(sketch, ["depth", "bucket"], "left")
+        joined
         .groupBy("key")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+        .withColumnRenamed("key", key_col)
     )
 
 

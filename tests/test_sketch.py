@@ -193,6 +193,32 @@ def test_bloom_probe_no_false_negatives_and_bounded_fp(spark):
     assert fp / 200 < 0.5
 
 
+def test_cms_query_df_matches_literal_query(spark):
+    # the DataFrame-keyed probe must agree with the literal-key probe
+    # exactly, in both join orientations, and rename to the caller's col
+    keys = [f"k{i % 9}" for i in range(200)]
+    df = spark.createDataFrame([(k,) for k in keys], ["key"])
+    cms = sketch.cms_build(df, "key", width=64, depth=3)
+    probes = ["k0", "k5", "absent"]
+    lit = {r["key"]: r["est"] for r in sketch.cms_query(
+        cms, probes, width=64, depth=3).collect()}
+    pdf = spark.createDataFrame(
+        [(p,) for p in probes + probes], ["term"],  # dups collapse
+    )
+    for bcast in (True, False):
+        got = {
+            r["term"]: r["est"]
+            for r in sketch.cms_query_df(
+                cms, pdf, "term", width=64, depth=3, broadcast_keys=bcast,
+            ).collect()
+        }
+        assert got == lit
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="width"):
+        sketch.cms_query_df(cms, pdf, "term", width=0)
+
+
 def test_hll_grouped_matches_global_per_group(spark):
     # per-group registers/estimate must equal running the GLOBAL hll on
     # each group's slice, and merge-by(a, b) == build on union
