@@ -848,8 +848,15 @@ def point_in_interval_join(
     # left: re-attach matches by a surrogate row id, NOT by equi-joining
     # on all point columns — a NULL in any point column would make a
     # genuinely matched row come back unmatched (null-unsafe keys), and
-    # duplicate point rows would fan out multiplicatively
-    pts = points.withColumn("__pid", F.monotonically_increasing_id())
+    # duplicate point rows would fan out multiplicatively.
+    # monotonically_increasing_id is nondeterministic and `pts` feeds BOTH
+    # the matched branch and the outer join; without materialization a task
+    # retry (or unstable shuffle-fetch order upstream) could assign
+    # different ids per evaluation and attach interval columns to the
+    # wrong points — pin the ids once, same guard as _span_islands
+    pts = points.withColumn(
+        "__pid", F.monotonically_increasing_id(),
+    ).localCheckpoint(eager=True)
     pt = pts.withColumn("__bucket", F.floor(F.col(on) / w).cast("long"))
     matched = pt.join(iv, keys).filter(contain).drop("__bucket")
     iv_cols = [c for c in intervals.columns if c != by]

@@ -30,12 +30,21 @@ __all__ = [
     "pack_sequences",
 ]
 
-#: language-marker words for the n-gram language-id heuristic
+#: language-marker WORD LISTS for the n-gram language-id heuristic —
+#: the single source of truth both the per-language patterns and the
+#: combined alternation (_ALL_MARKERS) derive from, so an edit here can
+#: never diverge the one-pass extraction from the per-language counts
+LANG_MARKER_WORDS = {
+    "en": ("the", "a", "is", "and", "of"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "les", "et", "est", "une"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+
+#: per-language whole-word alternation patterns (derived)
 LANG_MARKERS = {
-    "en": r"\b(the|a|is|and|of)\b",
-    "de": r"\b(der|die|das|und|ist)\b",
-    "fr": r"\b(le|les|et|est|une)\b",
-    "es": r"\b(el|los|las|y|es)\b",
+    lang: r"\b(" + "|".join(words) + r")\b"
+    for lang, words in LANG_MARKER_WORDS.items()
 }
 
 
@@ -57,9 +66,21 @@ def n_words_expr(text: Column) -> Column:
 #: (all 20 are distinct, and ``\\b..\\b`` can only match a complete
 #: word), so ONE extraction pass partitions exactly into the four
 #: per-language counts that four full-text scans would produce.
+#: Derived from the same LANG_MARKER_WORDS the per-language patterns
+#: come from, never by re-parsing the pattern strings.
 _ALL_MARKERS = r"\b(" + "|".join(
-    p[3:-3] for p in LANG_MARKERS.values()
+    w for words in LANG_MARKER_WORDS.values() for w in words
 ) + r")\b"
+
+# the one-pass partition is exact only if every marker is a plain word
+# (no regex metacharacters) and no word appears under two languages —
+# fail loudly at import if an edit breaks either invariant
+assert all(
+    w.isalpha() for ws in LANG_MARKER_WORDS.values() for w in ws
+), "LANG_MARKER_WORDS entries must be plain alphabetic words"
+assert len({w for ws in LANG_MARKER_WORDS.values() for w in ws}) == sum(
+    len(ws) for ws in LANG_MARKER_WORDS.values()
+), "LANG_MARKER_WORDS must be globally distinct across languages"
 
 _AZ = "abcdefghijklmnopqrstuvwxyz"
 _DIGITS = "0123456789"

@@ -466,9 +466,14 @@ def bpe_encode(
     by row. Documents then ``posexplode`` their words, join the per-word
     id arrays on the word key, and reassemble with
     ``array_sort(collect_list(struct(pos, ids)))`` + ``flatten`` — the
-    per-document group is document-sized, never corpus-sized. Symbols
-    outside the vocabulary's alphabet (only possible when ``vocab`` is a
-    different corpus's table) encode as ``unk_id``.
+    per-document group is document-sized, never corpus-sized.
+
+    Out-of-vocabulary handling (both cases yield ``unk_id``, never silent
+    loss): a corpus WORD absent from an explicitly passed ``vocab`` table
+    encodes as a single ``unk_id`` (left join + coalesce — the word keeps
+    its position in the sequence); a SYMBOL outside the vocabulary's
+    alphabet (possible only when ``vocab`` is a different corpus's table)
+    encodes each unmapped subtoken as ``unk_id``.
     """
     from sed_spark.ext import scale_out
 
@@ -490,9 +495,19 @@ def bpe_encode(
     pos_words = scale_out(df).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), " ")).alias("__pos", "word"),
-    )
+    ).filter(F.col("word") != "")  # empty split tokens are not OOV words
     per_doc = (
-        pos_words.join(per_word, "word")
+        pos_words.join(per_word, "word", "left")
+        .select(
+            id_col,
+            "__pos",
+            # word not in the vocab table at all -> one unk_id, keeping
+            # its slot in the sequence (silent drop would shorten the
+            # sample a packing stage hands the trainer)
+            F.coalesce(
+                "__ids", F.array(F.lit(int(unk_id)).cast("int")),
+            ).alias("__ids"),
+        )
         .groupBy(id_col)
         .agg(
             F.flatten(

@@ -1172,8 +1172,9 @@ def test_bpe_encode_matches_python_reference(spark):
         toks = got[r["doc_id"]]
         assert "".join(id2sym[t] for t in toks) == r["text"].replace(" ", "")
 
-    # a vocabulary whose alphabet lacks the corpus's letters yields unk
-    # ids (the word must be IN the vocab to join; its symbols map to unk)
+    # OOV contract: a word absent from an explicit vocab table encodes
+    # as a single unk_id IN PLACE (never silently dropped); in-vocab
+    # words whose chars are in the foreign alphabet encode normally
     foreign = spark.createDataFrame(
         [("low", 1, 1), ("zzz", 1, 1)], ["word", "tf", "df"],
     )
@@ -1183,10 +1184,11 @@ def test_bpe_encode_matches_python_reference(spark):
             docs, [], vocab=foreign, unk_id=-9,
         ).collect()
     }
-    # doc 0 = "low lower low": only the two bare "low"s join; with no
-    # merges each is 3 single chars, all chars present in foreign's
-    # alphabet (l, o, w, z) so they encode normally
-    assert len(unk[0]) == 6
+    # doc 0 = "low lower low": the bare "low"s are 3 single chars each
+    # (all in foreign's alphabet l,o,w,z); "lower" is not a foreign
+    # vocab word -> exactly one -9 in the middle slot
+    assert unk[0][:3] == unk[0][4:] and len(unk[0]) == 7
+    assert unk[0][3] == -9
     # empty text encodes to an empty array
     empty = vocab.bpe_encode(
         spark.createDataFrame([(7, "")], ["doc_id", "text"]), merges,
