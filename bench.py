@@ -48,15 +48,54 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     reps_log: dict[str, list[float]] = {}
+    canary_log: dict[str, list[float]] = {}
+    load_log: dict[str, list[float]] = {}
 
-    def timed(name: str, fn, n: int = 1) -> None:
+    # contention canary: the SAME fixed single-threaded numpy workload
+    # (sort of 2^21 pinned floats, ~45 ms on this host unloaded) timed
+    # immediately before every rep. The metric reps alone can't separate
+    # "this code got slower" from "the host was contended during this
+    # run" (documented ~3x same-day band); the canary can — it runs
+    # unchanged code by construction, so canary inflation == external
+    # load, while metric inflation at flat canary == a real regression.
+    _canary_buf: list = []
+
+    def _canary() -> float:
+        import numpy as _np
+
+        if not _canary_buf:
+            _canary_buf.append(_np.random.RandomState(0).rand(1 << 21))
+        t0 = time.perf_counter()
+        _np.sort(_canary_buf[0], kind="mergesort")
+        return round(time.perf_counter() - t0, 4)
+
+    def timed(name: str, fn, n: int = 1, jvm=None) -> None:
+        import gc as _gc
+
         reps: list[float] = []
+        cans: list[float] = []
+        loads: list[float] = []
         for _ in range(n):
+            cans.append(_canary())
+            loads.append(round(os.getloadavg()[0], 2))
             t0 = time.perf_counter()
             fn()
             reps.append(round(time.perf_counter() - t0, 4))
+            if jvm is not None:
+                # release this rep's shuffle files between reps: drop the
+                # Python-side plan refs, then ask the driver JVM to GC so
+                # ContextCleaner can reap the ShuffleDependency — heavy
+                # reps otherwise accumulate GBs of tmpfs shuffle garbage
+                # that squeezes the very RAM the next rep shuffles into
+                _gc.collect()
+                try:
+                    jvm.System.gc()
+                except Exception:
+                    pass
         timings[name] = min(reps)
         reps_log[name] = reps
+        canary_log[name] = cans
+        load_log[name] = loads
 
     # -- phase 1: driver-side numpy metric, measured FIRST ----------------
     # inv_dfield is pure numpy (fixed-point inversion of a 2048x2048
@@ -114,10 +153,12 @@ def main() -> None:
         [(0.0, 2048.0), (0.0, 2048.0), (60000.0, 120000.0), (2000.0, 20000.0)],
     )
 
+    jvm = spark.sparkContext._jvm
     timed(
         "binning_1d",
         lambda: bin_dataframe(synth, [1000], ["t"], [(60000.0, 120000.0)]),
         repeats,
+        jvm=jvm,
     )
     timed(
         "binning_4d",
@@ -126,6 +167,7 @@ def main() -> None:
             [(0.0, 2048.0), (0.0, 2048.0), (60000.0, 120000.0), (2000.0, 20000.0)],
         ),
         repeats,
+        jvm=jvm,
     )
 
     # workflow chain (lazy — re-executed per compute, like the reference)
@@ -172,6 +214,7 @@ def main() -> None:
         "workflow_1d",
         lambda: bin_dataframe(wf, [1000], ["energy"], [(-10.0, 10.0)]),
         repeats,
+        jvm=jvm,
     )
     timed(
         "workflow_4d",
@@ -180,6 +223,7 @@ def main() -> None:
             [(-2.0, 2.0), (-2.0, 2.0), (-10.0, 10.0), (-1000.0, 1000.0)],
         ),
         repeats,
+        jvm=jvm,
     )
     synth.unpersist()
     # tear the synthetic session down completely: the suite phase gets a
@@ -296,6 +340,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "reps": reps_log,
+                # per-rep contention canary (same fixed single-threaded
+                # numpy sort before every rep, ~0.045 s unloaded) and
+                # 1-min load average at rep start: canary inflation on a
+                # slow rep == external host load, flat canary == the
+                # measured code itself changed
+                "canary": canary_log,
+                "loadavg": load_log,
                 "duck": duck_timings,
                 "sf": sf,
                 "synthetic_rows": n_synth,
@@ -314,6 +365,7 @@ def main() -> None:
         if k in timings
     }
     duck_total = round(sum(v for v in duck_timings.values() if v > 0), 4)
+    all_canary = [c for cs in canary_log.values() for c in cs]
     print(
         json.dumps(
             {
@@ -324,6 +376,13 @@ def main() -> None:
                 "duck_total": duck_total,
                 "sf": sf,
                 "synthetic_rows": n_synth,
+                # host-contention summary: the fixed canary workload's
+                # [min, max] over the whole run (~0.045 s unloaded; a max
+                # several x the min means the slow reps ran on a loaded
+                # host — per-rep detail in BENCH_full.json)
+                "canary_band": [
+                    round(min(all_canary), 3), round(max(all_canary), 3),
+                ] if all_canary else [],
                 "full_record": "BENCH_full.json",
             },
         ),

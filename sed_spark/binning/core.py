@@ -316,6 +316,7 @@ def _flat_idx_expr(
 
 def _dense_via_groupby(
     proj: DataFrame, cube: int, occupancy_hint: int | None = None,
+    out_dtype="uint32",
 ) -> np.ndarray:
     """JVM hash aggregate, sparse Arrow collect, flat scatter.
 
@@ -374,7 +375,12 @@ def _dense_via_groupby(
     agg = keyed.groupBy("__idx").agg(
         F.count(F.lit(1)).cast("int").alias("__cnt"),
     )
-    dense = np.zeros(cube, dtype=np.uint32)
+    # allocate straight in the caller's output dtype: assigning the
+    # sparse (idx, cnt) pairs casts on write — bit-identical to the old
+    # uint32-then-astype shape but skips a full read+write pass over the
+    # cube (measured 2.5-3.5 s of pure driver time on a 1e8-cell cube,
+    # the single largest fixed cost of the 100^4 bench metrics)
+    dense = np.zeros(cube, dtype=out_dtype)
     for batch in agg.toArrow().to_batches():
         idx = batch.column(0).to_numpy(zero_copy_only=False)
         cnt = batch.column(1).to_numpy(zero_copy_only=False)
@@ -383,7 +389,9 @@ def _dense_via_groupby(
     return dense
 
 
-def _dense_via_taskblob(proj: DataFrame, cube: int) -> np.ndarray:
+def _dense_via_taskblob(
+    proj: DataFrame, cube: int, out_dtype="uint32",
+) -> np.ndarray:
     """High-occupancy cube: per-task sort-unique → ONE packed blob per task
     → direct Arrow collect → driver scatter-add. NO shuffle stage at all.
 
@@ -431,7 +439,7 @@ def _dense_via_taskblob(proj: DataFrame, cube: int) -> np.ndarray:
             ["iv", "cv"],
         )
 
-    dense = np.zeros(cube, dtype=np.uint32)
+    dense = np.zeros(cube, dtype=out_dtype)  # cast-on-write, see groupby
     tbl = proj.select("__idx").mapInArrow(to_pairs, "iv binary, cv binary").toArrow()
     iv_col, cv_col = tbl.column("iv"), tbl.column("cv")
     for k in range(len(iv_col)):
@@ -441,7 +449,9 @@ def _dense_via_taskblob(proj: DataFrame, cube: int) -> np.ndarray:
     return dense
 
 
-def _dense_via_blockshuffle(proj: DataFrame, cube: int) -> np.ndarray:
+def _dense_via_blockshuffle(
+    proj: DataFrame, cube: int, out_dtype="uint32",
+) -> np.ndarray:
     """High-occupancy cube: block-partition exchange → per-block dense
     ``np.bincount`` → driver block assembly. No aggregation stage at all.
 
@@ -499,7 +509,7 @@ def _dense_via_blockshuffle(proj: DataFrame, cube: int) -> np.ndarray:
                 ["b", "data"],
             )
 
-    dense = np.zeros(cube, dtype=np.uint32)
+    dense = np.zeros(cube, dtype=out_dtype)  # cast-on-write, see groupby
     tbl = blocked.mapInArrow(to_blocks, "b int, data binary").toArrow()
     data_col = tbl.column("data")
     for i, b in enumerate(tbl.column("b").to_pylist()):
@@ -509,7 +519,9 @@ def _dense_via_blockshuffle(proj: DataFrame, cube: int) -> np.ndarray:
     return dense
 
 
-def _dense_via_chunks(proj: DataFrame, cube: int) -> np.ndarray:
+def _dense_via_chunks(
+    proj: DataFrame, cube: int, out_dtype="uint32",
+) -> np.ndarray:
     """Large cube: per-task sort-unique → chunked blob shuffle → dense chunks.
 
     Replaces the reference's per-partition Numba kernels + striped tree-sum
@@ -593,7 +605,7 @@ def _dense_via_chunks(proj: DataFrame, cube: int) -> np.ndarray:
     t0 = _time.perf_counter()
     tbl = reduced.toArrow()
     t1 = _time.perf_counter()
-    dense = np.zeros(cube, dtype=np.uint32)
+    dense = np.zeros(cube, dtype=out_dtype)  # cast-on-write, see groupby
     data_col = tbl.column("data")
     for i, c in enumerate(tbl.column("ch").to_pylist()):
         # zero-copy view into the Arrow buffer; copies once into `dense`
@@ -645,18 +657,22 @@ def bin_dataframe(
     if method == "auto":
         method = "groupby" if cube <= CHUNKED_MIN_CUBE else "chunked"
     if method == "groupby":
-        dense = _dense_via_groupby(proj, cube, occupancy_hint=occupancy_hint)
+        dense = _dense_via_groupby(
+            proj, cube, occupancy_hint=occupancy_hint, out_dtype=dtype,
+        )
     elif method == "chunked":
-        dense = _dense_via_chunks(proj, cube)
+        dense = _dense_via_chunks(proj, cube, out_dtype=dtype)
     elif method == "taskblob":
-        dense = _dense_via_taskblob(proj, cube)
+        dense = _dense_via_taskblob(proj, cube, out_dtype=dtype)
     elif method == "blockshuffle":
-        dense = _dense_via_blockshuffle(proj, cube)
+        dense = _dense_via_blockshuffle(proj, cube, out_dtype=dtype)
     else:
         raise ValueError(f"unknown binning method {method!r}")
     coords = {ax.name: ax.bin_centers() for ax in norm}
     return BinnedData(
-        data=dense.reshape(shape).astype(dtype),
+        # builders already produced `dtype`; astype(copy=False) is a no-op
+        # kept as the contract guard
+        data=dense.reshape(shape).astype(dtype, copy=False),
         dims=[ax.name for ax in norm],
         coords=coords,
         attrs={"units": "counts"},
