@@ -44,6 +44,9 @@ __all__ = [
     "asof_join",
     "point_in_interval_join",
     "interval_overlap_join",
+    "salted_join",
+    "skew_join",
+    "skew_report",
 ]
 
 
@@ -931,3 +934,158 @@ def interval_overlap_join(
         F.floor(F.col(right_lo) / w).cast("long"),
     )
     return pairs.filter(overlap & first_shared).drop("__bucket")
+
+
+# ---------------------------------------------------------------------------
+# skew-aware joins
+# ---------------------------------------------------------------------------
+
+_SALTABLE = ("inner", "left", "left_semi", "left_anti")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    salt: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join with the LEFT side's keys spread over ``salt`` sub-keys
+    and the RIGHT side replicated ``salt`` times — the classic fix for a
+    shuffle join whose left side concentrates on a few hot keys (one
+    reducer gets the whole hot key and the stage runs at the speed of
+    that straggler).
+
+    Each left row draws a salt value in ``[0, salt)``; the right side
+    explodes every row into all ``salt`` values, so any left row still
+    meets every right row of its key — the result is row-identical to
+    the plain join for any salt assignment, which is also why the
+    per-row ``rand`` draw (deterministic per partition seed, but not
+    content-keyed) is safe here: a task retry may re-draw, but every
+    draw joins the same right rows. Supported ``how``: inner / left /
+    left_semi / left_anti (the left-side variants — the right side is
+    replicated, so right/full/right_semi would multiply or misalign
+    unmatched right rows).
+
+    The trade: right-side shuffle volume grows ``salt``-fold. Use when
+    the right side is much smaller than the hot key's row count but too
+    big (or too mid-plan) to broadcast; prefer AQE's skew-join handling
+    when it applies (it only splits oversized PARTITIONS after the fact
+    — a single hot KEY above the partition-split size still lands on
+    one reducer, which is exactly the case this helper exists for).
+    """
+    if how not in _SALTABLE:
+        raise ValueError(f"how must be one of {_SALTABLE}, got {how!r}")
+    if salt < 2:
+        raise ValueError("salt must be >= 2")
+    keys = [on] if isinstance(on, str) else list(on)
+    clash = {"__salt"} & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError("column __salt already present; rename it first")
+    lsalt = left.withColumn(
+        "__salt", F.floor(F.rand(seed) * salt).cast("int"),
+    )
+    rsalt = right.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt"),
+    )
+    out = lsalt.join(rsalt, keys + ["__salt"], how)
+    return out.drop("__salt")
+
+
+def skew_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    hot_keys: Sequence | None = None,
+    hot_threshold: int | None = None,
+    max_hot_keys: int = 10_000,
+) -> DataFrame:
+    """Hot-key split join: left rows carrying a HOT key join the (small)
+    hot slice of the right side with a broadcast hash join — no shuffle,
+    no straggler reducer — while the remaining cold rows take the normal
+    shuffle join; the two branches union to exactly the plain join's
+    rows.
+
+    Hot keys come from ``hot_keys`` (explicit values of a single join
+    column) or are detected with one aggregate over the left side:
+    every key with more than ``hot_threshold`` left rows. Detection
+    collects only the hot-key list itself (bounded by ``max_hot_keys``
+    — more hot keys than that means the distribution isn't "a few hot
+    keys" and this strategy is the wrong tool; the raise says so).
+
+    Correctness shape: hot keys are defined by LEFT frequency, so a
+    cold left row can never match a hot-key right row — the cold branch
+    joins the right side's cold slice only, and the hot branch joins
+    the hot slice only; no pair is lost or duplicated. Supported
+    ``how``: inner / left / left_semi / left_anti (left-preserving
+    forms split cleanly by the left row's own key).
+    """
+    if how not in _SALTABLE:
+        raise ValueError(f"how must be one of {_SALTABLE}, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    if len(keys) != 1:
+        raise ValueError("skew_join supports a single join column")
+    key = keys[0]
+    if hot_keys is None:
+        if hot_threshold is None or hot_threshold < 1:
+            raise ValueError("pass hot_keys or a positive hot_threshold")
+        hot_rows = (
+            # null keys never join under these left-preserving forms, so
+            # they route through the cold branch regardless of frequency
+            left.filter(F.col(key).isNotNull())
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > hot_threshold)
+            .select(key)
+            .limit(max_hot_keys + 1)
+            .collect()
+        )
+        if len(hot_rows) > max_hot_keys:
+            raise ValueError(
+                f"more than {max_hot_keys} keys exceed hot_threshold="
+                f"{hot_threshold}; that is broad skew, not a few hot keys "
+                "— raise the threshold or use salted_join",
+            )
+        hot_keys = [r[0] for r in hot_rows]
+    hot_keys = list(hot_keys)
+    if not hot_keys:
+        return left.join(right, keys, how)
+    is_hot = F.col(key).isin(hot_keys)
+    r_hot = right.filter(F.col(key).isin(hot_keys))
+    hot_part = left.filter(is_hot).join(F.broadcast(r_hot), keys, how)
+    cold_part = left.filter(~is_hot | F.col(key).isNull()).join(
+        right.filter(~F.col(key).isin(hot_keys)), keys, how,
+    )
+    return hot_part.unionByName(cold_part)
+
+
+def skew_report(
+    df: DataFrame,
+    cols: str | Sequence[str],
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` heaviest key values of ``cols`` with their row share —
+    the one-aggregate diagnostic that decides between a plain join,
+    :func:`skew_join` (few hot keys) and :func:`salted_join` (broad
+    skew). One hash aggregate + a TakeOrdered top-k; the total-row
+    scalar rides in via a crossJoin of a one-row aggregate, never a
+    global window. Returns ``(cols..., n_rows, share)`` ordered by
+    weight desc (ties by key) — deterministic."""
+    keys = [cols] if isinstance(cols, str) else list(cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+        )
+        .orderBy(
+            F.col("n_rows").desc(),
+            *[F.col(c).asc_nulls_last() for c in keys],
+        )
+        .limit(k)
+    )

@@ -386,7 +386,17 @@ def semi_anti_join(spark, sf_dir):
     """LEFT SEMI + LEFT ANTI in one result: customers WITH any urgent
     order vs customers with NO order at all — Spark's dedicated join
     types (no row duplication, right side only probed), oracle via
-    EXISTS / NOT EXISTS."""
+    EXISTS / NOT EXISTS.
+
+    Round 7 widens with the skew-aware join family
+    (:func:`sed_spark.dfops.skew_join` hot-key split with live
+    detection, :func:`sed_spark.dfops.salted_join` salt-8 spread):
+    both recompute the has-urgent customer set through their split/
+    salted physical shapes, so the row proves the skew strategies are
+    RESULT-IDENTICAL to the plain join — the whole point of a skew
+    mitigation — against the same EXISTS oracle."""
+    from sed_spark.dfops import salted_join, skew_join
+
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
@@ -396,7 +406,31 @@ def semi_anti_join(spark, sf_dir):
     no_orders = cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti",
     ).select("c_custkey", F.lit("no_orders").alias("bucket"))
-    return with_urgent.unionByName(no_orders)
+    # same semi set through the hot-key split join (urgent orders on the
+    # left so per-customer fan-in is the detected skew; any threshold
+    # yields the same ROWS — only the hot/cold routing changes)
+    ukeys = urgent.select(F.col("o_custkey").alias("c_custkey"))
+    skew_semi = (
+        skew_join(
+            ukeys, cust.select("c_custkey"), "c_custkey",
+            how="left_semi", hot_threshold=4,
+        )
+        .distinct()
+        .select("c_custkey", F.lit("skew_semi").alias("bucket"))
+    )
+    salted_semi = (
+        salted_join(
+            ukeys, cust.select("c_custkey"), "c_custkey",
+            how="left_semi", salt=8,
+        )
+        .distinct()
+        .select("c_custkey", F.lit("salted_semi").alias("bucket"))
+    )
+    return (
+        with_urgent.unionByName(no_orders)
+        .unionByName(skew_semi)
+        .unionByName(salted_semi)
+    )
 
 
 SEMI_ANTI_SQL = """
@@ -406,6 +440,14 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
 UNION ALL
 SELECT c_custkey, 'no_orders' FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT DISTINCT o_custkey AS c_custkey, 'skew_semi' AS bucket FROM orders
+WHERE o_orderpriority = '1-URGENT'
+  AND EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT DISTINCT o_custkey AS c_custkey, 'salted_semi' AS bucket FROM orders
+WHERE o_orderpriority = '1-URGENT'
+  AND EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
 """
 
 

@@ -559,3 +559,98 @@ def test_range_join_results_invariant_to_bucket_width(spark):
     assert obase
     for width in (0.9, 7.0, 60.0, 500.0):
         assert ovl(width) == obase, f"width {width} changed the overlap set"
+
+
+# ---------------------------------------------------------------------------
+# skew-aware joins
+# ---------------------------------------------------------------------------
+
+def _skewed_pair(spark):
+    # key 7 is hot on the left (200 of 230 rows); right has 2 rows per key
+    left = spark.createDataFrame(
+        [(7, i) for i in range(200)]
+        + [(k, 1000 + k) for k in range(10)]
+        + [(99, 1), (None, 0)] * 10,
+        "k int, lv int",
+    )
+    right = spark.createDataFrame(
+        [(k, t) for k in [7, 99] + list(range(8)) for t in ("a", "b")],
+        "k int, tag string",
+    )
+    return left, right
+
+
+def _sorted_rows(df):
+    # None sorts before everything (tests use nullable keys/columns)
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is not None, v) for v in t),
+    )
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "left_semi", "left_anti"])
+def test_salted_join_matches_plain_join(spark, how):
+    from sed_spark.dfops import salted_join
+
+    left, right = _skewed_pair(spark)
+    plain = left.join(right, ["k"], how)
+    salted = salted_join(left, right, "k", how=how, salt=8)
+    assert _sorted_rows(salted) == _sorted_rows(plain)
+    assert salted.columns == plain.columns
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "left_semi", "left_anti"])
+def test_skew_join_matches_plain_join(spark, how):
+    from sed_spark.dfops import skew_join
+
+    left, right = _skewed_pair(spark)
+    plain = left.join(right, ["k"], how)
+    # explicit hot keys
+    got = skew_join(left, right, "k", how=how, hot_keys=[7])
+    assert _sorted_rows(got) == _sorted_rows(plain)
+    # detected hot keys (only key 7 exceeds 50 left rows)
+    got2 = skew_join(left, right, "k", how=how, hot_threshold=50)
+    assert _sorted_rows(got2) == _sorted_rows(plain)
+
+
+def test_skew_join_no_hot_keys_falls_back(spark):
+    from sed_spark.dfops import skew_join
+
+    left, right = _skewed_pair(spark)
+    out = skew_join(left, right, "k", hot_threshold=10_000)
+    assert _sorted_rows(out) == _sorted_rows(left.join(right, ["k"], "inner"))
+
+
+def test_skew_join_guards(spark):
+    from sed_spark.dfops import skew_join
+
+    left, right = _skewed_pair(spark)
+    with pytest.raises(ValueError, match="hot_keys or a positive"):
+        skew_join(left, right, "k")
+    with pytest.raises(ValueError, match="broad skew"):
+        skew_join(left, right, "k", hot_threshold=1, max_hot_keys=1)
+    with pytest.raises(ValueError, match="single join column"):
+        skew_join(left, right, ["k", "lv"], hot_keys=[7])
+    with pytest.raises(ValueError, match="how must be"):
+        skew_join(left, right, "k", how="full", hot_keys=[7])
+
+
+def test_salted_join_guards(spark):
+    from sed_spark.dfops import salted_join
+
+    left, right = _skewed_pair(spark)
+    with pytest.raises(ValueError, match="how must be"):
+        salted_join(left, right, "k", how="right")
+    with pytest.raises(ValueError, match="salt must be"):
+        salted_join(left, right, "k", salt=1)
+
+
+def test_skew_report_orders_by_weight(spark):
+    from sed_spark.dfops import skew_report
+
+    left, _ = _skewed_pair(spark)
+    rows = skew_report(left, "k", k=3).collect()
+    assert [r["k"] for r in rows] == [7, 99, None]
+    assert rows[0]["n_rows"] == 201  # 200 hot rows + 1 in the 0..9 band
+    total = left.count()
+    assert rows[0]["share"] == round(201 / total, 6)

@@ -364,3 +364,38 @@ def test_grouped_hll_is_two_hash_aggregates(spark):
     plan = _plan(out)
     assert "HashAggregate" in plan
     assert "Expand" not in plan and "Window" not in plan
+
+
+def test_skew_join_hot_branch_is_broadcast(spark):
+    from sed_spark.dfops import skew_join
+    from sed_spark.suite.common import load
+
+    cust = load(spark, SF_DIR, "customer").select("c_custkey", "c_name")
+    orders = load(spark, SF_DIR, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey",
+    )
+    plan = _plan(skew_join(orders, cust, "c_custkey", hot_keys=[1, 2, 3]))
+    # hot branch: broadcast hash join (no shuffle for the hot keys);
+    # cold branch still a shuffle join; two branches unioned
+    assert "BroadcastHashJoin" in plan
+    assert "Union" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_join_is_hash_join_no_cartesian(spark):
+    from sed_spark.dfops import salted_join
+    from sed_spark.suite.common import load
+
+    cust = load(spark, SF_DIR, "customer").select("c_custkey", "c_name")
+    orders = load(spark, SF_DIR, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey",
+    )
+    plan = _plan(salted_join(orders, cust, "c_custkey", salt=8))
+    # the salted key participates in the join: an equi-join (hash-based),
+    # never a cartesian with post-filter
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
+        or ("BroadcastHashJoin" in plan)
+    assert "__salt" in plan
