@@ -10,6 +10,8 @@ one projection; the only shuffle is the (small-keyed) domain rollup.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -26,6 +28,7 @@ __all__ = [
     "exact_cap_sample",
     "quantile_gates",
     "gumbel_topk",
+    "corpus_diff",
 ]
 
 #: scheme://host[:port][/path] — the regex subset with identical
@@ -577,3 +580,43 @@ def rate_sample(
     if keep_col is None:
         return rated.filter(keep).drop(rate_col)
     return rated.withColumn(keep_col, keep.cast("int")).drop(rate_col)
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: Sequence[str] = ("text",),
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: per document id, one of
+    ``added`` (only in ``new``), ``removed`` (only in ``old``),
+    ``changed`` (both, different content) or ``unchanged`` — the audit
+    table an incremental ingestion run records next to its output, and
+    the input to change-driven recompute (only ``added``/``changed`` ids
+    re-enter the expensive signal pipeline).
+
+    Content identity is the md5 of the ``content_cols`` joined with a
+    0x1f separator (cross-engine: any engine with md5 reproduces it), so
+    the diff never ships document bodies through the join — each side is
+    reduced to ``(id, 16-byte hash)`` before the single full-outer
+    shuffle on the id. At scale both sides are id-hash tables a fraction
+    of corpus size; staging them bucketed by ``id_col``
+    (:mod:`sed_spark.loader.bucketing`) makes the diff shuffle-free.
+    Returns ``(id_col, status, old_hash, new_hash)`` — hashes NULL on
+    the side the document is absent from.
+    """
+    content_hash = F.md5(
+        F.concat_ws("\x1f", *[F.col(c) for c in content_cols]),
+    )
+    oh = old.select(F.col(id_col), content_hash.alias("old_hash"))
+    nh = new.select(F.col(id_col), content_hash.alias("new_hash"))
+    joined = oh.join(nh, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), "added")
+        .when(F.col("new_hash").isNull(), "removed")
+        .when(F.col("old_hash") == F.col("new_hash"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(
+        F.col(id_col), status.alias("status"), "old_hash", "new_hash",
+    )

@@ -28,6 +28,8 @@ __all__ = [
     "fingerprint",
     "repetition_stats",
     "pack_sequences",
+    "quality_gate",
+    "gate_stats",
 ]
 
 #: language-marker WORD LISTS for the n-gram language-id heuristic —
@@ -885,4 +887,61 @@ def pack_sequences(
         .withColumn(pack_col, F.expr(f"__start DIV {int(budget)}"))
         .withColumn(offset_col, F.expr(f"__start % {int(budget)}"))
         .drop("__bkt", "__cum", "__prefix", "__start")
+    )
+
+
+def quality_gate(
+    df: DataFrame,
+    rules: Sequence[tuple[str, Column]],
+    mode: str = "annotate",
+) -> DataFrame:
+    """Compose per-document quality signals into ONE keep/drop decision
+    with per-rule attribution — the final stage of every filtering
+    pipeline (Gopher/C4/FineWeb-style rule stacks).
+
+    ``rules`` is an ordered list of ``(name, boolean Column)``: a
+    document is kept iff every rule passes; a dropped document carries
+    the FIRST failing rule's name (rule order = precedence) so
+    :func:`gate_stats` attributes every drop to exactly one rule —
+    attribution sums to the drop count instead of double-counting
+    multi-rule failures. A NULL rule result (signal undefined, e.g.
+    ratios of a wordless doc) fails closed: the document drops under
+    that rule's name.
+
+    ``mode="annotate"`` appends ``keep`` (int 0/1) + ``reject_reason``
+    ('' when kept); ``mode="filter"`` returns only kept rows, original
+    schema. Pure projection — rules are Column expressions over already-
+    computed signal columns, so the gate adds zero scans and zero
+    shuffles to the signal pipeline it caps.
+    """
+    if mode not in ("annotate", "filter"):
+        raise ValueError(f"mode must be 'annotate' or 'filter', got {mode!r}")
+    if not rules:
+        raise ValueError("rules must be a non-empty sequence of (name, Column)")
+    names = [n for n, _ in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {sorted(names)}")
+    passed = [F.coalesce(cond.cast("boolean"), F.lit(False)) for _, cond in rules]
+    keep = passed[0]
+    for p in passed[1:]:
+        keep = keep & p
+    reason = F.lit("")
+    # build the when-chain in order so the FIRST failing rule wins
+    chain = None
+    for (name, _), p in zip(rules, passed):
+        chain = (F.when(~p, name) if chain is None else chain.when(~p, name))
+    reason = chain.otherwise("")
+    if mode == "filter":
+        return df.filter(keep)
+    return df.select(
+        "*", keep.cast("int").alias("keep"), reason.alias("reject_reason"),
+    )
+
+
+def gate_stats(gated: DataFrame) -> DataFrame:
+    """Drop attribution for a :func:`quality_gate` ``annotate`` result:
+    ``(reject_reason, n_docs)`` including the kept bucket (reason '').
+    One hash aggregate, reasons-sized output."""
+    return gated.groupBy("reject_reason").agg(
+        F.count(F.lit(1)).alias("n_docs"),
     )

@@ -107,9 +107,35 @@ def dedup_exact(spark, sf_dir):
         F.col("doc_id").alias("keep_id"),
         F.col("maybe_seen").cast("long").alias("group_size"),
     )
+    # corpus_diff (round 7): snapshot diff between two synthetic corpus
+    # versions derived from doc_id mod 4 — ids ≡0 unchanged, ≡1 only in
+    # OLD (removed), ≡2 in both with different content (changed), ≡3
+    # only in NEW (added). status + both hashes ride in text_hash; the
+    # ordinal rides in group_size.
+    d4 = F.col("doc_id") % 4
+    old_v = docs.filter(d4 != 3).select(
+        "doc_id",
+        F.when(d4 == 2, F.concat(F.col("text"), F.lit(" v1")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    new_v = docs.filter(d4 != 1).select("doc_id", "text")
+    diff = corpus.corpus_diff(old_v, new_v)
+    diff_branch = diff.select(
+        F.lit("diff").alias("method"),
+        F.concat_ws(
+            ":", F.col("status"),
+            F.coalesce("old_hash", F.lit("")),
+            F.coalesce("new_hash", F.lit("")),
+        ).alias("text_hash"),
+        F.col("doc_id").alias("keep_id"),
+        F.when(F.col("status") == "unchanged", 0)
+        .when(F.col("status") == "changed", 1)
+        .when(F.col("status") == "added", 2)
+        .otherwise(3).cast("long").alias("group_size"),
+    )
     return (
         batch.unionAll(inc).unionAll(norm).unionAll(html_branch)
-        .unionAll(bloom_branch)
+        .unionAll(bloom_branch).unionAll(diff_branch)
     )
 
 
@@ -187,6 +213,28 @@ FROM (
     WHERE doc_id % 2 = 0
   ) bb ON bb.bit = probe.bit
   GROUP BY doc_id, h
+)
+UNION ALL
+SELECT 'diff' AS method,
+  status || ':' || COALESCE(old_hash, '') || ':' || COALESCE(new_hash, '')
+    AS text_hash,
+  doc_id AS keep_id,
+  CAST(CASE status WHEN 'unchanged' THEN 0 WHEN 'changed' THEN 1
+       WHEN 'added' THEN 2 ELSE 3 END AS BIGINT) AS group_size
+FROM (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+    CASE WHEN o.doc_id IS NULL THEN 'added'
+         WHEN n.doc_id IS NULL THEN 'removed'
+         WHEN o.h = n.h THEN 'unchanged' ELSE 'changed' END AS status,
+    o.h AS old_hash, n.h AS new_hash
+  FROM (
+    SELECT doc_id,
+      md5(CASE WHEN doc_id % 4 = 2 THEN text || ' v1' ELSE text END) AS h
+    FROM documents WHERE doc_id % 4 != 3
+  ) o
+  FULL OUTER JOIN (
+    SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 != 1
+  ) n ON o.doc_id = n.doc_id
 )
 """
 
@@ -2028,6 +2076,19 @@ LEFT JOIN reb ON reb.doc_id = d.doc_id
 # (word, tf, df) vocabulary table, and each doc's top character pair is
 # joined against the corpus BPE pair-count table — the per-doc probe
 # pins the corpus-level merge-candidate statistics
+def _GATE_RULES():
+    """Rule stack for the repetition row's quality_gate branch — integer/
+    rounded-signal comparisons only, so both engines decide identically."""
+    return [
+        ("too_short", F.col("n_words") >= 20),
+        ("too_repetitive", F.col("dup_word_frac") <= 0.6),
+        # unfamiliar: any bigram unseen by the reference LM (the synthetic
+        # corpus's LM coverage is near-total, so the strict form is the
+        # one that actually fires)
+        ("unfamiliar", F.col("n_unseen") <= 0),
+    ]
+
+
 def repetition(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     rep = text.repetition_stats(docs)
@@ -2049,7 +2110,11 @@ def repetition(spark, sf_dir):
     fam = vocab.lm_familiarity(docs, lm).select(
         "doc_id", "n_unseen", "seen_cnt_sum",
     )
-    return rep.join(vd, "doc_id").join(tp, "doc_id").join(fam, "doc_id")
+    joined = rep.join(vd, "doc_id").join(tp, "doc_id").join(fam, "doc_id")
+    # quality_gate (round 7): the rule-stack keep/drop decision with
+    # first-failing-rule attribution, composed over the signals this row
+    # already computes — pure projection, mirrored by CASE in the oracle
+    return text.quality_gate(joined, _GATE_RULES())
 
 
 REPETITION_SQL = """
@@ -2139,7 +2204,20 @@ SELECT wc.doc_id, wc.n_words, wc.n_distinct_words,
   COALESCE(t.top_ngram_char_frac, 0.0) AS top_ngram_char_frac,
   vd.rarest_word_df, vd.df_sum,
   tp.top_pair, tp.top_pair_count, tp.top_pair_corpus_cnt,
-  fam.n_unseen, fam.seen_cnt_sum
+  fam.n_unseen, fam.seen_cnt_sum,
+  CAST(CASE WHEN NOT COALESCE(wc.n_words >= 20, FALSE) THEN 0
+       WHEN NOT COALESCE(
+         round(1.0 - n_distinct_words / CAST(n_words AS DOUBLE), 6) <= 0.6,
+         FALSE) THEN 0
+       WHEN NOT COALESCE(fam.n_unseen <= 0, FALSE) THEN 0
+       ELSE 1 END AS INTEGER) AS keep,
+  CASE WHEN NOT COALESCE(wc.n_words >= 20, FALSE) THEN 'too_short'
+       WHEN NOT COALESCE(
+         round(1.0 - n_distinct_words / CAST(n_words AS DOUBLE), 6) <= 0.6,
+         FALSE) THEN 'too_repetitive'
+       WHEN NOT COALESCE(fam.n_unseen <= 0, FALSE)
+         THEN 'unfamiliar'
+       ELSE '' END AS reject_reason
 FROM wc
 LEFT JOIN (SELECT * FROM top WHERE rn = 1) t ON wc.doc_id = t.doc_id
 JOIN vd ON vd.doc_id = wc.doc_id

@@ -551,3 +551,33 @@ def test_temperature_rates_validation_and_zero_counts(spark):
     got = {r["domain"]: r["rate"]
            for r in temperature_rates(empty).collect()}
     assert got == {"a": 0.0}
+
+
+def test_corpus_diff_statuses(spark):
+    from sed_spark.ext.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone")], ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh")], ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in corpus_diff(old, new).collect()}
+    assert rows[1]["status"] == "unchanged"
+    assert rows[2]["status"] == "changed"
+    assert rows[3]["status"] == "removed" and rows[3]["new_hash"] is None
+    assert rows[4]["status"] == "added" and rows[4]["old_hash"] is None
+    # hashes are the md5 of the content, present on the existing side
+    import hashlib
+    assert rows[1]["old_hash"] == hashlib.md5(b"same").hexdigest()
+    assert rows[1]["old_hash"] == rows[1]["new_hash"]
+
+
+def test_corpus_diff_multi_content_cols(spark):
+    from sed_spark.ext.corpus import corpus_diff
+
+    # separator prevents ("ab","c") == ("a","bc") collisions
+    old = spark.createDataFrame([(1, "ab", "c")], ["doc_id", "a", "b"])
+    new = spark.createDataFrame([(1, "a", "bc")], ["doc_id", "a", "b"])
+    [r] = corpus_diff(old, new, content_cols=("a", "b")).collect()
+    assert r["status"] == "changed"

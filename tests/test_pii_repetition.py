@@ -107,3 +107,52 @@ def test_pii_redact_counts_match_emitted_placeholders(spark):
     r = pii_redact(df).collect()[0]
     assert r["redacted"] == "reach <EMAIL> now"
     assert (r["n_emails"], r["n_ipv4"], r["n_phones"]) == (1, 0, 0)
+
+
+def test_quality_gate_first_fail_attribution(spark):
+    from pyspark.sql import functions as F
+
+    from sed_spark.ext.text import gate_stats, quality_gate
+
+    df = spark.createDataFrame(
+        [(0, 10, 0.1), (1, 2, 0.1), (2, 2, 0.9), (3, 10, 0.9),
+         (4, None, 0.1)],
+        "doc_id int, n_words int, dup_frac double",
+    )
+    rules = [
+        ("too_short", F.col("n_words") >= 5),
+        ("too_repetitive", F.col("dup_frac") <= 0.5),
+    ]
+    out = {r["doc_id"]: r for r in quality_gate(df, rules).collect()}
+    assert out[0]["keep"] == 1 and out[0]["reject_reason"] == ""
+    assert out[1]["keep"] == 0 and out[1]["reject_reason"] == "too_short"
+    # both rules fail -> FIRST rule in order wins the attribution
+    assert out[2]["reject_reason"] == "too_short"
+    assert out[3]["reject_reason"] == "too_repetitive"
+    # NULL signal fails closed under that rule's name
+    assert out[4]["keep"] == 0 and out[4]["reject_reason"] == "too_short"
+
+    stats = {
+        r["reject_reason"]: r["n_docs"]
+        for r in gate_stats(quality_gate(df, rules)).collect()
+    }
+    assert stats == {"": 1, "too_short": 3, "too_repetitive": 1}
+
+    kept = quality_gate(df, rules, mode="filter")
+    assert kept.columns == df.columns
+    assert [r["doc_id"] for r in kept.collect()] == [0]
+
+
+def test_quality_gate_guards(spark):
+    import pytest as pt
+    from pyspark.sql import functions as F
+
+    from sed_spark.ext.text import quality_gate
+
+    df = spark.createDataFrame([(0,)], "doc_id int")
+    with pt.raises(ValueError, match="non-empty"):
+        quality_gate(df, [])
+    with pt.raises(ValueError, match="duplicate rule names"):
+        quality_gate(df, [("r", F.lit(True)), ("r", F.lit(False))])
+    with pt.raises(ValueError, match="mode must be"):
+        quality_gate(df, [("r", F.lit(True))], mode="x")
