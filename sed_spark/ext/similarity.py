@@ -34,6 +34,8 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_topk",
+    "pq_topk_rerank",
+    "exact_rerank",
     "ivfpq_train",
     "ivfpq_topk",
     "sq8_fit",
@@ -1409,4 +1411,61 @@ def sq8_topk(
         staged.select(F.col(id_col), F.expr(score).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def exact_rerank(
+    df: DataFrame,
+    candidates: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Exact-cosine top-``k`` restricted to a candidate id set — the
+    refinement half of every two-stage retrieval (ANN shortlist →
+    exact rerank). The candidate ids BROADCAST into a semi-join against
+    the corpus (no shuffle; the scan prunes to matched rows), and the
+    exact scoring runs on candidate-many vectors only, so the cost of
+    recovering exactness is ``|candidates|`` dot products — not a
+    corpus re-scan.
+    """
+    cand = F.broadcast(candidates.select(id_col))
+    return cosine_topk(
+        df.join(cand, id_col, "left_semi"), query_vec, k=k,
+        id_col=id_col, vec_col=vec_col, round_decimals=round_decimals,
+    )
+
+
+def pq_topk_rerank(
+    df: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    refine: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """PQ shortlist + exact rerank: asymmetric-distance scoring selects
+    ``k·refine`` candidates from the compressed codes, then
+    :func:`exact_rerank` rescores just those with true cosine — the
+    standard production recipe that buys back recall lost to code
+    resolution, at the cost of ``k·refine`` exact dots. Measured
+    recall@10 on the sf0.1 corpus (SCALING.md "ANN recall@10"): the
+    m=4,k=8 codes go 0.13 → 0.22 (refine=5) → 0.46 (refine=20) — the
+    shortlist itself is the ceiling — while m=16,k=32 codes go
+    0.56 → 0.83 (refine=5) → 0.975 (refine=20), i.e. resolution sets
+    the shortlist quality and refine converts it to exactness.
+    """
+    if refine < 1:
+        raise ValueError("refine must be >= 1")
+    shortlist = pq_topk(
+        df, codebooks, query_vec, k=k * refine,
+        id_col=id_col, vec_col=vec_col, round_decimals=round_decimals,
+    ).select(id_col)
+    return exact_rerank(
+        df, shortlist, query_vec, k=k,
+        id_col=id_col, vec_col=vec_col, round_decimals=round_decimals,
     )

@@ -836,6 +836,18 @@ def ann_topk(spark, sf_dir):
         branches.append(
             ("pq", similarity.pq_topk(df, _pq_books(df, sf_dir), qvec, k=10)),
         )
+        # two-stage retrieval (round 7): ADC shortlist of 50 -> exact
+        # rerank; the production recipe that buys recall back from a
+        # low-resolution code (0.13 -> 0.22 at refine=5 on this corpus;
+        # the dial table lives in SCALING.md "ANN recall@10")
+        branches.append(
+            (
+                "pq_rerank",
+                similarity.pq_topk_rerank(
+                    df, _pq_books(df, sf_dir), qvec, k=10, refine=5,
+                ),
+            ),
+        )
     # SQ8 (round 5): the codebook-free compression rung — per-dim
     # min/max ranges are exact, so the fit is live at EVERY scale and
     # needs no pin
@@ -1195,7 +1207,7 @@ def _pq_books(df, sf_dir: str) -> list:
     return _PQ_FIT_CACHE[sf_dir]
 
 
-def _pq_sql(books) -> str:
+def _pq_sql(books, limit: int = 10) -> str:
     """Mirror of ``similarity.pq_topk`` over the pinned codebooks: the
     code assignment replays the EXACT Spark expression — argmax of the
     sequential fold ``⟨x_m, c⟩ - |c|²/2`` (``_pq_score_sql``), not the
@@ -1265,7 +1277,32 @@ pqd AS (SELECT vec_id, {d_cols} FROM embeddings),
 pqc AS (SELECT vec_id, {c_cols} FROM pqd)
 SELECT vec_id, round(({num}) / sqrt({den}), 6) AS cos_sim
 FROM pqc, pq_q
-ORDER BY cos_sim DESC, vec_id LIMIT 10
+ORDER BY cos_sim DESC, vec_id LIMIT {limit}
+"""
+
+
+def _pq_rerank_sql(books, k: int = 10, refine: int = 5) -> str:
+    """Oracle for the ``pq_rerank`` branch: the ADC shortlist of
+    ``k·refine`` ids (the :func:`_pq_sql` mirror with a wider limit,
+    same rounded-score + vec_id tie-break), exact-rescored with the
+    brute-force cosine restricted to those ids — mirrors
+    ``similarity.pq_topk_rerank``."""
+    return f"""
+WITH sl AS (SELECT vec_id FROM ({_pq_sql(books, limit=k * refine)})),
+rq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+rs AS (
+  SELECT e.vec_id,
+    list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS dot,
+    list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      AS na,
+    list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS nq
+  FROM embeddings e JOIN sl ON e.vec_id = sl.vec_id, rq
+)
+SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 6) AS cos_sim
+FROM rs ORDER BY cos_sim DESC, vec_id LIMIT {k}
 """
 
 
@@ -3142,6 +3179,8 @@ QUERIES.update(
                 + (
                     " UNION ALL SELECT 'pq' AS method, * FROM "
                     f"({_pq_sql(PQ_CODEBOOKS_SF0_01)})"
+                    " UNION ALL SELECT 'pq_rerank' AS method, * FROM "
+                    f"({_pq_rerank_sql(PQ_CODEBOOKS_SF0_01)})"
                     if PQ_CODEBOOKS_SF0_01 is not None
                     else ""
                 )

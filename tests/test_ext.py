@@ -1759,3 +1759,51 @@ def test_sq8_matches_python_reference_and_bounds(spark):
 
     with pytest.raises(ValueError, match="nonzero"):
         S.sq8_topk(df, los, his, [0.0] * 8)
+
+
+def test_exact_rerank_and_pq_rerank(spark):
+    import numpy as np
+
+    from sed_spark.ext import similarity
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(200, 8)).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(200)],
+        "vec_id int, embedding array<float>",
+    )
+    q = [float(v) for v in vecs[0]]
+    exact = similarity.cosine_topk(df, q, k=5)
+    # rerank restricted to the exact winners reproduces them
+    got = similarity.exact_rerank(df, exact.select("vec_id"), q, k=5)
+    assert [r["vec_id"] for r in got.collect()] == [
+        r["vec_id"] for r in exact.collect()
+    ]
+    # a full-corpus shortlist makes pq_topk_rerank EXACT regardless of
+    # code resolution (every id survives to the exact stage)
+    books = similarity.pq_train(df, m=2, k=4, vec_col="embedding", max_iter=2)
+    full = similarity.pq_topk_rerank(df, books, q, k=5, refine=40)
+    assert [r["vec_id"] for r in full.collect()] == [
+        r["vec_id"] for r in exact.collect()
+    ]
+    with pytest.raises(ValueError, match="refine"):
+        similarity.pq_topk_rerank(df, books, q, refine=0)
+
+
+def test_exact_rerank_candidates_broadcast_plan(spark):
+    import numpy as np
+
+    from sed_spark.ext import similarity
+
+    rng = np.random.default_rng(12)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in rng.normal(size=8)]) for i in range(50)],
+        "vec_id int, embedding array<float>",
+    )
+    cand = df.select("vec_id").limit(10)
+    plan = (
+        similarity.exact_rerank(df, cand, [1.0] * 8, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # candidate ids broadcast into a semi join — no corpus shuffle
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

@@ -47,6 +47,12 @@ def main() -> None:
     # collapses). Real IVF-PQ is k-means coarse + residual PQ.
     trained = similarity.kmeans_fit(emb, k=8, max_iter=5)
     books_trained = similarity.ivfpq_train(emb, trained, m=4, k=8, max_iter=3)
+    # higher-resolution codes (round 7): recall as a function of code
+    # bits — m subspaces x log2(k) bits. On >=1e7-row corpora train on a
+    # sampled slice; here the corpus is codebook-training-sized already.
+    books_m8k32 = similarity.pq_train(emb, m=8, k=32, max_iter=3)
+    books_m16k32 = similarity.pq_train(emb, m=16, k=32, max_iter=3)
+    ivfpq_m8k32 = similarity.ivfpq_train(emb, trained, m=8, k=32, max_iter=3)
 
     # query vectors: every (n_corpus // n_queries)-th embedding — spread
     # across the id range so bucket-locality doesn't flatter IVF
@@ -96,6 +102,31 @@ def main() -> None:
         ),
         "ivfpq trained nprobe=8": lambda q: similarity.ivfpq_topk(
             emb, trained, books_trained, q, k=k, nprobe=8,
+        ),
+        # round 7: resolution dial + the two-stage rerank recipe
+        "pq m=8 k=32 trained": lambda q: similarity.pq_topk(
+            emb, books_m8k32, q, k=k,
+        ),
+        "pq m=16 k=32 trained": lambda q: similarity.pq_topk(
+            emb, books_m16k32, q, k=k,
+        ),
+        "ivfpq trained m=8 k=32 nprobe=2": lambda q: similarity.ivfpq_topk(
+            emb, trained, ivfpq_m8k32, q, k=k, nprobe=2,
+        ),
+        "pq m=4 k=8 + rerank r=5": lambda q: similarity.pq_topk_rerank(
+            emb, PQ_CODEBOOKS_SF0_01, q, k=k, refine=5,
+        ),
+        "pq m=4 k=8 + rerank r=20": lambda q: similarity.pq_topk_rerank(
+            emb, PQ_CODEBOOKS_SF0_01, q, k=k, refine=20,
+        ),
+        "pq m=8 k=32 + rerank r=5": lambda q: similarity.pq_topk_rerank(
+            emb, books_m8k32, q, k=k, refine=5,
+        ),
+        "pq m=16 k=32 + rerank r=5": lambda q: similarity.pq_topk_rerank(
+            emb, books_m16k32, q, k=k, refine=5,
+        ),
+        "pq m=16 k=32 + rerank r=20": lambda q: similarity.pq_topk_rerank(
+            emb, books_m16k32, q, k=k, refine=20,
         ),
     }
 
