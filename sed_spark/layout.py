@@ -31,6 +31,9 @@ __all__ = [
     "zorder_value",
     "zorder_write",
     "file_range_stats",
+    "bloom_file_index",
+    "bloom_candidate_files",
+    "read_with_bloom_prune",
 ]
 
 
@@ -183,3 +186,106 @@ def file_range_stats(
         df.groupBy(F.input_file_name().alias("file"))
         .agg(F.count(F.lit(1)).alias("num_rows"), *aggs)
     )
+
+
+# ---------------------------------------------------------------------------
+# per-file Bloom skipping index
+# ---------------------------------------------------------------------------
+
+def bloom_file_index(
+    spark,
+    path: str,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+    salt: str = "fidx",
+) -> DataFrame:
+    """Per-FILE Bloom set-bit table ``(file, bit)`` over ``key_col`` for
+    a written dataset — file skipping for HIGH-CARDINALITY point
+    lookups, where footer min/max pruning is useless (a hash-distributed
+    id column spans nearly the full value range in every file, so range
+    stats prune nothing; a Bloom bit pattern still identifies which
+    files can possibly hold one key).
+
+    One scan grouped by ``input_file_name()``: each key fans into
+    ``k_hashes`` bits (the md5 cells of :mod:`sed_spark.ext.sketch` —
+    reproducible in any engine), distinct per file. The index is at most
+    ``files × m_bits`` rows, in practice ``files × min(m_bits, keys·k)``
+    — a driver-manageable sidecar to persist next to the data. Like any
+    Bloom structure it has NO false negatives: a probe never skips a
+    file that contains the key.
+    """
+    from sed_spark.ext.sketch import _hash32
+
+    df = spark.read.parquet(path)
+    k = F.col(key_col).cast("string")
+    return (
+        df.select(
+            F.input_file_name().alias("file"),
+            F.explode(
+                F.array(*[
+                    (_hash32(k, f"{salt}:{j}") % m_bits)
+                    for j in range(k_hashes)
+                ]),
+            ).alias("bit"),
+        )
+        .distinct()
+    )
+
+
+def _probe_bits(key, m_bits: int, k_hashes: int, salt: str) -> list[int]:
+    """Driver-side mirror of the index's bit derivation (md5 first-8-hex,
+    same string form the Column cast produces for ints/strings)."""
+    import hashlib
+
+    return [
+        int(
+            hashlib.md5(f"{key}:{salt}:{j}".encode()).hexdigest()[:8], 16,
+        ) % m_bits
+        for j in range(k_hashes)
+    ]
+
+
+def bloom_candidate_files(
+    index: DataFrame,
+    key,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+    salt: str = "fidx",
+) -> list[str]:
+    """Files whose Bloom pattern contains ALL probe bits of ``key`` —
+    the candidate list a point lookup must read (complete by the
+    no-false-negative property; may contain extra files at the Bloom
+    false-positive rate). One filter + one files-sized aggregate."""
+    bits = sorted(set(_probe_bits(key, m_bits, k_hashes, salt)))
+    matched = (
+        index.filter(F.col("bit").isin(bits))
+        .groupBy("file")
+        .agg(F.count_distinct("bit").alias("__n"))
+        .filter(F.col("__n") == len(bits))
+    )
+    return sorted(r["file"] for r in matched.collect())
+
+
+def read_with_bloom_prune(
+    spark,
+    path: str,
+    index: DataFrame,
+    key_col: str,
+    key,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+    salt: str = "fidx",
+) -> DataFrame:
+    """Point lookup that reads ONLY the index's candidate files, then
+    applies the exact predicate — result-identical to filtering the full
+    dataset (the unit tests pin both the equality and that non-candidate
+    files are genuinely absent from the scan)."""
+    files = bloom_candidate_files(index, key, m_bits, k_hashes, salt)
+    if not files:
+        # no file can contain the key: an empty frame in the dataset's
+        # schema, without scanning any data file
+        return (
+            spark.read.parquet(path).filter(F.lit(False))
+        )
+    return spark.read.parquet(*files).filter(F.col(key_col) == F.lit(key))

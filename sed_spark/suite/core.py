@@ -1355,7 +1355,15 @@ def file_stats(spark, sf_dir):
     bounds a `zorder_write` layout hands the row-group pruner; tight
     per-bucket min/max here IS the file-skipping win the writer buys.
     Branch rows carry file_id = 100000 + bucket (disjoint from real
-    file ids)."""
+    file ids).
+
+    Round-7 widening: a BLOOM-PRUNED point lookup (file_id 200000) —
+    lineitem staged as 8 hash-partitioned files, a per-file Bloom index
+    over ``l_orderkey`` (``sed_spark.layout.bloom_file_index``), and the
+    l_orderkey = 1 lookup reading ONLY the index's candidate files; the
+    branch aggregates the pruned read, which the no-false-negative
+    property makes exactly the plain filter's rows — what the oracle
+    recomputes from the full table."""
     from sed_spark import layout
     from sed_spark.loader.generic import GenericLoader
     from sed_spark.loader.stats import file_stats_df
@@ -1377,7 +1385,40 @@ def file_stats(spark, sf_dir):
         ),
     )
     zstats = file_stats_df(zdf, cols)
-    return plain.unionByName(zstats)
+    staged = _bloom_stage_dir(spark, sf_dir)
+    idx = layout.bloom_file_index(spark, staged, "l_orderkey")
+    pruned = layout.read_with_bloom_prune(
+        spark, staged, idx, "l_orderkey", 1,
+    )
+    bstats = file_stats_df(
+        pruned.withColumn(
+            "file_id",
+            F.lit(200000).cast(plain.schema["file_id"].dataType),
+        ),
+        cols,
+    )
+    return plain.unionByName(zstats).unionByName(bstats)
+
+
+#: per-process cache of the hash-partitioned lineitem staging the bloom
+#: index branch reads, keyed by sf_dir (same lifecycle as the IVF index
+#: dir in suite/ext.py)
+_BLOOM_STAGE_DIRS: dict[str, str] = {}
+
+
+def _bloom_stage_dir(spark, sf_dir: str) -> str:
+    if sf_dir not in _BLOOM_STAGE_DIRS:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="sed_spark_bloom_stage_")
+        load(spark, sf_dir, "lineitem").repartition(
+            8, "l_orderkey",
+        ).write.mode("overwrite").parquet(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _BLOOM_STAGE_DIRS[sf_dir] = path
+    return _BLOOM_STAGE_DIRS[sf_dir]
 
 
 def _zbin_sql(col: str, lo: float, hi: float, bits: int) -> str:
@@ -1416,4 +1457,11 @@ sql("file_stats",
     "min(l_extendedprice) AS l_extendedprice_min, "
     "max(l_extendedprice) AS l_extendedprice_max, "
     "min(l_shipdate) AS l_shipdate_min, max(l_shipdate) AS l_shipdate_max "
-    "FROM (" + _zval_sql() + ") GROUP BY 1")
+    "FROM (" + _zval_sql() + ") GROUP BY 1 "
+    "UNION ALL "
+    "SELECT 200000 AS file_id, COUNT(*) AS num_rows, "
+    "min(l_quantity) AS l_quantity_min, max(l_quantity) AS l_quantity_max, "
+    "min(l_extendedprice) AS l_extendedprice_min, "
+    "max(l_extendedprice) AS l_extendedprice_max, "
+    "min(l_shipdate) AS l_shipdate_min, max(l_shipdate) AS l_shipdate_max "
+    "FROM lineitem WHERE l_orderkey = 1")

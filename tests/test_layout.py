@@ -180,3 +180,41 @@ def test_zorder_write_round_trips_all_rows(spark, tmp_path):
     assert back.count() == 5000
     assert "__zval" in back.columns
     assert back.select(F.sum("id")).first()[0] == sum(range(5000))
+
+
+def test_bloom_file_index_prunes_and_matches(spark, tmp_path):
+    from sed_spark import layout
+
+    path = str(tmp_path / "bloomed")
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 400).alias("k"), F.col("id").alias("v"),
+    )
+    # hash-partition on k: every file holds a SUBSET of keys, but each
+    # file's k min/max spans nearly the full range — the exact workload
+    # where footer range stats prune nothing and the Bloom index must
+    df.repartition(8, "k").write.mode("overwrite").parquet(path)
+    idx = layout.bloom_file_index(spark, path, "k").persist()
+    all_files = {r["file"] for r in idx.select("file").distinct().collect()}
+    assert len(all_files) == 8
+
+    for key in (0, 7, 399):
+        cands = layout.bloom_candidate_files(idx, key)
+        # the key lives in exactly one partition file; false positives
+        # may add a file or two but never all of them
+        assert 1 <= len(cands) < len(all_files)
+        got = layout.read_with_bloom_prune(spark, path, idx, "k", key)
+        want = spark.read.parquet(path).filter(F.col("k") == key)
+        assert sorted(r["v"] for r in got.collect()) == sorted(
+            r["v"] for r in want.collect()
+        )
+        assert got.count() == 10
+        # the scan's file list is really pruned (no false negatives by
+        # construction; this asserts the skipping actually happened)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        for f in all_files - set(cands):
+            assert f.rsplit("/", 1)[-1] not in plan
+
+    # absent key: no candidate files, empty result, dataset schema
+    missing = layout.read_with_bloom_prune(spark, path, idx, "k", 12345)
+    assert missing.columns == ["k", "v"] and missing.count() == 0
+    idx.unpersist()
