@@ -205,11 +205,35 @@ def main() -> None:
     grp = sketch.hll_estimate_by(
         sketch.hll_registers_by(split, ["split"], "doc_id"), ["split"],
     ).collect()
-    # compressed vector serving: PQ codebooks + m-byte codes + ADC top-k
+    # compressed vector serving: PQ codebooks + m-byte codes + ADC top-k,
+    # then the two-stage production shape (round 7): ADC shortlist ->
+    # exact rerank of just those candidates
     pq_books = similarity.pq_train(emb, m=4, k=8, max_iter=2)
     pq_codes = similarity.pq_encode(emb, pq_books)
     q0 = emb.limit(1).collect()[0]["embedding"]
     pq_top = similarity.pq_topk(emb, pq_books, q0, k=5).count()
+    reranked = similarity.pq_topk_rerank(emb, pq_books, q0, k=5, refine=4)
+    n_reranked = reranked.count()
+
+    # round-7 curation ops: a rule-stack quality gate with per-rule drop
+    # attribution, and the snapshot diff an incremental ingestion records
+    gated = text.quality_gate(
+        text.metrics(docs),
+        [
+            ("too_short", F.col("n_words") >= 10),
+            ("bad_lang", F.col("pred_lang") == "en"),
+        ],
+    )
+    gate_counts = {
+        r["reject_reason"]: r["n_docs"]
+        for r in text.gate_stats(gated).collect()
+    }
+    prior = docs.filter(F.col("doc_id") % 7 != 0)  # last week's snapshot
+    dd = corpus.corpus_diff(prior, docs)
+    diff_counts = {
+        r["status"]: r["n"]
+        for r in dd.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
 
     # 10. materialize the training order: a deterministic epoch shuffle
     # written as one ordered file per shard (a trainer reading shards in
@@ -238,6 +262,9 @@ def main() -> None:
     print(f"trained classifier scored {scored.count()} docs "
           f"(bias={cls_b})")
     print(f"cms('customer')={term_est}; hll distinct terms ~{hll_est}")
+    print(f"pq adc top-5 rows={pq_top}; exact-reranked top-5 rows={n_reranked}")
+    print(f"quality gate: {gate_counts}")
+    print(f"corpus diff vs prior snapshot: {diff_counts}")
     print(f"pq: {pq_codes.count()} vectors -> 4-byte codes; "
           f"adc top-5 returned {pq_top}")
     for r in per_split_domain:

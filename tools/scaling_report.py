@@ -457,6 +457,91 @@ def main() -> None:
         )
         return lambda: run_noop(sketch.hll_registers(d, "key", p=12))
 
+    def _skew_join(n):
+        from sed_spark.dfops import skew_join
+
+        par = spark.sparkContext.defaultParallelism * 4
+        nk = max(n // 10, 10)
+        left = pin(
+            spark.range(0, n, 1, par).select(
+                F.when(F.col("id") % 10 < 3, F.lit(7).cast("long"))
+                .otherwise(F.col("id") % nk).alias("k"),
+                F.col("id").alias("lv"),
+            ),
+        )
+        right = pin(
+            spark.range(0, nk, 1, par).select(
+                F.col("id").alias("k"),
+                F.md5(F.col("id").cast("string")).alias("tag"),
+            ),
+        )
+        # 30% of left rows on one hot key; detection included in the
+        # timed path (it is part of the operator's cost contract)
+        return lambda: run_noop(
+            skew_join(left, right, "k", hot_threshold=max(n // 100, 10)),
+        )
+
+    def _salted_join(n):
+        from sed_spark.dfops import salted_join
+
+        par = spark.sparkContext.defaultParallelism * 4
+        nk = max(n // 10, 10)
+        left = pin(
+            spark.range(0, n, 1, par).select(
+                F.when(F.col("id") % 10 < 3, F.lit(7).cast("long"))
+                .otherwise(F.col("id") % nk).alias("k"),
+                F.col("id").alias("lv"),
+            ),
+        )
+        right = pin(
+            spark.range(0, nk, 1, par).select(
+                F.col("id").alias("k"),
+                F.md5(F.col("id").cast("string")).alias("tag"),
+            ),
+        )
+        return lambda: run_noop(salted_join(left, right, "k", salt=16))
+
+    def _corpus_diff(n):
+        old = pin(synth_docs(spark, n))
+        # new version: 10% of ids perturbed, the last 5% of ids fresh,
+        # the first 5% removed — all four statuses live at every size
+        new = pin(
+            synth_docs(spark, n)
+            .filter(F.col("doc_id") >= n // 20)
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % 10 == 3,
+                    F.concat(F.col("text"), F.lit(" v2")),
+                ).otherwise(F.col("text")).alias("text"),
+            )
+            .unionByName(
+                spark.range(n, n + n // 20).select(
+                    F.col("id").alias("doc_id"), F.lit("fresh doc").alias("text"),
+                ),
+            ),
+        )
+        return lambda: run_noop(corpus.corpus_diff(old, new))
+
+    def _bloom_file_index(n):
+        import shutil
+        import tempfile
+
+        from sed_spark import layout
+
+        par = spark.sparkContext.defaultParallelism * 4
+        tmp = tempfile.mkdtemp(prefix="scaling_bloomidx_")
+        spark.range(0, n, 1, par).select(
+            (F.col("id") % max(n // 10, 10)).alias("k"),
+            F.col("id").alias("v"),
+        ).repartition(16, "k").write.mode("overwrite").parquet(tmp)
+
+        def thunk():
+            run_noop(layout.bloom_file_index(spark, tmp, "k"))
+
+        thunk.cleanup = lambda: shutil.rmtree(tmp, ignore_errors=True)
+        return thunk
+
     cases = [
         ("text_metrics (fused text scan)", [10**5, 10**6, 10**7], _text_metrics),
         ("dedup_exact (hash-groupBy)", [10**5, 10**6, 10**7], _dedup_exact),
@@ -486,6 +571,10 @@ def main() -> None:
         ("streaming_interval_join (replay)", [10**5, 10**6], _stream_interval_join),
         ("zorder_value (2x12-bit Morton proj)", [10**6, 10**7, 10**8], _zorder_value),
         ("hll_estimate_by (100 grp, p=12)", [10**6, 10**7, 10**8], _hll_by_group),
+        ("skew_join (30% one hot key, detect+split)", [10**5, 10**6, 10**7], _skew_join),
+        ("salted_join (salt=16, right x16)", [10**5, 10**6, 10**7], _salted_join),
+        ("corpus_diff (id-hash full outer)", [10**5, 10**6, 10**7], _corpus_diff),
+        ("bloom_file_index (16-file build)", [10**5, 10**6, 10**7], _bloom_file_index),
     ]
 
     # optional substring filters: `scaling_report.py bm25 pagerank` times
