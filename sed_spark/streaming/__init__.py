@@ -41,6 +41,7 @@ __all__ = [
     "streaming_exact_dedup",
     "streaming_distinct_sketch",
     "streaming_interval_join",
+    "streaming_enrich",
     "run_available_now",
 ]
 
@@ -331,3 +332,31 @@ def run_available_now(
     )
     q.awaitTermination()
     q.stop()
+
+
+def streaming_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """STREAM-STATIC join: enrich a live event stream with a (small)
+    dimension table — the lookup-table shape (user → segment, doc →
+    license, host → datacenter) that completes the streaming join
+    matrix next to the watermarked stream-stream interval join.
+
+    The static side is broadcast, so each micro-batch probes a
+    replicated hash map instead of shuffling stream state — stream-
+    static joins keep NO join state at all (only the stream side is
+    unbounded, and it never waits for the dimension). Spark re-plans
+    the static side per micro-batch, so a dimension backed by files
+    picks up slowly-changing updates between batches; pin it with
+    ``.persist()`` when per-batch consistency matters more than
+    freshness. ``how`` is inner or left (left keeps unmatched stream
+    rows with NULL dimension columns — right/full would need the
+    unbounded side on the preserved right, which stream-static joins
+    cannot express).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    return stream.join(F.broadcast(dim), on, how)

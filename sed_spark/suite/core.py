@@ -1268,7 +1268,36 @@ def sessionization(spark, sf_dir):
             F.col("n_overlaps").cast("long").alias("v"),
         )
     )
-    return batch.unionAll(live).unionAll(overlap)
+    # stream-static enrichment branch (round 7): the live event stream
+    # left-joined against the broadcast customer dimension
+    # (streaming_enrich — no join state, static side probed per batch),
+    # rolled up per market segment. k1 = first letter of the segment
+    # (A/B/F/H/M are distinct; 0 = stream rows with no dimension match),
+    # so the branch pins the JOIN result, not just the rollup.
+    from sed_spark.streaming import streaming_enrich
+
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    stream2 = spark.readStream.schema(ev.schema).parquet(
+        f"{sf_dir}/events*.parquet",
+    )
+    enriched = streaming_enrich(stream2, dim, "user_id", how="left")
+    rollup = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+    )
+    spark.catalog.dropTempView("stream_enrich_sink")
+    run_available_now(rollup, "stream_enrich_sink", output_mode="complete")
+    enrich = spark.table("stream_enrich_sink").select(
+        F.lit("enrich").alias("part"),
+        F.coalesce(
+            F.ascii(F.substring("segment", 1, 1)), F.lit(0),
+        ).cast("long").alias("k1"),
+        F.lit(0).cast("long").alias("k2"),
+        F.col("n").cast("long").alias("v"),
+    )
+    return batch.unionAll(live).unionAll(overlap).unionAll(enrich)
 
 
 sql("sessionization", f"""
@@ -1304,6 +1333,12 @@ JOIN (
   FROM events WHERE event_type = 'signup'
 ) w ON w.u = s.u AND s.s_lo < w.w_hi AND w.w_lo < s.s_hi
 GROUP BY s.u, s.s_lo
+UNION ALL
+SELECT 'enrich' AS part,
+  CAST(COALESCE(ord(substr(c.c_mktsegment, 1, 1)), 0) AS BIGINT) AS k1,
+  CAST(0 AS BIGINT) AS k2, count(*) AS v
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
 """)
 
 

@@ -212,3 +212,32 @@ def test_streaming_interval_join_rejects_column_collision(spark, stream_dir):
     )
     with pytest.raises(ValueError, match="collision"):
         streaming_interval_join(s, s, "a", "a", "t", "t")
+
+
+def test_streaming_enrich_matches_batch_join(spark, tmp_path):
+    from sed_spark.streaming import run_available_now, streaming_enrich
+
+    src = str(tmp_path / "enrich_src")
+    ev = spark.createDataFrame(
+        [(i, i % 5) for i in range(40)], "event_id long, uid long",
+    )
+    ev.write.mode("overwrite").parquet(src)
+    dim = spark.createDataFrame(
+        [(0, "gold"), (1, "silver"), (2, "bronze")], "uid long, tier string",
+    )
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    enriched = streaming_enrich(stream, dim, "uid", how="left")
+    rollup = enriched.groupBy("tier").agg(F.count(F.lit(1)).alias("n"))
+    spark.catalog.dropTempView("t_enrich_sink")
+    run_available_now(rollup, "t_enrich_sink", output_mode="complete")
+    got = {
+        r["tier"]: r["n"] for r in spark.table("t_enrich_sink").collect()
+    }
+    want = {
+        r["tier"]: r["n"]
+        for r in ev.join(dim, "uid", "left")
+        .groupBy("tier").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want and got[None] == 16  # uids 3,4 unmatched
+    with pytest.raises(ValueError, match="how must be"):
+        streaming_enrich(stream, dim, "uid", how="full")
