@@ -27,6 +27,7 @@ __all__ = [
     "temperature_rates",
     "exact_cap_sample",
     "quantile_gates",
+    "quantile_by",
     "gumbel_topk",
     "corpus_diff",
 ]
@@ -620,3 +621,51 @@ def corpus_diff(
     return joined.select(
         F.col(id_col), status.alias("status"), "old_hash", "new_hash",
     )
+
+
+def quantile_by(
+    df: DataFrame,
+    value_col: str,
+    by: str | Sequence[str],
+    probs: Sequence[float],
+    exact: bool = False,
+    relative_error: float = 1e-4,
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Per-GROUP percentiles in one aggregate — the grouped companion of
+    :func:`quantile_gates` (per-domain length p99s for per-source gates,
+    per-segment latency p50/p95, per-file signal spreads).
+
+    One hash aggregate keyed on ``by``; every requested prob comes out
+    of the same pass (the percentile functions take the prob list), then
+    a ``posexplode`` to long form ``(by..., prob, q)`` — group-count ×
+    len(probs) rows, never a window or global sort. ``exact=False``
+    (default, the at-scale path) aggregates the ``approx_percentile``
+    sketch with bounded memory per group; ``exact=True`` computes true
+    linear-interpolated percentiles (buffers each group — audit/oracle
+    mode, the cross-engine-exact one that DuckDB's ``quantile_cont``
+    reproduces bit-for-bit on the suite's data).
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    ps = [float(p) for p in probs]
+    if not ps or not all(0.0 <= p <= 1.0 for p in ps):
+        raise ValueError(f"probs must be non-empty within [0, 1], got {probs}")
+    if exact:
+        agg = F.percentile(F.col(value_col), F.lit(ps))
+    else:
+        agg = F.percentile_approx(
+            F.col(value_col), ps, max(1, int(1.0 / relative_error)),
+        )
+    grouped = df.groupBy(*keys).agg(agg.alias("__qs"))
+    probs_lit = F.array(*[F.lit(p) for p in ps])
+    out = grouped.select(
+        *keys,
+        F.posexplode("__qs").alias("__i", "q"),
+    ).select(
+        *keys,
+        F.element_at(probs_lit, F.col("__i") + 1).alias("prob"),
+        F.col("q"),
+    )
+    if round_decimals is not None:
+        out = out.withColumn("q", F.round("q", round_decimals))
+    return out

@@ -1348,26 +1348,49 @@ GROUP BY c.c_mktsegment
 # get_elapsed_time)
 @q("run_stats")
 def run_stats(spark, sf_dir):
+    """Per-user elapsed/count/rate (reference get_elapsed_time /
+    get_count_rate), widened round 7 with GROUPED PERCENTILES
+    (``corpus.quantile_by`` audit mode): per-user p50/p90 of the event
+    value — one extra hash aggregate on the same key, joined back; the
+    oracle recomputes via quantile_cont (the proven cross-engine
+    linear-interpolation parity)."""
+    from sed_spark.ext.corpus import quantile_by
+
     df = load(spark, sf_dir, "events")
     df = df.withColumn("ts_us", ts_us(df))
     agg = df.groupBy("user_id").agg(
         (F.max("ts_us") - F.min("ts_us")).alias("elapsed_us"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    return agg.select(
+    base = agg.select(
         "user_id", "elapsed_us", "n_events",
         (
             F.col("n_events").cast("double")
             / (F.col("elapsed_us").cast("double") / F.lit(1e6))
         ).alias("rate_hz"),
     )
+    qs = quantile_by(df, "value", "user_id", [0.5, 0.9], exact=True)
+    wide = (
+        qs.groupBy("user_id")
+        .pivot("prob", [0.5, 0.9])
+        .agg(F.first("q"))
+        .select(
+            "user_id",
+            F.col("`0.5`").alias("v_p50"),
+            F.col("`0.9`").alias("v_p90"),
+        )
+    )
+    return base.join(wide, "user_id")
 
 
 sql("run_stats",
     "SELECT user_id, elapsed_us, n_events, "
     "CAST(n_events AS DOUBLE) / (CAST(elapsed_us AS DOUBLE) / "
-    f"{fl(1e6)}) AS rate_hz FROM (SELECT user_id, CAST(max(epoch_us(ts)) - "
-    "min(epoch_us(ts)) AS BIGINT) AS elapsed_us, COUNT(*) AS n_events "
+    f"{fl(1e6)}) AS rate_hz, v_p50, v_p90 "
+    "FROM (SELECT user_id, CAST(max(epoch_us(ts)) - "
+    "min(epoch_us(ts)) AS BIGINT) AS elapsed_us, COUNT(*) AS n_events, "
+    "round(quantile_cont(value, 0.5), 6) AS v_p50, "
+    "round(quantile_cont(value, 0.9), 6) AS v_p90 "
     "FROM events GROUP BY user_id)")
 
 

@@ -581,3 +581,42 @@ def test_corpus_diff_multi_content_cols(spark):
     new = spark.createDataFrame([(1, "a", "bc")], ["doc_id", "a", "b"])
     [r] = corpus_diff(old, new, content_cols=("a", "b")).collect()
     assert r["status"] == "changed"
+
+
+def test_quantile_by_exact_matches_numpy(spark):
+    import numpy as np
+
+    from sed_spark.ext.corpus import quantile_by
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (int(g), float(v))
+        for g in range(3)
+        for v in rng.uniform(0, 100, 50 + 10 * g)
+    ]
+    df = spark.createDataFrame(rows, "g int, v double")
+    got = {
+        (r["g"], r["prob"]): r["q"]
+        for r in quantile_by(df, "v", "g", [0.1, 0.5, 0.9], exact=True).collect()
+    }
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        for p in (0.1, 0.5, 0.9):
+            want = float(np.percentile(vals, p * 100, method="linear"))
+            assert abs(got[(g, p)] - round(want, 6)) < 1e-6, (g, p)
+    # approx mode: same shape, values within the group's range and
+    # monotone in prob
+    ap = {
+        (r["g"], r["prob"]): r["q"]
+        for r in quantile_by(df, "v", "g", [0.1, 0.5, 0.9]).collect()
+    }
+    for g, vals in by_g.items():
+        assert min(vals) <= ap[(g, 0.1)] <= ap[(g, 0.5)] <= ap[(g, 0.9)] <= max(vals)
+    import pytest as pt
+
+    with pt.raises(ValueError, match="probs"):
+        quantile_by(df, "v", "g", [])
+    with pt.raises(ValueError, match="probs"):
+        quantile_by(df, "v", "g", [1.5])
