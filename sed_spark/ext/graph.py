@@ -42,6 +42,7 @@ __all__ = [
     "connected_components_two_phase",
     "dedup_clusters",
     "pagerank",
+    "triangle_count",
 ]
 
 
@@ -412,3 +413,71 @@ def pagerank(
             ),
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    nodes: DataFrame | None = None,
+    node_col: str | None = None,
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph — the local
+    clustering signal (a dedup pair-graph node inside many triangles
+    sits in a tight near-duplicate clique; a high-triangle domain in a
+    link graph is a link farm candidate).
+
+    Standard distributed wedge-closing join, NO adjacency matrix and no
+    per-node neighbor list materialization:
+
+    1. canonicalize to ``u < v`` edges and drop duplicates/self-loops —
+       each undirected edge exactly once;
+    2. wedge join: edges ``(u,v)`` ⋈ edges ``(v,w)`` on the middle node
+       — both inputs are ``<``-ordered, so every wedge comes out with
+       ``u < v < w`` exactly once;
+    3. close: wedge ``(u,v,w)`` semi-joins the edge set on ``(u,w)`` —
+       each triangle found exactly once as its sorted node triple;
+    4. explode the triple and count per node.
+
+    Two shuffle joins + one aggregate; skew note: step 2's join key is
+    the wedge's middle node, so a hub of degree d contributes d·(d-1)/2
+    wedges — cap hub fan-out upstream (drop super-nodes or sample their
+    edges) the same way every production triangle counter does.
+    Returns ``(node, n_triangles)`` for every node of ``nodes`` (or
+    every edge endpoint when ``nodes`` is None), 0 for triangle-free
+    nodes.
+    """
+    u, v = F.col(a_col), F.col(b_col)
+    canon = (
+        edges.filter(u != v)
+        .select(
+            F.least(u, v).alias("u"), F.greatest(u, v).alias("v"),
+        )
+        .distinct()
+    )
+    e_mid = canon.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    wedges = canon.join(e_mid, "v").select("u", "v", "w")
+    closing = canon.select(F.col("u").alias("cu"), F.col("v").alias("cw"))
+    tris = wedges.join(
+        closing,
+        (F.col("u") == F.col("cu")) & (F.col("w") == F.col("cw")),
+        "left_semi",
+    )
+    per_node = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    if nodes is not None:
+        node_col = node_col or nodes.columns[0]
+        base = nodes.select(F.col(node_col).alias("node"))
+    else:
+        base = (
+            canon.select(F.col("u").alias("node"))
+            .unionAll(canon.select(F.col("v").alias("node")))
+            .distinct()
+        )
+    return base.join(per_node, "node", "left").select(
+        "node",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+    )

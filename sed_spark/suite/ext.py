@@ -393,7 +393,20 @@ def dedup_clusters(spark, sf_dir):
             "rank_micro",
         ),
     )
-    return out[0].unionAll(out[1]).unionAll(out[2])
+    # triangle branch (round 7): per-doc triangle count over the same
+    # pair graph — the local-clique signal; rides in rank_micro (the
+    # row's one numeric slot), cluster columns NULL
+    tri = graph.triangle_count(pairs, nodes=docs.select("doc_id"))
+    out.append(
+        tri.select(
+            F.lit("triangles").alias("method"),
+            F.col("node").alias("doc_id"),
+            F.lit(None).cast("long").alias("cluster_id"),
+            F.lit(None).cast("int").alias("is_canonical"),
+            F.col("n_triangles").alias("rank_micro"),
+        ),
+    )
+    return out[0].unionAll(out[1]).unionAll(out[2]).unionAll(out[3])
 
 
 def _pr_rounds_sql(n_iter: int = 3) -> str:
@@ -466,13 +479,37 @@ deg AS (
   FROM documents d LEFT JOIN outw ON outw.src = d.doc_id
 ),
 r0 AS (SELECT node, ow, 1000000000000 // nn.n AS r FROM deg, nn),
-{_PR_ROUNDS}
+{_PR_ROUNDS},
+-- triangle branch: canonical u<v edges, wedge join on the middle node
+-- (both inputs <-ordered so each wedge appears once as u<v<w), closed
+-- by an EXISTS on the (u,w) edge — each triangle exactly once as its
+-- sorted triple (the SQL transcription of ext.graph.triangle_count)
+canon AS (
+  SELECT DISTINCT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v
+  FROM pairs WHERE a_id != b_id
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.w AS c
+  FROM canon e1
+  JOIN (SELECT u AS v, v AS w FROM canon) e2 ON e1.v = e2.v
+  WHERE EXISTS (SELECT 1 FROM canon c3 WHERE c3.u = e1.u AND c3.v = e2.w)
+)
 SELECT m.method, c.doc_id, c.cluster_id, c.is_canonical,
   CAST(NULL AS BIGINT) AS rank_micro
 FROM closure c, (VALUES ('hash-min'), ('two-phase')) m(method)
 UNION ALL
 SELECT 'pagerank', node, CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), r
 FROM r3
+UNION ALL
+SELECT 'triangles', d.doc_id, CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+  COALESCE(tc.n, 0)
+FROM documents d LEFT JOIN (
+  SELECT node, count(*) AS n FROM (
+    SELECT a AS node FROM tri UNION ALL
+    SELECT b FROM tri UNION ALL
+    SELECT c FROM tri
+  ) GROUP BY node
+) tc ON tc.node = d.doc_id
 """
 
 

@@ -267,3 +267,56 @@ def test_pagerank_is_partition_count_invariant(spark):
 
     r1, r7, r32 = run(1), run(7), run(32)
     assert r1 == r7 == r32
+
+
+def test_triangle_count_known_graph(spark):
+    from sed_spark.ext.graph import triangle_count
+
+    # K4 on {0,1,2,3} (every node in 3 triangles) + a pendant 4-5 edge +
+    # isolated node 6; edges given in mixed order with dups/self-loops
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+         (3, 2), (4, 5), (4, 4)],
+        "a_id long, b_id long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(edges, nodes=nodes, node_col="doc_id").collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 0, 5: 0, 6: 0}
+    # without a node frame: endpoints only
+    got2 = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(edges).collect()
+    }
+    assert got2 == {0: 3, 1: 3, 2: 3, 3: 3, 4: 0, 5: 0}
+
+
+def test_triangle_count_matches_bruteforce_random(spark):
+    import itertools
+    import random
+
+    from sed_spark.ext.graph import triangle_count
+
+    rng = random.Random(3)
+    n = 30
+    es = sorted({
+        tuple(sorted((rng.randrange(n), rng.randrange(n))))
+        for _ in range(120)
+    })
+    es = [e for e in es if e[0] != e[1]]
+    eset = set(es)
+    want = {i: 0 for i in range(n)}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            want[a] += 1
+            want[b] += 1
+            want[c] += 1
+    edges = spark.createDataFrame(es, "a_id long, b_id long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(edges, nodes=nodes).collect()
+    }
+    assert got == want
