@@ -28,6 +28,7 @@ __all__ = [
     "exact_cap_sample",
     "quantile_gates",
     "quantile_by",
+    "decayed_stats_by",
     "gumbel_topk",
     "corpus_diff",
 ]
@@ -668,4 +669,80 @@ def quantile_by(
     )
     if round_decimals is not None:
         out = out.withColumn("q", F.round("q", round_decimals))
+    return out
+
+
+def decayed_stats_by(
+    df: DataFrame,
+    by: str | Sequence[str],
+    ts_col: str,
+    value_col: str | None = None,
+    half_life: float = 86400.0,
+    ref_ts: float | None = None,
+    round_decimals: int | None = 6,
+    quantize_decimals: int | None = None,
+) -> DataFrame:
+    """Per-key exponentially time-decayed count (and value sum) — the
+    freshness signal of a crawl/feed pipeline (recency-weighted domain
+    activity for sampling rates, trending keys, staleness triage).
+
+    Each row weighs ``2^(-(T - t) / half_life)`` (weight 1 now, ½ one
+    half-life ago). The decayed "count" is the sum of weights; the
+    decayed sum weighs ``value_col``. Crucially this is ORDER-
+    INDEPENDENT — unlike a recursive EWMA it is a plain weighted sum,
+    so it aggregates in one hash pass with map-side partials, merges
+    across shards/batches (decayed stats computed per day combine by
+    re-decaying to a common T and adding), and never needs a window.
+
+    ``ref_ts`` pins T explicitly (pass it to make runs reproducible and
+    shard-mergeable); ``None`` uses the global max of ``ts_col`` — ONE
+    scalar aggregate, then a literal in the projection.
+
+    ``quantize_decimals`` switches the summation to ORDER-INDEPENDENT
+    exact arithmetic: each row's weight (and weighted value) is rounded
+    to that many decimals and summed as DECIMAL, so the result is
+    bit-identical on any engine/partitioning (the audit/oracle mode —
+    plain double sums are the default scale path; their last-ulp
+    partition-order sensitivity is irrelevant to a sampling rate but
+    not to a cross-engine hash).
+    """
+    from pyspark.sql.types import DecimalType
+
+    keys = [by] if isinstance(by, str) else list(by)
+    if half_life <= 0:
+        raise ValueError(f"half_life must be positive, got {half_life}")
+    if ref_ts is None:
+        row = df.agg(F.max(F.col(ts_col).cast("double")).alias("m")).collect()
+        if row[0]["m"] is None:
+            raise ValueError(f"decayed_stats_by: no non-null {ts_col!r}")
+        ref_ts = float(row[0]["m"])
+    w = F.pow(
+        F.lit(2.0),
+        -(F.lit(float(ref_ts)) - F.col(ts_col).cast("double"))
+        / F.lit(float(half_life)),
+    )
+    if quantize_decimals is not None:
+        qd = int(quantize_decimals)
+        dec = DecimalType(38, qd)
+
+        def s(col):
+            # exact decimal sum of per-row-rounded terms, back to double
+            # through a string parse (both engines round-correctly there)
+            return F.sum(F.round(col, qd).cast(dec)).cast("string").cast("double")
+    else:
+        def s(col):
+            return F.sum(col)
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        s(w).alias("decayed_n"),
+    ]
+    if value_col is not None:
+        aggs.append(s(w * F.col(value_col).cast("double")).alias("decayed_sum"))
+    out = df.groupBy(*keys).agg(*aggs)
+    if round_decimals is not None:
+        out = out.withColumn("decayed_n", F.round("decayed_n", round_decimals))
+        if value_col is not None:
+            out = out.withColumn(
+                "decayed_sum", F.round("decayed_sum", round_decimals),
+            )
     return out

@@ -1380,18 +1380,37 @@ def run_stats(spark, sf_dir):
             F.col("`0.9`").alias("v_p90"),
         )
     )
-    return base.join(wide, "user_id")
+    # freshness branch (round 7): per-user time-decayed activity
+    # (corpus.decayed_stats_by, 1 h half-life on the µs clock) in the
+    # order-independent quantized audit mode — exact decimal sums of
+    # per-row-rounded weights, so the oracle's arbitrary-order sum
+    # agrees bit-for-bit
+    from sed_spark.ext.corpus import decayed_stats_by
+
+    dec = decayed_stats_by(
+        df, "user_id", "ts_us", "value",
+        half_life=3.6e9, quantize_decimals=9,
+    ).select("user_id", "decayed_n", "decayed_sum")
+    return base.join(wide, "user_id").join(dec, "user_id")
 
 
 sql("run_stats",
+    "WITH tmax AS (SELECT CAST(max(epoch_us(ts)) AS DOUBLE) AS T FROM events) "
     "SELECT user_id, elapsed_us, n_events, "
     "CAST(n_events AS DOUBLE) / (CAST(elapsed_us AS DOUBLE) / "
-    f"{fl(1e6)}) AS rate_hz, v_p50, v_p90 "
+    f"{fl(1e6)}) AS rate_hz, v_p50, v_p90, decayed_n, decayed_sum "
     "FROM (SELECT user_id, CAST(max(epoch_us(ts)) - "
     "min(epoch_us(ts)) AS BIGINT) AS elapsed_us, COUNT(*) AS n_events, "
     "round(quantile_cont(value, 0.5), 6) AS v_p50, "
-    "round(quantile_cont(value, 0.9), 6) AS v_p90 "
-    "FROM events GROUP BY user_id)")
+    "round(quantile_cont(value, 0.9), 6) AS v_p90, "
+    "round(CAST(CAST(SUM(CAST(round(pow(2.0, -(T - "
+    "CAST(epoch_us(ts) AS DOUBLE)) / 3600000000.0), 9) "
+    "AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE), 6) AS decayed_n, "
+    "round(CAST(CAST(SUM(CAST(round(pow(2.0, -(T - "
+    "CAST(epoch_us(ts) AS DOUBLE)) / 3600000000.0) "
+    "* value, 9) AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE), 6) "
+    "AS decayed_sum "
+    "FROM events, tmax GROUP BY user_id)")
 
 
 #: z-order fold parameters (round 6): 8 bits per dim over the two value

@@ -620,3 +620,48 @@ def test_quantile_by_exact_matches_numpy(spark):
         quantile_by(df, "v", "g", [])
     with pt.raises(ValueError, match="probs"):
         quantile_by(df, "v", "g", [1.5])
+
+
+def test_decayed_stats_by_matches_numpy(spark):
+    import numpy as np
+
+    from sed_spark.ext.corpus import decayed_stats_by
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (int(g), float(t), float(v))
+        for g in range(3)
+        for t, v in zip(rng.uniform(0, 1000, 40), rng.uniform(0, 10, 40))
+    ]
+    df = spark.createDataFrame(rows, "g int, ts double, v double")
+    T = max(t for _, t, _ in rows)
+    got = {
+        r["g"]: r
+        for r in decayed_stats_by(
+            df, "g", "ts", "v", half_life=250.0,
+        ).collect()
+    }
+    for g in range(3):
+        sub = [(t, v) for gg, t, v in rows if gg == g]
+        w = np.array([2.0 ** (-(T - t) / 250.0) for t, _ in sub])
+        assert got[g]["n_rows"] == len(sub)
+        assert abs(got[g]["decayed_n"] - round(float(w.sum()), 6)) < 1e-5
+        assert abs(
+            got[g]["decayed_sum"]
+            - round(float((w * [v for _, v in sub]).sum()), 6)
+        ) < 1e-5
+    # quantized audit mode: identical regardless of partitioning
+    a = decayed_stats_by(
+        df.repartition(13), "g", "ts", "v", half_life=250.0,
+        ref_ts=T, quantize_decimals=9,
+    ).collect()
+    b = decayed_stats_by(
+        df.coalesce(1), "g", "ts", "v", half_life=250.0,
+        ref_ts=T, quantize_decimals=9,
+    ).collect()
+    key = lambda rs: sorted((r["g"], r["decayed_n"], r["decayed_sum"]) for r in rs)
+    assert key(a) == key(b)
+    import pytest as pt
+
+    with pt.raises(ValueError, match="half_life"):
+        decayed_stats_by(df, "g", "ts", half_life=0)
