@@ -399,3 +399,30 @@ def test_salted_join_is_hash_join_no_cartesian(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
         or ("BroadcastHashJoin" in plan)
     assert "__salt" in plan
+
+
+def test_triangle_count_no_cartesian_two_joins(spark):
+    from sed_spark.ext.graph import triangle_count
+
+    edges = spark.range(0, 1000).select(
+        (F.col("id") % 97).alias("a_id"), ((F.col("id") * 7) % 89).alias("b_id"),
+    )
+    plan = _plan(triangle_count(edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the closing step is a semi join on the (u,w) pair
+    assert "LeftSemi" in plan
+
+
+def test_dense_groupby_block_partition_single_exchange(spark):
+    from sed_spark.binning.core import _groupby_sparse_agg
+
+    proj = spark.range(0, 10_000).select(
+        (F.col("id") % 100_000_000).cast("long").alias("__idx"),
+    )
+    plan = _plan(_groupby_sparse_agg(proj, 100_000_000))
+    # exactly ONE exchange: the explicit block repartition; the aggregate
+    # reuses it (HashPartitioning on __blk ⊆ grouping keys), no second
+    # shuffle inserted by EnsureRequirements
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "__blk" in plan
