@@ -468,14 +468,19 @@ def _dense_via_taskblob(
             ["iv", "cv"],
         )
 
-    dense = np.zeros(cube, dtype=out_dtype)  # cast-on-write, see groupby
+    # taskblob ACCUMULATES (+=) across task blobs, so it must keep the
+    # exact uint32 accumulator the contract documents (a float32 +=
+    # would round per-add past 2^24) and convert ONCE at the end —
+    # unlike the assign-only paths, which cast on write
+    dense = np.zeros(cube, dtype=np.uint32)
     tbl = proj.select("__idx").mapInArrow(to_pairs, "iv binary, cv binary").toArrow()
     iv_col, cv_col = tbl.column("iv"), tbl.column("cv")
     for k in range(len(iv_col)):
         iv = np.frombuffer(iv_col[k].as_buffer(), dtype=idx_dtype)
         cv = np.frombuffer(cv_col[k].as_buffer(), dtype=np.uint32)
         dense[iv] += cv  # iv unique within one task's blob — no collisions
-    return dense
+    return dense if np.dtype(out_dtype) == np.uint32 \
+        else dense.astype(out_dtype)
 
 
 def _dense_via_blockshuffle(

@@ -852,14 +852,18 @@ def point_in_interval_join(
     # on all point columns — a NULL in any point column would make a
     # genuinely matched row come back unmatched (null-unsafe keys), and
     # duplicate point rows would fan out multiplicatively.
-    # monotonically_increasing_id is nondeterministic and `pts` feeds BOTH
-    # the matched branch and the outer join; without materialization a task
-    # retry (or unstable shuffle-fetch order upstream) could assign
-    # different ids per evaluation and attach interval columns to the
-    # wrong points — pin the ids once, same guard as _span_islands
+    # monotonically_increasing_id values depend on partition layout and
+    # `pts` feeds BOTH the matched branch and the outer join; persist()
+    # pins one evaluation so the two consumers read the same ids (the
+    # same guard, and the same cost rationale, as _asof_fill_keyless:
+    # an eager localCheckpoint measured +2.5 s of pure job overhead
+    # there). If an evicted block recomputes, the ids reproduce as long
+    # as the upstream plan is deterministic — callers whose `points`
+    # sits downstream of nondeterministic sampling should checkpoint it
+    # themselves, per the asof_join contract.
     pts = points.withColumn(
         "__pid", F.monotonically_increasing_id(),
-    ).localCheckpoint(eager=True)
+    ).persist()
     pt = pts.withColumn("__bucket", F.floor(F.col(on) / w).cast("long"))
     matched = pt.join(iv, keys).filter(contain).drop("__bucket")
     iv_cols = [c for c in intervals.columns if c != by]
@@ -1049,7 +1053,11 @@ def skew_join(
                 "— raise the threshold or use salted_join",
             )
         hot_keys = [r[0] for r in hot_rows]
-    hot_keys = list(hot_keys)
+    # a None hot key would poison the isin() routing below (three-valued
+    # logic turns both branch filters NULL and silently drops every cold
+    # row); null keys never equi-join under these left-preserving forms,
+    # so they are always cold — strip them from an explicit list too
+    hot_keys = [k for k in hot_keys if k is not None]
     if not hot_keys:
         return left.join(right, keys, how)
     is_hot = F.col(key).isin(hot_keys)

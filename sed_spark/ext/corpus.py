@@ -597,18 +597,32 @@ def corpus_diff(
     the input to change-driven recompute (only ``added``/``changed`` ids
     re-enter the expensive signal pipeline).
 
-    Content identity is the md5 of the ``content_cols`` joined with a
-    0x1f separator (cross-engine: any engine with md5 reproduces it), so
-    the diff never ships document bodies through the join — each side is
-    reduced to ``(id, 16-byte hash)`` before the single full-outer
-    shuffle on the id. At scale both sides are id-hash tables a fraction
+    Content identity is the md5 of the ``content_cols``, each encoded
+    null-safely (NULL -> ``\x00``, value v -> ``\x01`` + v) and joined
+    with a ``\x1f`` separator — so NULL, empty string, and value shifts
+    between adjacent columns all hash differently, and any engine with
+    md5 reproduces the identity. The diff never ships document bodies
+    through the join — each side is reduced to ``(id, 16-byte hash)``
+    before the single full-outer shuffle on the id. At scale both sides are id-hash tables a fraction
     of corpus size; staging them bucketed by ``id_col``
     (:mod:`sed_spark.loader.bucketing`) makes the diff shuffle-free.
     Returns ``(id_col, status, old_hash, new_hash)`` — hashes NULL on
     the side the document is absent from.
     """
     content_hash = F.md5(
-        F.concat_ws("\x1f", *[F.col(c) for c in content_cols]),
+        F.concat_ws(
+            "\x1f",
+            *[
+                # NULL-safe: concat() nulls out on a NULL input, and
+                # concat_ws would silently SKIP it, colliding (x, NULL)
+                # with (NULL, x) — encode presence explicitly instead
+                F.coalesce(
+                    F.concat(F.lit("\x01"), F.col(c).cast("string")),
+                    F.lit("\x00"),
+                )
+                for c in content_cols
+            ],
+        ),
     )
     oh = old.select(F.col(id_col), content_hash.alias("old_hash"))
     nh = new.select(F.col(id_col), content_hash.alias("new_hash"))

@@ -76,13 +76,16 @@ _ALL_MARKERS = r"\b(" + "|".join(
 
 # the one-pass partition is exact only if every marker is a plain word
 # (no regex metacharacters) and no word appears under two languages —
-# fail loudly at import if an edit breaks either invariant
-assert all(
-    w.isalpha() for ws in LANG_MARKER_WORDS.values() for w in ws
-), "LANG_MARKER_WORDS entries must be plain alphabetic words"
-assert len({w for ws in LANG_MARKER_WORDS.values() for w in ws}) == sum(
+# fail loudly at import if an edit breaks either invariant (explicit
+# raise, not assert: python -O must not strip the guard)
+if not all(w.isalpha() for ws in LANG_MARKER_WORDS.values() for w in ws):
+    raise ValueError("LANG_MARKER_WORDS entries must be plain alphabetic words")
+if len({w for ws in LANG_MARKER_WORDS.values() for w in ws}) != sum(
     len(ws) for ws in LANG_MARKER_WORDS.values()
-), "LANG_MARKER_WORDS must be globally distinct across languages"
+):
+    raise ValueError(
+        "LANG_MARKER_WORDS must be globally distinct across languages",
+    )
 
 _AZ = "abcdefghijklmnopqrstuvwxyz"
 _DIGITS = "0123456789"
@@ -925,7 +928,6 @@ def quality_gate(
     keep = passed[0]
     for p in passed[1:]:
         keep = keep & p
-    reason = F.lit("")
     # build the when-chain in order so the FIRST failing rule wins
     chain = None
     for (name, _), p in zip(rules, passed):

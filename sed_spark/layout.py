@@ -218,6 +218,7 @@ def bloom_file_index(
     from sed_spark.ext.sketch import _hash32
 
     df = spark.read.parquet(path)
+    _check_bloom_key_type(df, key_col)
     k = F.col(key_col).cast("string")
     return (
         df.select(
@@ -233,9 +234,28 @@ def bloom_file_index(
     )
 
 
+#: key-column types whose Spark CAST-to-string matches Python's str()
+#: rendering — the probe-side mirror depends on that equality. Doubles
+#: ('1.0E7' vs '10000000.0') and booleans ('true' vs 'True') do NOT
+#: match and would produce silent false negatives, so they are rejected.
+_BLOOM_KEY_TYPES = ("string", "tinyint", "smallint", "int", "bigint")
+
+
+def _check_bloom_key_type(df: DataFrame, key_col: str) -> None:
+    dt = dict(df.dtypes).get(key_col)
+    if dt not in _BLOOM_KEY_TYPES:
+        raise ValueError(
+            f"bloom file index key column {key_col!r} has type {dt!r}; "
+            f"only {_BLOOM_KEY_TYPES} render identically in Spark's "
+            "string cast and the Python probe mirror — cast the key to "
+            "string at write time for other types",
+        )
+
+
 def _probe_bits(key, m_bits: int, k_hashes: int, salt: str) -> list[int]:
     """Driver-side mirror of the index's bit derivation (md5 first-8-hex,
-    same string form the Column cast produces for ints/strings)."""
+    same string form the Column cast produces for int/string keys — the
+    only types :func:`_check_bloom_key_type` admits)."""
     import hashlib
 
     return [

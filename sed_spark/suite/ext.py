@@ -229,11 +229,13 @@ FROM (
     o.h AS old_hash, n.h AS new_hash
   FROM (
     SELECT doc_id,
-      md5(CASE WHEN doc_id % 4 = 2 THEN text || ' v1' ELSE text END) AS h
+      md5(chr(1) || CASE WHEN doc_id % 4 = 2 THEN text || ' v1'
+                    ELSE text END) AS h
     FROM documents WHERE doc_id % 4 != 3
   ) o
   FULL OUTER JOIN (
-    SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 != 1
+    SELECT doc_id, md5(chr(1) || text) AS h
+    FROM documents WHERE doc_id % 4 != 1
   ) n ON o.doc_id = n.doc_id
 )
 """

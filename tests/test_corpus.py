@@ -567,9 +567,10 @@ def test_corpus_diff_statuses(spark):
     assert rows[2]["status"] == "changed"
     assert rows[3]["status"] == "removed" and rows[3]["new_hash"] is None
     assert rows[4]["status"] == "added" and rows[4]["old_hash"] is None
-    # hashes are the md5 of the content, present on the existing side
+    # hashes are the md5 of the null-safe encoding (\x01 + value),
+    # present on the existing side
     import hashlib
-    assert rows[1]["old_hash"] == hashlib.md5(b"same").hexdigest()
+    assert rows[1]["old_hash"] == hashlib.md5(b"\x01same").hexdigest()
     assert rows[1]["old_hash"] == rows[1]["new_hash"]
 
 
@@ -665,3 +666,22 @@ def test_decayed_stats_by_matches_numpy(spark):
 
     with pt.raises(ValueError, match="half_life"):
         decayed_stats_by(df, "g", "ts", half_life=0)
+
+
+def test_corpus_diff_null_content_is_not_unchanged(spark):
+    from sed_spark.ext.corpus import corpus_diff
+
+    # NULL vs '' and value shifts across columns must all differ
+    old = spark.createDataFrame(
+        [(1, "x", None), (2, None, "x"), (3, "", None)],
+        "doc_id int, a string, b string",
+    )
+    new = spark.createDataFrame(
+        [(1, None, "x"), (2, None, "x"), (3, None, None)],
+        "doc_id int, a string, b string",
+    )
+    rows = {
+        r["doc_id"]: r["status"]
+        for r in corpus_diff(old, new, content_cols=("a", "b")).collect()
+    }
+    assert rows == {1: "changed", 2: "unchanged", 3: "changed"}

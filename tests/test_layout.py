@@ -218,3 +218,14 @@ def test_bloom_file_index_prunes_and_matches(spark, tmp_path):
     missing = layout.read_with_bloom_prune(spark, path, idx, "k", 12345)
     assert missing.columns == ["k", "v"] and missing.count() == 0
     idx.unpersist()
+
+
+def test_bloom_file_index_rejects_unsafe_key_types(spark, tmp_path):
+    from sed_spark import layout
+
+    path = str(tmp_path / "bloomed_double")
+    spark.range(0, 100).select(
+        (F.col("id") * 1.5).alias("k"), F.col("id").alias("v"),
+    ).write.mode("overwrite").parquet(path)
+    with pytest.raises(ValueError, match="render identically"):
+        layout.bloom_file_index(spark, path, "k")
