@@ -235,6 +235,24 @@ def main() -> None:
         for r in dd.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
     }
 
+    # round-7 monitoring ops: per-domain length p50/p99 out of ONE hash
+    # aggregate (the per-source gate thresholds), recency-weighted domain
+    # activity (the crawl freshness signal — order-independent, so daily
+    # shards merge), and per-node triangle counts over the dedup pair
+    # graph (a node inside many triangles sits in a near-dup clique)
+    doms = corpus.extract_urls(with_urls).select("doc_id", "domain")
+    dlen = text.metrics(docs).select("doc_id", "n_chars").join(doms, "doc_id")
+    dom_p = corpus.quantile_by(dlen, "n_chars", "domain", [0.5, 0.99])
+    n_dom_rows = dom_p.count()
+    fresh = corpus.decayed_stats_by(
+        doms.select("domain", (F.col("doc_id") * 3600).alias("ts")),
+        "domain", "ts", half_life=86400.0,
+        ref_ts=float(n0 * 3600),
+    )
+    top_fresh = fresh.orderBy(F.col("decayed_n").desc(), "domain").first()
+    tri = graph.triangle_count(pairs, "a_id", "b_id")
+    n_cliquey = tri.filter(F.col("n_triangles") > 0).count()
+
     # 10. materialize the training order: a deterministic epoch shuffle
     # written as one ordered file per shard (a trainer reading shards in
     # index order replays the same global permutation on any machine)
@@ -265,6 +283,10 @@ def main() -> None:
     print(f"pq adc top-5 rows={pq_top}; exact-reranked top-5 rows={n_reranked}")
     print(f"quality gate: {gate_counts}")
     print(f"corpus diff vs prior snapshot: {diff_counts}")
+    print(f"per-domain length quantiles: {n_dom_rows} rows; "
+          f"freshest domain {top_fresh['domain']} "
+          f"(decayed_n={top_fresh['decayed_n']}); "
+          f"{n_cliquey} pair-graph nodes sit in a triangle")
     print(f"pq: {pq_codes.count()} vectors -> 4-byte codes; "
           f"adc top-5 returned {pq_top}")
     for r in per_split_domain:

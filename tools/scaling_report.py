@@ -542,6 +542,89 @@ def main() -> None:
         thunk.cleanup = lambda: shutil.rmtree(tmp, ignore_errors=True)
         return thunk
 
+    def _quantile_by(n):
+        # 100 groups x 3 probs out of one hash aggregate (approx sketch —
+        # the at-scale path; exact mode is the suite's oracle audit)
+        par = spark.sparkContext.defaultParallelism * 4
+        d = pin(
+            spark.range(0, n, 1, par).select(
+                (F.col("id") % 100).alias("g"),
+                (F.rand(7) * 1000).alias("value"),
+            ),
+        )
+        return lambda: run_noop(
+            corpus.quantile_by(d, "value", "g", [0.5, 0.9, 0.99]),
+        )
+
+    def _decayed_stats(n):
+        # 100 keys, event times spread over ~30 days, pinned ref_ts
+        par = spark.sparkContext.defaultParallelism * 4
+        d = pin(
+            spark.range(0, n, 1, par).select(
+                (F.col("id") % 100).alias("g"),
+                (F.lit(1_700_000_000) + F.col("id") % 2_592_000).alias("ts"),
+                F.rand(9).alias("value"),
+            ),
+        )
+        return lambda: run_noop(
+            corpus.decayed_stats_by(
+                d, "g", "ts", value_col="value",
+                half_life=86400.0, ref_ts=1_702_592_000.0,
+            ),
+        )
+
+    def _triangles(n):
+        # n edges over n/10 nodes, hash-scattered endpoints (bounded
+        # degree ~20, so the wedge join stays ~d^2/2 per node and the
+        # measured shape is the two shuffle joins, not a hub blowup)
+        par = spark.sparkContext.defaultParallelism * 4
+        nodes = max(n // 10, 10)
+        d = pin(
+            spark.range(0, n, 1, par).select(
+                F.pmod(F.hash((F.col("id") * 2).cast("string")), F.lit(nodes))
+                .alias("a_id"),
+                F.pmod(F.hash((F.col("id") * 2 + 1).cast("string")), F.lit(nodes))
+                .alias("b_id"),
+            ),
+        )
+        return lambda: run_noop(graph.triangle_count(d, "a_id", "b_id"))
+
+    def _stream_enrich(n):
+        # file-source replay of the stream-static broadcast enrichment:
+        # n events probe a 10k-row dimension, no join state
+        import shutil
+        import tempfile
+
+        from sed_spark import streaming as sstream
+
+        par = spark.sparkContext.defaultParallelism * 4
+        tmp = tempfile.mkdtemp(prefix="scaling_enrich_")
+        spark.range(0, n, 1, par).select(
+            (F.col("id") % 10_000).alias("user_id"),
+            F.col("id").alias("event_id"),
+        ).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        dim = pin(
+            spark.range(0, 10_000).select(
+                F.col("id").alias("user_id"),
+                (F.col("id") % 7).cast("string").alias("segment"),
+            ),
+        )
+
+        def thunk(tmp=tmp, dim=dim):
+            stream = spark.readStream.schema(schema).parquet(tmp)
+            enriched = sstream.streaming_enrich(stream, dim, "user_id")
+            sstream.run_available_now(
+                enriched.groupBy("segment").agg(
+                    F.count(F.lit(1)).alias("n"),
+                ),
+                "scaling_enrich", output_mode="complete",
+            )
+            spark.catalog.dropTempView("scaling_enrich")
+
+        thunk.cleanup = lambda: shutil.rmtree(tmp, ignore_errors=True)
+        return thunk
+
     cases = [
         ("text_metrics (fused text scan)", [10**5, 10**6, 10**7], _text_metrics),
         ("dedup_exact (hash-groupBy)", [10**5, 10**6, 10**7], _dedup_exact),
@@ -575,6 +658,10 @@ def main() -> None:
         ("salted_join (salt=16, right x16)", [10**5, 10**6, 10**7], _salted_join),
         ("corpus_diff (id-hash full outer)", [10**5, 10**6, 10**7], _corpus_diff),
         ("bloom_file_index (16-file build)", [10**5, 10**6, 10**7], _bloom_file_index),
+        ("quantile_by (100 grp x 3 probs, approx)", [10**6, 10**7, 10**8], _quantile_by),
+        ("decayed_stats_by (100 keys)", [10**6, 10**7, 10**8], _decayed_stats),
+        ("triangle_count (deg~20 graph)", [10**5, 10**6, 10**7], _triangles),
+        ("streaming_enrich (10k-dim replay)", [10**5, 10**6, 10**7], _stream_enrich),
     ]
 
     # optional substring filters: `scaling_report.py bm25 pagerank` times
