@@ -44,6 +44,11 @@ __all__ = [
     "hll_registers_by",
     "hll_merge_by",
     "hll_estimate_by",
+    "kmv_sketch",
+    "kmv_by",
+    "kmv_merge",
+    "kmv_estimate",
+    "kmv_set_estimates",
 ]
 
 
@@ -455,4 +460,175 @@ def bloom_probe(
             .alias("maybe_seen"),
         )
         .drop("__rid")
+    )
+
+
+def _kmv_est_expr(kmv: Column, k: int) -> Column:
+    """Distinct-count estimate from a bottom-k sketch column: exact
+    ``size`` when the set fit entirely (< k hashes kept), else the
+    classic KMV estimator ``(k-1)/u_k`` with ``u_k = (h_k + 1)/2^32``
+    (Bar-Yossef et al. 2002). All arithmetic is a constant multiply and
+    ONE division of exactly-representable doubles, so any IEEE engine
+    reproduces it bit-for-bit."""
+    n = F.size(kmv)
+    kth = F.element_at(kmv, k).cast("double")
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float((k - 1) * 4294967296)) / (kth + F.lit(1.0)),
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    k: int = 256,
+    salt: str = "kmv",
+) -> DataFrame:
+    """K-minimum-values distinct sketch: the ``k`` smallest distinct
+    32-bit hashes of ``key_col``, as ONE row ``(kmv: array<long>)``
+    sorted ascending.
+
+    The sketch HLL cannot be: a bottom-k hash SAMPLE of the set, so two
+    sketches support union (merge), intersection, and Jaccard estimates
+    (:func:`kmv_set_estimates`) — "how many users are in BOTH segments"
+    over 100 TB without a distinct-pair join. NULL keys are excluded
+    (the ``count distinct`` convention).
+
+    Shuffle contract: each input partition is first reduced to its own
+    k smallest DISTINCT hashes (Arrow batches + ``np.unique``, running
+    state ≤ 2k values — a naive global ``distinct()`` first would
+    shuffle EVERY distinct hash, the full count-distinct cost, when
+    only k survive), so the exchange carries ≤ k·partitions rows into
+    one TakeOrdered(k) — never a global sort. Determinism is the md5
+    hash: the same data yields the same sketch on any engine or
+    partitioning. Error ~ 1/sqrt(k) relative.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    import numpy as np
+    import pyarrow as pa
+
+    h = _hash32(F.col(key_col).cast("string"), salt)
+    hashed = df.select(h.alias("h")).filter(F.col("h").isNotNull())
+
+    def _partition_bottom_k(batches):
+        seen = None
+        for b in batches:
+            arr = np.unique(b.column("h").to_numpy(zero_copy_only=False))
+            if len(arr) > k:
+                arr = arr[:k]  # np.unique output is sorted ascending
+            seen = arr if seen is None else np.unique(
+                np.concatenate([seen, arr]),
+            )[:k]
+        if seen is not None and len(seen):
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(seen, pa.int64())], ["h"],
+            )
+
+    return (
+        hashed.mapInArrow(_partition_bottom_k, "h long")
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .agg(F.array_sort(F.collect_list("h")).alias("kmv"))
+    )
+
+
+def kmv_by(
+    df: DataFrame,
+    by: str | Sequence[str],
+    key_col: str,
+    k: int = 256,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Per-group KMV sketches ``(by..., kmv)`` — distinct ``key_col``
+    reach per segment with set algebra across groups.
+
+    Distinct ``(group, hash)`` first (bounds the data to true distincts),
+    then a rank window PARTITIONED BY the group — never a global sort;
+    per-partition work is bounded by the group's distinct count, and the
+    uniform hash order makes the bottom-k scan cheap."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql.window import Window
+
+    keys = [by] if isinstance(by, str) else list(by)
+    h = _hash32(F.col(key_col).cast("string"), salt)
+    dist = df.select(*keys, h.alias("h")).distinct()
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        dist.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_list("h")).alias("kmv"))
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Union two sketches built with the same (k, salt): the k smallest
+    of the combined distinct hashes — the sketch of the UNION of the
+    underlying sets (shard/day merge)."""
+    pair = a.select(F.col("kmv").alias("__ka")).crossJoin(
+        b.select(F.col("kmv").alias("__kb")),
+    )
+    return pair.select(
+        F.slice(
+            F.array_sort(F.array_distinct(F.concat("__ka", "__kb"))), 1, k,
+        ).alias("kmv"),
+    )
+
+
+def kmv_estimate(sk: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count estimate from a sketch (or per-group sketches —
+    every non-``kmv`` column passes through): ``(..., n_hashes,
+    estimate)``; exact when the whole set fit in the sketch."""
+    other = [c for c in sk.columns if c != "kmv"]
+    return sk.select(
+        *other,
+        F.size("kmv").alias("n_hashes"),
+        _kmv_est_expr(F.col("kmv"), k).alias("estimate"),
+    )
+
+
+def kmv_set_estimates(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Set algebra from two sketches: ONE row ``(n_union_hashes,
+    n_common, union_est, jaccard_est, intersect_est)``.
+
+    The union sketch is the bottom-k of the combined hashes; ``rho`` =
+    how many of its members appear in BOTH input sketches. Jaccard ≈
+    rho/k, intersection ≈ jaccard · |A ∪ B| (Beyer et al. 2007) — the
+    segment-overlap question (users in both cohorts, terms shared by two
+    corpora) answered from two k-element summaries. When the union fit
+    entirely (< k hashes), all three are exact."""
+    pair = a.select(F.col("kmv").alias("__ka")).crossJoin(
+        b.select(F.col("kmv").alias("__kb")),
+    )
+    ku = F.slice(
+        F.array_sort(F.array_distinct(F.concat("__ka", "__kb"))), 1, k,
+    )
+    staged = pair.select("__ka", "__kb", ku.alias("__ku"))
+    nu = F.size("__ku")
+    rho = F.size(
+        F.filter(
+            F.col("__ku"),
+            lambda x: F.array_contains(F.col("__ka"), x)
+            & F.array_contains(F.col("__kb"), x),
+        ),
+    )
+    union_est = _kmv_est_expr(F.col("__ku"), k)
+    exact = nu < k  # union fully captured -> everything is exact
+    jaccard = F.when(
+        exact,
+        F.when(nu == 0, F.lit(0.0)).otherwise(
+            rho.cast("double") / nu.cast("double"),
+        ),
+    ).otherwise(rho.cast("double") / F.lit(float(k)))
+    intersect = F.when(exact, rho.cast("double")).otherwise(
+        (rho.cast("double") / F.lit(float(k))) * union_est,
+    )
+    return staged.select(
+        nu.alias("n_union_hashes"),
+        rho.alias("n_common"),
+        union_est.alias("union_est"),
+        jaccard.alias("jaccard_est"),
+        intersect.alias("intersect_est"),
     )

@@ -549,6 +549,7 @@ _CMS_D = 4
 _SIMHASH_MAXD = 2
 _CMS_PROBES = ("table", "spark", "vector", "zzz-absent")
 _HLL_P = 8
+_KMV_K = 64
 
 
 def simhash(spark, sf_dir):
@@ -667,9 +668,76 @@ def simhash(spark, sf_dir):
         F.col("hamming").cast("long").alias("val_int"),
         F.lit(None).cast("double").alias("val_dbl"),
     )
+    # KMV bottom-k sketch (round 7): the SET-ALGEBRA sketch HLL can't
+    # be. Branches: the global term sketch's hash registers + its
+    # distinct estimate (exact count already rides in hll_true), and
+    # the even-doc / odd-doc vocabulary overlap — union / Jaccard /
+    # intersection estimates from two 64-hash summaries, with the exact
+    # intersection alongside so the sketch error is pinned in the hash.
+    kmv = sketch.kmv_sketch(toks, "term", k=_KMV_K)
+    kmv_reg_rows = kmv.select(
+        F.posexplode("kmv").alias("i", "h"),
+    ).select(
+        F.lit("kmv_reg").alias("method"),
+        (F.col("i") + 1).cast("long").alias("key_a"),
+        F.lit(None).cast("long").alias("key_b"),
+        F.col("h").alias("val_int"),
+        F.lit(None).cast("double").alias("val_dbl"),
+    )
+    kmv_est_rows = sketch.kmv_estimate(kmv, k=_KMV_K).select(
+        F.lit("kmv_est").alias("method"),
+        F.lit(0).cast("long").alias("key_a"),
+        F.lit(None).cast("long").alias("key_b"),
+        F.col("n_hashes").cast("long").alias("val_int"),
+        F.round("estimate", 6).alias("val_dbl"),
+    )
+    tokd = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit("")),
+        ).alias("term"),
+    )
+    k_even = sketch.kmv_sketch(
+        tokd.filter(F.col("doc_id") % 2 == 0), "term", k=_KMV_K,
+    )
+    k_odd = sketch.kmv_sketch(
+        tokd.filter(F.col("doc_id") % 2 == 1), "term", k=_KMV_K,
+    )
+    sets = sketch.kmv_set_estimates(k_even, k_odd, k=_KMV_K)
+
+    def _set_row(tag: str, dbl):
+        return sets.select(
+            F.lit(tag).alias("method"),
+            F.col("n_union_hashes").cast("long").alias("key_a"),
+            F.lit(None).cast("long").alias("key_b"),
+            F.col("n_common").cast("long").alias("val_int"),
+            F.round(dbl, 6).alias("val_dbl"),
+        )
+
+    kmv_set_rows = (
+        _set_row("kmv_union", F.col("union_est"))
+        .unionAll(_set_row("kmv_jaccard", F.col("jaccard_est")))
+        .unionAll(_set_row("kmv_inter", F.col("intersect_est")))
+    )
+    kmv_true_rows = (
+        tokd.filter(F.col("doc_id") % 2 == 0).select("term").distinct()
+        .intersect(
+            tokd.filter(F.col("doc_id") % 2 == 1).select("term").distinct(),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("kmv_true_inter").alias("method"),
+            F.lit(0).cast("long").alias("key_a"),
+            F.lit(None).cast("long").alias("key_b"),
+            F.col("n").alias("val_int"),
+            F.lit(None).cast("double").alias("val_dbl"),
+        )
+    )
     out = sh
     for branch in (cms_rows, est_rows, reg_rows, hest, true_row,
-                   grp_est_rows, grp_true_rows, pair_rows):
+                   grp_est_rows, grp_true_rows, pair_rows,
+                   kmv_reg_rows, kmv_est_rows, kmv_set_rows,
+                   kmv_true_rows):
         out = out.unionAll(branch)
     return out
 
@@ -703,6 +771,9 @@ def _simhash_sql() -> str:
     hh = _sketch_hash_sql("term", "hll")
     alpha_m2 = fl(sketch.hll_alpha(p) * m * m)
     two32 = 4294967296.0
+    kk = _KMV_K
+    kc = fl(float((kk - 1) * 4294967296))  # (k-1) * 2^32, exact double
+    kh = _sketch_hash_sql("term", "kmv")
     return f"""WITH base AS ({_grams_sql(3)}),
 g AS (SELECT doc_id, md5(unnest(grams)) AS h FROM base),
 s AS (SELECT doc_id, {sums} FROM g GROUP BY doc_id),
@@ -772,6 +843,41 @@ gest AS (
     {alpha_m2} / ((CAST({m} AS DOUBLE) - n_set) + COALESCE(hsum, 0.0)) AS raw,
     {m} - n_set AS v
   FROM gagg
+),
+tokd AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+  FROM documents
+),
+kmv AS (
+  SELECT h FROM (SELECT DISTINCT {kh} AS h FROM tok) ORDER BY h LIMIT {kk}
+),
+kagg AS (SELECT count(*) AS n, MAX(h) AS kth FROM kmv),
+kea AS (
+  SELECT h FROM (
+    SELECT DISTINCT {kh} AS h FROM tokd WHERE doc_id % 2 = 0
+  ) ORDER BY h LIMIT {kk}
+),
+koa AS (
+  SELECT h FROM (
+    SELECT DISTINCT {kh} AS h FROM tokd WHERE doc_id % 2 = 1
+  ) ORDER BY h LIMIT {kk}
+),
+kun AS (
+  SELECT h FROM (SELECT h FROM kea UNION SELECT h FROM koa)
+  ORDER BY h LIMIT {kk}
+),
+kstats AS (
+  SELECT (SELECT count(*) FROM kun) AS nu,
+    (SELECT MAX(h) FROM kun) AS kth,
+    (SELECT count(*) FROM kun
+     WHERE h IN (SELECT h FROM kea) AND h IN (SELECT h FROM koa)) AS rho
+),
+kset AS (
+  SELECT nu, rho,
+    CASE WHEN nu < {kk} THEN CAST(nu AS DOUBLE)
+      ELSE {kc} / (CAST(kth AS DOUBLE) + 1.0) END AS union_est
+  FROM kstats
 )
 SELECT 'simhash' AS method, doc_id AS key_a, CAST(NULL AS BIGINT) AS key_b,
   CAST({bits} AS BIGINT) AS val_int, CAST(NULL AS DOUBLE) AS val_dbl
@@ -820,7 +926,37 @@ SELECT 'pairs', a.key_a, b.key_a,
 FROM (SELECT doc_id AS key_a, CAST({bits} AS BIGINT) AS sh FROM s) a
 JOIN (SELECT doc_id AS key_a, CAST({bits} AS BIGINT) AS sh FROM s) b
   ON a.key_a < b.key_a
-  AND bit_count(xor(a.sh, b.sh)) <= {_SIMHASH_MAXD}"""
+  AND bit_count(xor(a.sh, b.sh)) <= {_SIMHASH_MAXD}
+UNION ALL
+SELECT 'kmv_reg', CAST(row_number() OVER (ORDER BY h) AS BIGINT),
+  CAST(NULL AS BIGINT), h, CAST(NULL AS DOUBLE)
+FROM kmv
+UNION ALL
+SELECT 'kmv_est', 0, CAST(NULL AS BIGINT), n,
+  round(CASE WHEN n < {kk} THEN CAST(n AS DOUBLE)
+    ELSE {kc} / (CAST(kth AS DOUBLE) + 1.0) END, 6)
+FROM kagg
+UNION ALL
+SELECT 'kmv_union', nu, CAST(NULL AS BIGINT), rho, round(union_est, 6)
+FROM kset
+UNION ALL
+SELECT 'kmv_jaccard', nu, CAST(NULL AS BIGINT), rho,
+  round(CASE WHEN nu < {kk} THEN (CASE WHEN nu = 0 THEN 0.0
+      ELSE CAST(rho AS DOUBLE) / CAST(nu AS DOUBLE) END)
+    ELSE CAST(rho AS DOUBLE) / {fl(float(kk))} END, 6)
+FROM kset
+UNION ALL
+SELECT 'kmv_inter', nu, CAST(NULL AS BIGINT), rho,
+  round(CASE WHEN nu < {kk} THEN CAST(rho AS DOUBLE)
+    ELSE (CAST(rho AS DOUBLE) / {fl(float(kk))}) * union_est END, 6)
+FROM kset
+UNION ALL
+SELECT 'kmv_true_inter', 0, CAST(NULL AS BIGINT),
+  (SELECT count(*) FROM (
+    SELECT term FROM tokd WHERE doc_id % 2 = 0
+    INTERSECT
+    SELECT term FROM tokd WHERE doc_id % 2 = 1) t),
+  CAST(NULL AS DOUBLE)"""
 
 
 # ---------------------------------------------------------------------------

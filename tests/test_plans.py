@@ -426,3 +426,19 @@ def test_dense_groupby_block_partition_single_exchange(spark):
     # shuffle inserted by EnsureRequirements
     assert plan.count("Exchange hashpartitioning") == 1
     assert "__blk" in plan
+
+
+def test_kmv_sketch_uses_take_ordered_not_global_sort(spark):
+    # the bottom-k pass must be TakeOrderedAndProject (map-side k +
+    # driver k-way merge), never a global rangepartitioning sort; the
+    # only exchange is the distinct's hash shuffle
+    from sed_spark.ext import sketch
+    from sed_spark.suite.common import load
+
+    docs = load(spark, SF_DIR, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    )
+    plan = _plan(sketch.kmv_sketch(toks, "term", k=64))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan

@@ -294,3 +294,110 @@ def test_bloom_param_validation(spark):
         sketch.bloom_build(df, "key", m_bits=1)
     with _pt.raises(ValueError, match="m_bits"):
         sketch.bloom_probe(df, df.selectExpr("1 as bit"), "key", k_hashes=0)
+
+
+# ---------------------------------------------------------------- KMV
+
+
+def ref_kmv(keys, k, salt="kmv"):
+    return sorted({h32(x, salt) for x in keys})[:k]
+
+
+def ref_kmv_est(kmv, k):
+    if len(kmv) < k:
+        return float(len(kmv))
+    return float((k - 1) * 4294967296) / (kmv[k - 1] + 1.0)
+
+
+def test_kmv_sketch_matches_reference(spark):
+    keys = [f"u{i}" for i in range(500)] + ["u0", "u1"]  # dups collapse
+    df = spark.createDataFrame([(x,) for x in keys], "key string")
+    got = sketch.kmv_sketch(df, "key", k=64).collect()[0]["kmv"]
+    assert got == ref_kmv(keys, 64)
+
+
+def test_kmv_estimate_exact_when_small_and_close_when_big(spark):
+    small = spark.createDataFrame([(f"k{i}",) for i in range(20)], "key string")
+    row = sketch.kmv_estimate(sketch.kmv_sketch(small, "key", k=64), k=64)
+    r = row.collect()[0]
+    assert r["n_hashes"] == 20 and r["estimate"] == 20.0
+
+    n = 5000
+    big = spark.createDataFrame([(f"k{i}",) for i in range(n)], "key string")
+    est = sketch.kmv_estimate(
+        sketch.kmv_sketch(big, "key", k=256), k=256,
+    ).collect()[0]["estimate"]
+    assert est == pytest.approx(
+        ref_kmv_est(ref_kmv([f"k{i}" for i in range(n)], 256), 256),
+    )
+    assert abs(est - n) / n < 0.2  # ~1/sqrt(256) relative error
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    a_keys = [f"a{i}" for i in range(300)]
+    b_keys = [f"b{i}" for i in range(300)] + a_keys[:100]
+    a = sketch.kmv_sketch(
+        spark.createDataFrame([(x,) for x in a_keys], "key string"), "key", k=64,
+    )
+    b = sketch.kmv_sketch(
+        spark.createDataFrame([(x,) for x in b_keys], "key string"), "key", k=64,
+    )
+    merged = sketch.kmv_merge(a, b, k=64).collect()[0]["kmv"]
+    assert merged == ref_kmv(a_keys + b_keys, 64)
+
+
+def test_kmv_set_estimates(spark):
+    # |A| = 600, |B| = 600, |A ∩ B| = 200 -> jaccard = 0.2
+    shared = [f"s{i}" for i in range(200)]
+    a_keys = shared + [f"a{i}" for i in range(400)]
+    b_keys = shared + [f"b{i}" for i in range(400)]
+    k = 128
+    a = sketch.kmv_sketch(
+        spark.createDataFrame([(x,) for x in a_keys], "key string"), "key", k=k,
+    )
+    b = sketch.kmv_sketch(
+        spark.createDataFrame([(x,) for x in b_keys], "key string"), "key", k=k,
+    )
+    r = sketch.kmv_set_estimates(a, b, k=k).collect()[0]
+    assert r["n_union_hashes"] == k  # union (1000) overflows the sketch
+    assert abs(r["union_est"] - 1000) / 1000 < 0.3
+    assert abs(r["jaccard_est"] - 0.2) < 0.15
+    assert abs(r["intersect_est"] - 200) / 200 < 0.6
+
+    # fully-captured union -> everything exact
+    sa = sketch.kmv_sketch(
+        spark.createDataFrame([(f"s{i}",) for i in range(30)], "key string"),
+        "key", k=k,
+    )
+    sb = sketch.kmv_sketch(
+        spark.createDataFrame([(f"s{i}",) for i in range(10, 40)], "key string"),
+        "key", k=k,
+    )
+    rx = sketch.kmv_set_estimates(sa, sb, k=k).collect()[0]
+    assert rx["n_union_hashes"] == 40 and rx["n_common"] == 20
+    assert rx["intersect_est"] == 20.0
+    assert rx["jaccard_est"] == pytest.approx(0.5)
+    assert rx["union_est"] == 40.0
+
+
+def test_kmv_by_per_group(spark):
+    rows = [(g, f"{g}-k{i % (20 * (g + 1))}") for g in range(3) for i in range(200)]
+    df = spark.createDataFrame(rows, "g int, key string")
+    got = {
+        r["g"]: r["kmv"]
+        for r in sketch.kmv_by(df, "g", "key", k=16).collect()
+    }
+    for g in range(3):
+        expect = ref_kmv({f"{g}-k{i % (20 * (g + 1))}" for i in range(200)}, 16)
+        assert got[g] == expect
+    # estimate passes group columns through
+    est = sketch.kmv_estimate(sketch.kmv_by(df, "g", "key", k=16), k=16)
+    assert set(est.columns) == {"g", "n_hashes", "estimate"}
+
+
+def test_kmv_param_validation(spark):
+    df = spark.createDataFrame([("x",)], "key string")
+    with pytest.raises(ValueError, match="k must be"):
+        sketch.kmv_sketch(df, "key", k=1)
+    with pytest.raises(ValueError, match="k must be"):
+        sketch.kmv_by(df, "g", "key", k=0)

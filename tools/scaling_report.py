@@ -542,6 +542,15 @@ def main() -> None:
         thunk.cleanup = lambda: shutil.rmtree(tmp, ignore_errors=True)
         return thunk
 
+    def _kmv(n):
+        # bottom-256 distinct-hash sketch: distinct + TakeOrdered(k)
+        d = pin(
+            spark.range(
+                0, n, 1, spark.sparkContext.defaultParallelism * 4,
+            ).select(F.col("id").cast("string").alias("key")),
+        )
+        return lambda: run_noop(sketch.kmv_sketch(d, "key", k=256))
+
     def _quantile_by(n):
         # 100 groups x 3 probs out of one hash aggregate (approx sketch —
         # the at-scale path; exact mode is the suite's oracle audit)
@@ -662,6 +671,7 @@ def main() -> None:
         ("decayed_stats_by (100 keys)", [10**6, 10**7, 10**8], _decayed_stats),
         ("triangle_count (deg~20 graph)", [10**5, 10**6, 10**7], _triangles),
         ("streaming_enrich (10k-dim replay)", [10**5, 10**6, 10**7], _stream_enrich),
+        ("kmv_sketch (k=256 bottom-k)", [10**6, 10**7, 10**8], _kmv),
     ]
 
     # optional substring filters: `scaling_report.py bm25 pagerank` times
