@@ -41,6 +41,7 @@ __all__ = [
     "connected_components",
     "connected_components_two_phase",
     "dedup_clusters",
+    "label_propagation",
     "pagerank",
     "triangle_count",
 ]
@@ -481,3 +482,87 @@ def triangle_count(
         "node",
         F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    n_iter: int = 5,
+    nodes: DataFrame | None = None,
+    node_col: str | None = None,
+    reliable: bool = False,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al.
+    2007) — community detection over an undirected graph: near-duplicate
+    cliques in a dedup pair graph, topical clusters in a link graph.
+    Where connected components answer "reachable at all", LPA's
+    majority vote separates DENSELY linked groups that a stray bridge
+    edge would otherwise fuse into one component.
+
+    Exactly ``n_iter`` synchronous rounds from ``label(v) = v``; each
+    round every node adopts the most frequent label among its NEIGHBORS
+    (ties -> smallest label; isolated nodes keep their label). The
+    classic algorithm breaks ties randomly and updates asynchronously —
+    both partitioning-dependent; this variant's total tie order and
+    synchronous rounds make the result a pure function of the graph
+    (the determinism contract every suite operator obeys), at the known
+    cost that a perfectly symmetric bipartite neighborhood can
+    oscillate rather than converge — pick ``n_iter`` odd/even
+    deliberately when that matters.
+
+    Scale shape (mirrors :func:`pagerank`): the symmetrized edge table
+    is checkpointed once; each round is ONE shuffle join (labels ⋈
+    edges on the neighbor end) + ONE ``(node, label)`` hash aggregate +
+    a ``min_by`` argmax aggregate — no window over the vote table, no
+    driver collect in the loop; label tables are lazily checkpointed to
+    keep lineage flat. Returns ``(node, community)``.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    ckpt = _checkpointer(edges, reliable)
+    u, v = F.col(a_col), F.col(b_col)
+    adj = ckpt(
+        edges.filter(u != v)
+        .select(u.alias("src"), v.alias("dst"))
+        .unionAll(edges.filter(u != v).select(v.alias("src"), u.alias("dst")))
+        .distinct(),
+    )
+    if nodes is not None:
+        node_col = node_col or nodes.columns[0]
+        base = nodes.select(F.col(node_col).alias("node")).distinct()
+    else:
+        base = adj.select(F.col("src").alias("node")).distinct()
+    labels = base.select("node", F.col("node").alias("community"))
+    for _ in range(n_iter):
+        votes = (
+            adj.join(
+                labels.select(
+                    F.col("node").alias("dst"),
+                    F.col("community").alias("nbr_label"),
+                ),
+                "dst",
+            )
+            .groupBy("src", "nbr_label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winners = votes.groupBy("src").agg(
+            F.min_by(
+                "nbr_label",
+                F.struct(
+                    (-F.col("cnt")).alias("neg_cnt"),
+                    F.col("nbr_label").alias("lbl"),
+                ),
+            ).alias("win_label"),
+        )
+        labels = ckpt(
+            labels.join(
+                winners.select(F.col("src").alias("node"), "win_label"),
+                "node",
+                "left",
+            ).select(
+                "node",
+                F.coalesce("win_label", "community").alias("community"),
+            ),
+        )
+    return labels

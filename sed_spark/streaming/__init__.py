@@ -39,6 +39,7 @@ __all__ = [
     "streaming_histogram",
     "streaming_sessionize",
     "streaming_exact_dedup",
+    "streaming_dedup_within_watermark",
     "streaming_distinct_sketch",
     "streaming_interval_join",
     "streaming_enrich",
@@ -360,3 +361,30 @@ def streaming_enrich(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     return stream.join(F.broadcast(dim), on, how)
+
+
+def streaming_dedup_within_watermark(
+    df: DataFrame,
+    key_cols: str | list[str],
+    event_time_col: str,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """BOUNDED-STATE dedup: drop a key's repeats only while its first
+    occurrence is still inside the watermark horizon; the state entry is
+    evicted once the watermark passes ``event_time + delay``.
+
+    The deployment companion to :func:`streaming_exact_dedup`: exact
+    dedup must keep every hash ever seen (state grows with history),
+    which is the right contract for corpus ingestion but the wrong one
+    for at-least-once sources and retry storms, where "duplicate" only
+    means WITHIN A HORIZON. Here state size is O(keys per horizon) —
+    bounded regardless of stream age — so the operator runs forever
+    without a TTL policy bolted on. Repeats farther apart than the
+    horizon are genuinely re-emitted (two copies survive): that is the
+    contract, not a bug; size ``delay`` to the source's redelivery
+    window. Built on the engine's ``dropDuplicatesWithinWatermark``
+    (state-store backed, watermark-driven eviction); output mode
+    append, rows are final when emitted.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    return df.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(keys)

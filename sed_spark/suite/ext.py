@@ -408,7 +408,27 @@ def dedup_clusters(spark, sf_dir):
             F.col("n_triangles").alias("rank_micro"),
         ),
     )
-    return out[0].unionAll(out[1]).unionAll(out[2]).unionAll(out[3])
+    # label-propagation branch (round 7): 3 synchronous majority-vote
+    # rounds over the same pair graph — the density-aware community
+    # signal next to reachability-only CC (a stray LSH bridge edge
+    # fuses components but not LPA communities); community rides in
+    # cluster_id, the canonical/rank slots NULL
+    lpa = graph.label_propagation(
+        pairs, n_iter=3, nodes=docs.select("doc_id"),
+    )
+    out.append(
+        lpa.select(
+            F.lit("lpa").alias("method"),
+            F.col("node").alias("doc_id"),
+            F.col("community").cast("long").alias("cluster_id"),
+            F.lit(None).cast("int").alias("is_canonical"),
+            F.lit(None).cast("long").alias("rank_micro"),
+        ),
+    )
+    res = out[0]
+    for branch in out[1:]:
+        res = res.unionAll(branch)
+    return res
 
 
 def _pr_rounds_sql(n_iter: int = 3) -> str:
@@ -438,6 +458,34 @@ r{i} AS (
 
 
 _PR_ROUNDS = _pr_rounds_sql(3)
+
+
+def _lpa_rounds_sql(n_iter: int = 3) -> str:
+    """Unrolled synchronous label-propagation rounds: each round is the
+    neighbor-label vote aggregate and the deterministic argmax (count
+    desc, label asc — the same total tie order as
+    ``ext.graph.label_propagation``), with unmatched (isolated) nodes
+    keeping their previous label."""
+    blocks = ["l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents)"]
+    for i in range(1, n_iter + 1):
+        blocks.append(f"""v{i} AS (
+  SELECT e.src AS node, l.label, count(*) AS c
+  FROM pedges e JOIN l{i - 1} l ON l.node = e.dst
+  GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT n.node, COALESCE(w.label, n.label) AS label
+  FROM l{i - 1} n LEFT JOIN (
+    SELECT node, label FROM (
+      SELECT node, label,
+        row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+      FROM v{i}) WHERE rn = 1
+  ) w ON w.node = n.node
+)""")
+    return ",\n".join(blocks)
+
+
+_LPA_ROUNDS = _lpa_rounds_sql(3)
 
 
 # transitive closure of the LSH pair graph: recursive min-label propagation
@@ -495,13 +543,20 @@ tri AS (
   FROM canon e1
   JOIN (SELECT u AS v, v AS w FROM canon) e2 ON e1.v = e2.v
   WHERE EXISTS (SELECT 1 FROM canon c3 WHERE c3.u = e1.u AND c3.v = e2.w)
-)
+),
+-- label-propagation branch: 3 unrolled synchronous majority-vote
+-- rounds with the (count desc, label asc) tie order — the SQL
+-- transcription of ext.graph.label_propagation
+{_LPA_ROUNDS}
 SELECT m.method, c.doc_id, c.cluster_id, c.is_canonical,
   CAST(NULL AS BIGINT) AS rank_micro
 FROM closure c, (VALUES ('hash-min'), ('two-phase')) m(method)
 UNION ALL
 SELECT 'pagerank', node, CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), r
 FROM r3
+UNION ALL
+SELECT 'lpa', node, label, CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
+FROM l3
 UNION ALL
 SELECT 'triangles', d.doc_id, CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
   COALESCE(tc.n, 0)
@@ -3223,9 +3278,34 @@ def _stream_dedup_replay_body(
         ).alias("key"),
         F.col("max_rho").cast("bigint").alias("cnt"),
     )
+    # seventh replay: BOUNDED-STATE dedup (dropDuplicatesWithinWatermark)
+    # keyed on (user_id, event_type). The availableNow drain is one
+    # micro-batch, so every repeat is in-horizon and the survivor KEY SET
+    # equals the batch distinct — which is what the oracle pins (WHICH
+    # event survives is arrival-order-dependent, same caveat as the
+    # exact-dedup part); the cross-batch eviction/re-emission contract
+    # is pinned by the staged-batch unit test.
+    from sed_spark.streaming import streaming_dedup_within_watermark
+
+    wd = streaming_dedup_within_watermark(
+        ev_stream.select("user_id", "event_type", "__event_time"),
+        ["user_id", "event_type"],
+        "__event_time",
+        delay="10 minutes",
+    )
+    spark.catalog.dropTempView("stream_wdedup_sink")
+    run_available_now(wd, "stream_wdedup_sink", output_mode="append")
+    wdedup_part = spark.table("stream_wdedup_sink").select(
+        F.lit("wdedup").alias("part"),
+        F.concat_ws(
+            "|", F.col("user_id").cast("string"), F.col("event_type"),
+        ).alias("key"),
+        F.lit(1).cast("bigint").alias("cnt"),
+    )
     return (
         dedup_part.unionAll(hist_part).unionAll(timed_part)
         .unionAll(late_part).unionAll(hll_part).unionAll(join_part)
+        .unionAll(wdedup_part)
     )
 
 
@@ -3322,6 +3402,11 @@ FROM events l JOIN events r ON l.event_type = 'signup'
   AND r.user_id = l.user_id
   AND epoch_us(r.ts) >= epoch_us(l.ts)
   AND epoch_us(r.ts) <= epoch_us(l.ts) + 3600000000
+UNION ALL
+SELECT 'wdedup' AS part,
+  CAST(user_id AS VARCHAR) || '|' || event_type AS key,
+  CAST(1 AS BIGINT) AS cnt
+FROM (SELECT DISTINCT user_id, event_type FROM events)
 """
 
 

@@ -320,3 +320,68 @@ def test_triangle_count_matches_bruteforce_random(spark):
         for r in triangle_count(edges, nodes=nodes).collect()
     }
     assert got == want
+
+
+def ref_lpa(edge_list, node_set, n_iter):
+    adj: dict = {n: set() for n in node_set}
+    for a, b in edge_list:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in set(node_set) | set(adj)}
+    for _ in range(n_iter):
+        nxt = {}
+        for n, lbl in labels.items():
+            nbrs = adj.get(n, set())
+            if not nbrs:
+                nxt[n] = lbl
+                continue
+            counts: dict = {}
+            for m in nbrs:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            nxt[n] = min(counts, key=lambda x: (-counts[x], x))
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_matches_reference_and_splits_bridged_cliques(spark):
+    from sed_spark.ext.graph import label_propagation
+
+    # two 4-cliques joined by ONE bridge edge (3-10): connected
+    # components fuse them; LPA's majority vote keeps them apart
+    clique_a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    clique_b = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edge_list = clique_a + clique_b + [(3, 10), (99, 99)]  # + self loop
+    node_set = list(range(4)) + list(range(10, 14)) + [50]  # 50 isolated
+    edges = spark.createDataFrame(edge_list, ["a_id", "b_id"])
+    nodes = spark.createDataFrame([(n,) for n in node_set], ["doc_id"])
+    for n_iter in (1, 3, 5):
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(
+                edges, n_iter=n_iter, nodes=nodes,
+            ).collect()
+        }
+        assert got == ref_lpa(edge_list, node_set, n_iter), n_iter
+    final = ref_lpa(edge_list, node_set, 5)
+    assert len({final[n] for n in range(4)}) == 1
+    assert len({final[n] for n in range(10, 14)}) == 1
+    assert final[0] != final[10]  # bridge did NOT fuse the cliques
+    assert final[50] == 50  # isolated keeps its own label
+
+
+def test_label_propagation_defaults_to_edge_endpoints(spark):
+    from sed_spark.ext.graph import label_propagation
+
+    edges = spark.createDataFrame([(5, 6), (6, 7)], ["a_id", "b_id"])
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, n_iter=4).collect()
+    }
+    assert set(got) == {5, 6, 7}
+    assert got == ref_lpa([(5, 6), (6, 7)], [5, 6, 7], 4)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_iter"):
+        label_propagation(edges, n_iter=0)

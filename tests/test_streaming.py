@@ -241,3 +241,51 @@ def test_streaming_enrich_matches_batch_join(spark, tmp_path):
     assert got == want and got[None] == 16  # uids 3,4 unmatched
     with pytest.raises(ValueError, match="how must be"):
         streaming_enrich(stream, dim, "uid", how="full")
+
+
+def test_streaming_dedup_within_watermark_bounded_state(spark, tmp_path):
+    import pandas as pd
+
+    from sed_spark.streaming import streaming_dedup_within_watermark
+
+    d = tmp_path / "wdedup"
+    d.mkdir()
+
+    def stage(name, ks, secs):
+        pdf = pd.DataFrame({"k": ks, "ts": pd.to_datetime(secs, unit="s")})
+        # microsecond unit: the session reads parquet NANOS as bigint
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(d / name)
+
+    # batch 0: A and B, plus an in-horizon repeat of B (dropped);
+    # batch 1: C far in the future — advances the watermark past A/B's
+    #          state expiry (event_time + 60 s);
+    # batch 2: D — the eviction pass RUNS under batch 1's committed
+    #          watermark (state cleanup lags the data that moved the
+    #          watermark by one batch), removing A and B;
+    # batch 3: A again — its state is GONE, so it is re-emitted: the
+    #          bounded-state contract (repeats beyond the horizon are
+    #          genuine re-emissions), which exact dedup would suppress
+    stage("f0.parquet", ["A", "B", "B"], [1000, 1000, 1001])
+    stage("f1.parquet", ["C"], [8000])
+    stage("f2.parquet", ["D"], [8050])
+    stage("f3.parquet", ["A"], [8100])
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        # watermarks want TIMESTAMP, parquet staging yields TIMESTAMP_NTZ
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = streaming_dedup_within_watermark(stream, "k", "ts", delay="60 seconds")
+    run_available_now(out, "wdedup_sink", output_mode="append")
+    got = sorted(
+        (r["k"], int(r["ts"].timestamp()))
+        for r in spark.table("wdedup_sink").collect()
+    )
+    spark.catalog.dropTempView("wdedup_sink")
+    assert got == [
+        ("A", 1000), ("A", 8100), ("B", 1000), ("C", 8000), ("D", 8050),
+    ]

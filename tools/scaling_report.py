@@ -542,6 +542,20 @@ def main() -> None:
         thunk.cleanup = lambda: shutil.rmtree(tmp, ignore_errors=True)
         return thunk
 
+    def _lpa(n):
+        # 3 synchronous rounds over the same deg~20 graph as triangles
+        par = spark.sparkContext.defaultParallelism * 4
+        nodes = max(n // 10, 10)
+        d = pin(
+            spark.range(0, n, 1, par).select(
+                F.pmod(F.hash((F.col("id") * 2).cast("string")), F.lit(nodes))
+                .alias("a_id"),
+                F.pmod(F.hash((F.col("id") * 2 + 1).cast("string")), F.lit(nodes))
+                .alias("b_id"),
+            ),
+        )
+        return lambda: run_noop(graph.label_propagation(d, n_iter=3))
+
     def _kmv(n):
         # bottom-256 distinct-hash sketch: distinct + TakeOrdered(k)
         d = pin(
@@ -672,6 +686,7 @@ def main() -> None:
         ("triangle_count (deg~20 graph)", [10**5, 10**6, 10**7], _triangles),
         ("streaming_enrich (10k-dim replay)", [10**5, 10**6, 10**7], _stream_enrich),
         ("kmv_sketch (k=256 bottom-k)", [10**6, 10**7, 10**8], _kmv),
+        ("label_propagation (3 rounds, deg~20)", [10**5, 10**6, 10**7], _lpa),
     ]
 
     # optional substring filters: `scaling_report.py bm25 pagerank` times
