@@ -529,3 +529,101 @@ QUERIES.update(
         "region_rollup": {"spark": region_rollup, "sql": REGION_SQL},
     },
 )
+
+# registered below its definition (module tail) — the correlated row's
+# SQL template is shared verbatim by both engines
+def _register_correlated() -> None:
+    QUERIES["correlated_subqueries"] = {
+        "spark": correlated_subqueries,
+        "sql": CORRELATED_SQL,
+    }
+
+
+def _correlated_sql(part_t: str, lineitem_t: str, customer_t: str,
+                    orders_t: str, supplier_t: str) -> str:
+    """The three classic correlated-subquery shapes (TPC-H Q17/Q22/Q21
+    adapted to the testdata's columns), templated over table names so
+    the SAME text runs as the Spark query (over prefixed temp views —
+    exercising Catalyst's actual decorrelation, not a hand-decorrelated
+    join) and as the DuckDB oracle (over the real tables):
+
+    * ``q17`` — correlated SCALAR AGGREGATE: lineitems under 20% of
+      their part's average quantity (per Brand#1 part). Decorrelates to
+      a per-part aggregate joined back; the avg is exact (integral
+      quantities, sum < 2^53) so the 0.2x threshold compare is
+      deterministic on both engines.
+    * ``q22`` — uncorrelated scalar threshold + anti-join (NOT EXISTS):
+      above-average-balance customers who never placed an URGENT order
+      (every testdata customer has SOME order, so the classic no-orders
+      predicate would make the anti-join vacuous), rolled up per
+      nation. The threshold is the decimal-exact string-cast mean, one
+      IEEE division on each engine.
+    * ``q21`` — EXISTS + NOT EXISTS self-joins: the supplier whose
+      returned ('R') lineitem is the ONLY return in a multi-supplier
+      finished order — semi- and anti-join decorrelation with an extra
+      non-equi conjunct on top of the orderkey equality.
+
+    Money sums ride the decimal→string→double convention (see Q1) so
+    the hash compare is bit-exact.
+    """
+    return f"""
+SELECT 'q17' AS part, CAST(p.p_partkey AS STRING) AS key,
+  COUNT(*) AS val_int,
+  CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS STRING)
+    AS DOUBLE) AS val_dbl
+FROM {part_t} p JOIN {lineitem_t} l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity) FROM {lineitem_t} l2
+    WHERE l2.l_partkey = p.p_partkey)
+GROUP BY p.p_partkey
+UNION ALL
+SELECT 'q22' AS part, CAST(c.c_nationkey AS STRING) AS key,
+  COUNT(*) AS val_int,
+  CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS STRING)
+    AS DOUBLE) AS val_dbl
+FROM {customer_t} c
+WHERE c.c_acctbal > (
+    SELECT CAST(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS STRING)
+      AS DOUBLE) / COUNT(*)
+    FROM {customer_t} c2 WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM {orders_t} o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_nationkey
+UNION ALL
+SELECT 'q21' AS part, s.s_name AS key,
+  COUNT(*) AS val_int, CAST(NULL AS DOUBLE) AS val_dbl
+FROM {supplier_t} s
+JOIN {lineitem_t} l1 ON l1.l_suppkey = s.s_suppkey
+JOIN {orders_t} o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM {lineitem_t} l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM {lineitem_t} l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+"""
+
+
+def correlated_subqueries(spark, sf_dir):
+    """Run the correlated shapes through ``spark.sql`` over temp views,
+    so the thing the driver row certifies is Catalyst's own subquery
+    DECORRELATION (scalar-agg -> aggregate+join, EXISTS/NOT EXISTS ->
+    semi/anti join) — not a hand-rewritten join. Views are prefixed
+    (``cs_``) so they never shadow another row's state."""
+    for t in ("part", "lineitem", "customer", "orders", "supplier"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"cs_{t}")
+    return spark.sql(_correlated_sql(
+        "cs_part", "cs_lineitem", "cs_customer", "cs_orders", "cs_supplier",
+    ))
+
+
+CORRELATED_SQL = _correlated_sql(
+    "part", "lineitem", "customer", "orders", "supplier",
+)
+_register_correlated()

@@ -442,3 +442,13 @@ def test_kmv_sketch_uses_take_ordered_not_global_sort(spark):
     plan = _plan(sketch.kmv_sketch(toks, "term", k=64))
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_correlated_subqueries_decorrelate_no_cartesian(spark):
+    # the scalar-agg subquery must decorrelate to aggregate+join and the
+    # EXISTS/NOT EXISTS to semi/anti joins — never a nested-loop cartesian
+    from sed_spark.suite.relational import correlated_subqueries
+
+    plan = _plan(correlated_subqueries(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
