@@ -28,6 +28,7 @@ __all__ = [
     "exact_cap_sample",
     "quantile_gates",
     "quantile_by",
+    "robust_stats_by",
     "decayed_stats_by",
     "gumbel_topk",
     "corpus_diff",
@@ -759,4 +760,69 @@ def decayed_stats_by(
             out = out.withColumn(
                 "decayed_sum", F.round("decayed_sum", round_decimals),
             )
+    return out
+
+
+def robust_stats_by(
+    df: DataFrame,
+    value_col: str,
+    by: str | Sequence[str],
+    k: float = 3.0,
+    exact: bool = False,
+    relative_error: float = 1e-4,
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Per-group ROBUST center/spread + outlier counts: ``(by...,
+    median, mad, n_rows, n_outliers)`` where ``mad`` is the median
+    absolute deviation and a row is an outlier when ``|x - median| >
+    k·mad`` — the monitoring gate that mean/stddev can't be (one
+    corrupt shard's garbage lengths drag a mean-based z-score's OWN
+    threshold; the median/MAD pair doesn't move until half the group is
+    bad).
+
+    Three hash aggregates on the group key, each with map-side
+    partials, joined back — never a window over the rows: (1) the
+    median, (2) the MAD over the deviation projection, (3) the
+    count of deviations past ``k`` MADs (threshold from the UNROUNDED
+    mad). ``exact=True`` is the linear-interpolated audit/oracle mode
+    (DuckDB ``quantile_cont`` parity); the default approx sketch is
+    the bounded-memory at-scale path. A constant group has ``mad = 0``
+    and every differing row counts as an outlier — the strict ``>``
+    keeps the all-equal group clean.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+
+    def med_of(col):
+        if exact:
+            return F.percentile(col, F.lit(0.5))
+        return F.percentile_approx(col, 0.5, max(1, int(1.0 / relative_error)))
+
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(*keys).agg(med_of(v).alias("__med"))
+    dev = df.join(med, keys).select(
+        *keys, F.abs(v - F.col("__med")).alias("__adev"), "__med",
+    )
+    mad = dev.groupBy(*keys).agg(
+        F.first("__med").alias("__med"),
+        med_of(F.col("__adev")).alias("__mad"),
+    )
+    out = (
+        dev.drop("__med")
+        .join(mad, keys)
+        .groupBy(*keys)
+        .agg(
+            F.first("__med").alias("median"),
+            F.first("__mad").alias("mad"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.col("__adev") > F.lit(float(k)) * F.col("__mad"))
+                .cast("long"),
+            ).alias("n_outliers"),
+        )
+    )
+    if round_decimals is not None:
+        out = out.withColumn("median", F.round("median", round_decimals))
+        out = out.withColumn("mad", F.round("mad", round_decimals))
     return out

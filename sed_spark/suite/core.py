@@ -1391,14 +1391,38 @@ def run_stats(spark, sf_dir):
         df, "user_id", "ts_us", "value",
         half_life=3.6e9, quantize_decimals=9,
     ).select("user_id", "decayed_n", "decayed_sum")
-    return base.join(wide, "user_id").join(dec, "user_id")
+    # robust branch (round 7): per-user median/MAD + |x-med| > 3*MAD
+    # outlier counts (corpus.robust_stats_by, exact audit mode) — the
+    # corrupt-shard gate; the oracle recomputes the same three
+    # quantile_cont/count passes arithmetically
+    from sed_spark.ext.corpus import robust_stats_by
+
+    rob = robust_stats_by(df, "value", "user_id", k=3.0, exact=True).select(
+        "user_id",
+        F.col("mad").alias("v_mad"),
+        F.col("n_outliers").alias("v_n_out"),
+    )
+    return (
+        base.join(wide, "user_id").join(dec, "user_id").join(rob, "user_id")
+    )
 
 
 sql("run_stats",
-    "WITH tmax AS (SELECT CAST(max(epoch_us(ts)) AS DOUBLE) AS T FROM events) "
+    "WITH tmax AS (SELECT CAST(max(epoch_us(ts)) AS DOUBLE) AS T FROM events), "
+    "med AS (SELECT user_id, quantile_cont(value, 0.5) AS med "
+    "FROM events GROUP BY user_id), "
+    "madt AS (SELECT e.user_id, "
+    "quantile_cont(abs(e.value - m.med), 0.5) AS mad "
+    "FROM events e JOIN med m USING (user_id) GROUP BY e.user_id), "
+    "rob AS (SELECT e.user_id, round(t.mad, 6) AS v_mad, "
+    "CAST(SUM(CASE WHEN abs(e.value - m.med) > 3.0 * t.mad "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS v_n_out "
+    "FROM events e JOIN med m USING (user_id) JOIN madt t USING (user_id) "
+    "GROUP BY e.user_id, t.mad) "
     "SELECT user_id, elapsed_us, n_events, "
     "CAST(n_events AS DOUBLE) / (CAST(elapsed_us AS DOUBLE) / "
-    f"{fl(1e6)}) AS rate_hz, v_p50, v_p90, decayed_n, decayed_sum "
+    f"{fl(1e6)}) AS rate_hz, v_p50, v_p90, decayed_n, decayed_sum, "
+    "v_mad, v_n_out "
     "FROM (SELECT user_id, CAST(max(epoch_us(ts)) - "
     "min(epoch_us(ts)) AS BIGINT) AS elapsed_us, COUNT(*) AS n_events, "
     "round(quantile_cont(value, 0.5), 6) AS v_p50, "
@@ -1410,7 +1434,7 @@ sql("run_stats",
     "CAST(epoch_us(ts) AS DOUBLE)) / 3600000000.0) "
     "* value, 9) AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE), 6) "
     "AS decayed_sum "
-    "FROM events, tmax GROUP BY user_id)")
+    "FROM events, tmax GROUP BY user_id) JOIN rob USING (user_id)")
 
 
 #: z-order fold parameters (round 6): 8 bits per dim over the two value

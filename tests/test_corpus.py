@@ -685,3 +685,40 @@ def test_corpus_diff_null_content_is_not_unchanged(spark):
         for r in corpus_diff(old, new, content_cols=("a", "b")).collect()
     }
     assert rows == {1: "changed", 2: "unchanged", 3: "changed"}
+
+
+def test_robust_stats_by_matches_numpy(spark):
+    import numpy as np
+    import pytest as pt
+
+    from sed_spark.ext.corpus import robust_stats_by
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for g in range(4):
+        vals = list(np.round(rng.uniform(0, 100, 60), 3))
+        vals += [1e6] * g  # g planted outliers
+        rows += [(g, float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "g int, v double")
+    got = {
+        r["g"]: r
+        for r in robust_stats_by(df, "v", "g", k=3.0, exact=True).collect()
+    }
+    for g in range(4):
+        vals = np.array([v for gg, v in rows if gg == g])
+        med = np.median(vals)
+        mad = np.median(np.abs(vals - med))
+        n_out = int((np.abs(vals - med) > 3.0 * mad).sum())
+        assert got[g]["median"] == pt.approx(med, abs=1e-6)
+        assert got[g]["mad"] == pt.approx(mad, abs=1e-6)
+        assert got[g]["n_rows"] == len(vals)
+        assert got[g]["n_outliers"] == n_out
+        assert got[g]["n_outliers"] >= g  # the planted spikes are caught
+
+    # constant group: mad = 0, strict > keeps it outlier-free
+    const = spark.createDataFrame([(0, 5.0)] * 10, "g int, v double")
+    r = robust_stats_by(const, "v", "g", exact=True).collect()[0]
+    assert r["median"] == 5.0 and r["mad"] == 0.0 and r["n_outliers"] == 0
+
+    with pt.raises(ValueError, match="k must be"):
+        robust_stats_by(const, "v", "g", k=-1)

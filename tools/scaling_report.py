@@ -542,6 +542,19 @@ def main() -> None:
         thunk.cleanup = lambda: shutil.rmtree(tmp, ignore_errors=True)
         return thunk
 
+    def _robust(n):
+        # 100 groups: median + MAD + outlier count, approx sketch mode
+        par = spark.sparkContext.defaultParallelism * 4
+        d = pin(
+            spark.range(0, n, 1, par).select(
+                (F.col("id") % 100).alias("g"),
+                (F.rand(13) * 1000).alias("value"),
+            ),
+        )
+        return lambda: run_noop(
+            corpus.robust_stats_by(d, "value", "g", k=3.0),
+        )
+
     def _lpa(n):
         # 3 synchronous rounds over the same deg~20 graph as triangles
         par = spark.sparkContext.defaultParallelism * 4
@@ -687,6 +700,7 @@ def main() -> None:
         ("streaming_enrich (10k-dim replay)", [10**5, 10**6, 10**7], _stream_enrich),
         ("kmv_sketch (k=256 bottom-k)", [10**6, 10**7, 10**8], _kmv),
         ("label_propagation (3 rounds, deg~20)", [10**5, 10**6, 10**7], _lpa),
+        ("robust_stats_by (100 grp med/MAD)", [10**6, 10**7, 10**8], _robust),
     ]
 
     # optional substring filters: `scaling_report.py bm25 pagerank` times
