@@ -26,6 +26,7 @@ __all__ = [
     "mixture_rates",
     "temperature_rates",
     "exact_cap_sample",
+    "weighted_cap_sample",
     "quantile_gates",
     "quantile_by",
     "robust_stats_by",
@@ -826,3 +827,58 @@ def robust_stats_by(
         out = out.withColumn("median", F.round("median", round_decimals))
         out = out.withColumn("mad", F.round("mad", round_decimals))
     return out
+
+
+def weighted_cap_sample(
+    df: DataFrame,
+    cap: int,
+    weight_col: str,
+    key_col: str = "domain",
+    id_col: str = "doc_id",
+    salt: str = "",
+    method: str = "md5",
+    keep_col: str | None = None,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """EXACT per-group cap where survival odds are PROPORTIONAL TO
+    ``weight_col``: keep each group's ``cap`` rows with the largest
+    A-ES key ``ln(u) / w`` (Efraimidis & Spirakis 2006 in log form —
+    the weighted lottery :func:`exact_cap_sample`'s uniform rank can't
+    express: cap a domain at N docs but let quality scores pick the
+    survivors probabilistically rather than keeping only the top-N
+    scores, which would bias every surviving domain toward one register)
+    — deterministic: ``u`` hashes (id, salt), so the draw is stable
+    across runs, repartitions, and engines, and a new document only
+    ever displaces the current worst key.
+
+    Rows with NULL or non-positive weight get a NULL key and never
+    survive (weights are odds; zero odds = never drawn). Same skew
+    contract as :func:`exact_cap_sample` (per-group window rank — use
+    rate-based sampling for heavy-tailed groups); keys are rounded to
+    ``round_decimals`` with the id as tie-break, the same quantized
+    cross-engine convention as :func:`gumbel_topk`.
+    ``keep_col=None`` filters; a column name adds an int 0/1 flag.
+    """
+    from pyspark.sql.window import Window
+
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    u = uniform_hash_expr(id_col, salt, method)
+    # same strictly-inside-(0,1) clamp as gumbel_topk so ln never hits 0
+    half = 0.5 / (2.0 ** (32 if method == "md5" else 64))
+    clamped = F.least(u + F.lit(half), F.lit(1.0 - 2.0 ** -53))
+    w_val = F.col(weight_col).cast("double")
+    es_key = F.when(
+        w_val > 0,
+        F.round(F.log(F.when(u.isNotNull(), clamped)) / w_val, round_decimals),
+    )
+    win = Window.partitionBy(key_col).orderBy(
+        es_key.desc_nulls_last(), F.col(id_col).asc(),
+    )
+    ranked = df.withColumn("__wkey", es_key).withColumn(
+        "__rn", F.row_number().over(win),
+    )
+    keep = (F.col("__rn") <= cap) & F.col("__wkey").isNotNull()
+    if keep_col is None:
+        return ranked.filter(keep).drop("__rn", "__wkey")
+    return ranked.withColumn(keep_col, keep.cast("int")).drop("__rn", "__wkey")

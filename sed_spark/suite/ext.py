@@ -2569,10 +2569,21 @@ def pii_redact_q(spark, sf_dir):
     capped = corpus.exact_cap_sample(
         sampled, cap=_CAP, salt="cap", method="md5", keep_col="kept_exact",
     )
+    # weighted exact cap (round 7): same per-domain cap, survival odds
+    # proportional to a synthetic quality weight 1 + doc_id % 5
+    # (corpus.weighted_cap_sample — the A-ES lottery next to the
+    # uniform rank; every keep decision hashed by the oracle)
+    weighted = corpus.weighted_cap_sample(
+        capped.withColumn(
+            "__qw", (F.lit(1) + F.col("doc_id") % 5).cast("double"),
+        ),
+        cap=_CAP, weight_col="__qw", salt="wcap", method="md5",
+        keep_col="kept_weighted",
+    ).drop("__qw")
     # data-mixture resampling toward the _MIX_FRACS target proportions
     mrates = corpus.mixture_rates(corpus.domain_stats(synth), _MIX_FRACS)
     mixed = corpus.rate_sample(
-        capped, mrates, salt="mix", method="md5", keep_col="kept_mix",
+        weighted, mrates, salt="mix", method="md5", keep_col="kept_mix",
     )
     # temperature smoothing (round 5): alpha=0.5 keep rates flatten the
     # domain distribution toward uniform; sqrt is IEEE-correctly-rounded
@@ -2705,6 +2716,15 @@ tsh AS (
   FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'ord') AS h4
         FROM documents)
 ),
+wcapu AS (
+  -- A-ES key ln(u)/w, u = (hex8 + 0.5)/2^32 (the gumbel convention;
+  -- the (1 - 2^-53) clamp never binds on the md5 path), w = 1 + id%5
+  SELECT doc_id,
+    round(ln(((__HEX8U__) + 0.5) / 4294967296.0)
+      / (1.0 + CAST(doc_id % 5 AS DOUBLE)), 6) AS wkey
+  FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'wcap') AS h7
+        FROM documents)
+),
 tord AS (
   SELECT t.doc_id, t.shard,
     CAST(row_number() OVER (
@@ -2731,6 +2751,10 @@ SELECT s.doc_id,
   CAST(CASE WHEN row_number() OVER (
       PARTITION BY dom.domain ORDER BY capu.ucap, s.doc_id) <= __CAPN__
     THEN 1 ELSE 0 END AS INTEGER) AS kept_exact,
+  CAST(CASE WHEN row_number() OVER (
+      PARTITION BY dom.domain ORDER BY wcapu.wkey DESC, s.doc_id)
+      <= __CAPN__
+    THEN 1 ELSE 0 END AS INTEGER) AS kept_weighted,
   CAST(mixu.umix < mrate.mrate AS INTEGER) AS kept_mix,
   CAST(tempu.utemp < trate.trate AS INTEGER) AS kept_temp,
   CAST(CASE WHEN dom.domain = '__BLOCKED__' THEN 0 ELSE 1 END
@@ -2741,6 +2765,7 @@ FROM staged2 s
 JOIN dom ON dom.doc_id = s.doc_id
 JOIN sp ON sp.doc_id = s.doc_id
 JOIN capu ON capu.doc_id = s.doc_id
+JOIN wcapu ON wcapu.doc_id = s.doc_id
 JOIN mixu ON mixu.doc_id = s.doc_id
 JOIN mrate ON mrate.k = s.doc_id % 7
 JOIN tempu ON tempu.doc_id = s.doc_id
@@ -2750,6 +2775,8 @@ JOIN tord ON tord.doc_id = s.doc_id
         "__HEX8C__", _hex8("h2"),
     ).replace("__HEX8M__", _hex8("h3")).replace(
         "__HEX8T__", _hex8("h6"),
+    ).replace(
+        "__HEX8U__", _hex8("h7"),
     ).replace(
         "__HEX8S__", _hex8("h4"),
     ).replace("__HEX8O__", _hex8("h5")).replace(

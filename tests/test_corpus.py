@@ -722,3 +722,56 @@ def test_robust_stats_by_matches_numpy(spark):
 
     with pt.raises(ValueError, match="k must be"):
         robust_stats_by(const, "v", "g", k=-1)
+
+
+def test_weighted_cap_sample_matches_reference_and_is_proportional(spark):
+    import hashlib
+    import math
+
+    from sed_spark.ext.corpus import weighted_cap_sample
+
+    # 2 domains x 60 docs, weights 1..5 by doc_id
+    rows = [(i, f"d{i % 2}", float(1 + i % 5)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, w double")
+    got = {
+        r["doc_id"]: r["kept_w"]
+        for r in weighted_cap_sample(
+            df, cap=10, weight_col="w", salt="t", keep_col="kept_w",
+        ).collect()
+    }
+
+    def u_of(i):
+        h = int(hashlib.md5(f"{i}t".encode()).hexdigest()[:8], 16)
+        return h / 2 ** 32 + 0.5 / 2 ** 32
+
+    keys: dict = {}
+    for i, dom, w in rows:
+        keys.setdefault(dom, []).append((round(math.log(u_of(i)) / w, 6), -i))
+    want_kept = set()
+    for dom, ks in keys.items():
+        for key, neg_i in sorted(ks, reverse=True)[:10]:
+            want_kept.add(-neg_i)
+    assert {i for i, kept in got.items() if kept} == want_kept
+    assert sum(got.values()) == 20  # exactly cap per domain
+
+    # zero/NULL weights never survive
+    z = spark.createDataFrame(
+        [(1, "d", 0.0), (2, "d", None), (3, "d", 2.0)],
+        "doc_id long, domain string, w double",
+    )
+    kept = weighted_cap_sample(z, cap=3, weight_col="w").collect()
+    assert [r["doc_id"] for r in kept] == [3]
+
+    # proportionality: weight-5 docs survive far more often than weight-1
+    big = spark.createDataFrame(
+        [(i, "d", 5.0 if i % 2 == 0 else 1.0) for i in range(2000)],
+        "doc_id long, domain string, w double",
+    )
+    surv = weighted_cap_sample(big, cap=300, weight_col="w", salt="p")
+    n_heavy = surv.filter("w = 5.0").count()
+    assert n_heavy > 200  # expected ~250 of 300 under w=5:1 odds
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="cap"):
+        weighted_cap_sample(big, cap=0, weight_col="w")
