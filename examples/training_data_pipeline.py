@@ -253,6 +253,39 @@ def main() -> None:
     tri = graph.triangle_count(pairs, "a_id", "b_id")
     n_cliquey = tri.filter(F.col("n_triangles") > 0).count()
 
+    # round-7 wave 2: LPA communities over the same pair graph (the
+    # density-aware signal next to CC — a stray LSH bridge edge fuses
+    # components but not communities); KMV set algebra between the two
+    # halves' vocabularies (the intersection HLL can't estimate);
+    # median/MAD outlier gate on doc lengths; per-domain WEIGHTED cap
+    # (survival odds ∝ a quality weight); and a JL 64->16 projection
+    # shortlist reranked exact
+    lpa = graph.label_propagation(pairs, n_iter=3, nodes=docs.select("doc_id"))
+    n_communities = lpa.select("community").distinct().count()
+    toks_d = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term"),
+    )
+    kmv_a = sketch.kmv_sketch(toks_d.filter("doc_id % 2 = 0"), "term", k=64)
+    kmv_b = sketch.kmv_sketch(toks_d.filter("doc_id % 2 = 1"), "term", k=64)
+    overlap = sketch.kmv_set_estimates(kmv_a, kmv_b, k=64).collect()[0]
+    rob = corpus.robust_stats_by(
+        text.metrics(docs), "n_chars", "pred_lang", k=3.0,
+    )
+    n_len_outliers = int(
+        rob.agg(F.sum("n_outliers")).collect()[0][0] or 0,
+    )
+    wcap = corpus.weighted_cap_sample(
+        dlen.withColumn("qw", (F.col("n_chars") + 1).cast("double")),
+        cap=15, weight_col="qw", salt="ex",
+    )
+    n_wcap = wcap.count()
+    rp = similarity.random_project(emb, 64, 16)
+    q_rp = similarity.project_vector(q0, 64, 16)
+    shortlist = similarity.cosine_topk(rp, q_rp, k=20, vec_col="rp")
+    rp_top = similarity.exact_rerank(
+        emb, shortlist.select("vec_id"), q0, k=5,
+    ).count()
+
     # 10. materialize the training order: a deterministic epoch shuffle
     # written as one ordered file per shard (a trainer reading shards in
     # index order replays the same global permutation on any machine)
@@ -287,6 +320,11 @@ def main() -> None:
           f"freshest domain {top_fresh['domain']} "
           f"(decayed_n={top_fresh['decayed_n']}); "
           f"{n_cliquey} pair-graph nodes sit in a triangle")
+    print(f"lpa communities: {n_communities}; vocab overlap "
+          f"jaccard~{overlap['jaccard_est']:.3f} "
+          f"intersect~{overlap['intersect_est']:.0f}; "
+          f"{n_len_outliers} length outliers past 3 MADs; "
+          f"weighted cap kept {n_wcap}; rp16 rerank top-5 rows={rp_top}")
     print(f"pq: {pq_codes.count()} vectors -> 4-byte codes; "
           f"adc top-5 returned {pq_top}")
     for r in per_split_domain:

@@ -41,6 +41,10 @@ __all__ = [
     "sq8_fit",
     "sq8_encode",
     "sq8_topk",
+    "rp_sign_matrix",
+    "rp_component_sql",
+    "random_project",
+    "project_vector",
 ]
 
 
@@ -1469,3 +1473,110 @@ def pq_topk_rerank(
         df, shortlist, query_vec, k=k,
         id_col=id_col, vec_col=vec_col, round_decimals=round_decimals,
     )
+
+
+def rp_sign_matrix(
+    in_dim: int, out_dim: int, salt: str = "rp",
+) -> list[list[int]]:
+    """Deterministic ±1 sign matrix for :func:`random_project`: sign of
+    component (i, j) is the low bit of ``md5(f"{i}:{j}:{salt}")`` —
+    reproducible on any machine/engine with no RNG state to ship."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{i}:{j}:{salt}".encode()).hexdigest()[:8], 16,
+            ) & 1
+            else -1
+            for j in range(in_dim)
+        ]
+        for i in range(out_dim)
+    ]
+
+
+def rp_component_sql(
+    vec_col: str,
+    signs_row: Sequence[int],
+    scale: float,
+    one_based: bool = False,
+    round_decimals: int | None = 6,
+) -> str:
+    """SQL for ONE projected component: the left-associated signed sum
+    of the vector's entries times ``scale`` — shared verbatim between
+    the Spark expression (0-based ``[j]``) and the DuckDB oracle
+    (``one_based=True``), so both engines accumulate in the identical
+    IEEE order."""
+    base = 1 if one_based else 0
+    expr = "0.0"
+    for j, s in enumerate(signs_row):
+        op = "+" if s > 0 else "-"
+        expr += f" {op} CAST({vec_col}[{j + base}] AS DOUBLE)"
+    out = f"(({expr}) * CAST('{float(scale)!r}' AS DOUBLE))"
+    if round_decimals is not None:
+        out = f"round({out}, {int(round_decimals)})"
+    return out
+
+
+def random_project(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "rp",
+    salt: str = "rp",
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction as a PURE
+    PROJECTION: ``out_col`` = ``signs @ vec / sqrt(out_dim)`` with the
+    ±1 sign matrix of :func:`rp_sign_matrix` (Achlioptas 2003 — the
+    database-friendly JL transform: signs only, no gaussians).
+
+    The at-scale lever for every embedding operator downstream: a
+    64→16 projection cuts ANN scan and near-dup pre-filter arithmetic
+    4× while approximately preserving pairwise angles (distortion
+    ~1/sqrt(out_dim)); rank in projected space, then rerank survivors
+    with full vectors (:func:`exact_rerank`) — the same
+    shortlist→refine recipe as PQ, but with a transform cheap enough
+    to inline in the scan. Expression-only (expanded signed sums,
+    whole-stage codegen; no UDF, no matrix broadcast) and
+    deterministic: the hash-derived signs and left-associated sums make
+    every projected value bit-reproducible cross-engine.
+    """
+    import math
+
+    if out_dim < 1 or in_dim < 1:
+        raise ValueError(f"dims must be positive, got {in_dim}->{out_dim}")
+    signs = rp_sign_matrix(in_dim, out_dim, salt)
+    scale = 1.0 / math.sqrt(float(out_dim))
+    comps = [
+        F.expr(rp_component_sql(vec_col, row, scale,
+                                round_decimals=round_decimals))
+        for row in signs
+    ]
+    return df.withColumn(out_col, F.array(*comps))
+
+
+def project_vector(
+    vec: Sequence[float],
+    in_dim: int,
+    out_dim: int,
+    salt: str = "rp",
+) -> list[float]:
+    """Driver-side mirror of :func:`random_project` for query vectors —
+    the same sign matrix and the same left-associated accumulation
+    order, so the Python floats equal the engine's UNROUNDED column
+    values bit-for-bit (embed them as literals in a scoring
+    expression)."""
+    import math
+
+    signs = rp_sign_matrix(in_dim, out_dim, salt)
+    scale = 1.0 / math.sqrt(float(out_dim))
+    out = []
+    for row in signs:
+        acc = 0.0
+        for j, s in enumerate(row):
+            acc = acc + float(vec[j]) if s > 0 else acc - float(vec[j])
+        out.append(acc * scale)
+    return out

@@ -1085,6 +1085,16 @@ def ann_topk(spark, sf_dir):
     branches.append(
         ("sq8", similarity.sq8_topk(df, los, his, qvec, k=10)),
     )
+    # random projection (round 7): JL 64->16 sign projection, then the
+    # brute cosine top-k in the PROJECTED space — the transform-cheap
+    # shortlist rung (corpus components rounded at 6; the query rides
+    # unrounded via the bit-exact driver mirror, same floats the oracle
+    # computes in SQL)
+    proj = similarity.random_project(df, in_dim=64, out_dim=_RP_DIM)
+    q_rp = similarity.project_vector(qvec, 64, _RP_DIM)
+    branches.append(
+        ("rp16", similarity.cosine_topk(proj, q_rp, k=10, vec_col="rp")),
+    )
     if IVFPQ_CODEBOOKS_SF0_01 is not None:
         # the full IVF-PQ architecture: coarse probe pruning + RESIDUAL
         # codebooks (x ~ c_bucket + r-hat) with reconstruction scoring
@@ -1105,6 +1115,41 @@ def ann_topk(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+_RP_DIM = 16
+
+
+def _rp_sql(out_dim: int = _RP_DIM, in_dim: int = 64) -> str:
+    """Oracle mirror of the rp16 branch: the SAME rp_component_sql text
+    (1-based indexing) computes the rounded corpus components and the
+    unrounded query projection, then the expanded cosine — identical
+    IEEE accumulation order to the Spark fold."""
+    import math
+
+    from sed_spark.ext.similarity import rp_component_sql, rp_sign_matrix
+
+    signs = rp_sign_matrix(in_dim, out_dim)
+    scale = 1.0 / math.sqrt(float(out_dim))
+    rcols = ", ".join(
+        f"{rp_component_sql('embedding', signs[i], scale, one_based=True)}"
+        f" AS r{i}"
+        for i in range(out_dim)
+    )
+    qcols = ", ".join(
+        f"{rp_component_sql('qe', signs[i], scale, one_based=True, round_decimals=None)}"
+        f" AS q{i}"
+        for i in range(out_dim)
+    )
+    dot = " + ".join(f"(p.r{i} * q.q{i})" for i in range(out_dim))
+    na = " + ".join(f"(p.r{i} * p.r{i})" for i in range(out_dim))
+    nq = " + ".join(f"(q.q{i} * q.q{i})" for i in range(out_dim))
+    return f"""
+WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+q AS (SELECT {qcols} FROM qv),
+p AS (SELECT vec_id, {rcols} FROM embeddings)
+SELECT vec_id, round(({dot}) / (sqrt({na}) * sqrt({nq})), 6) AS cos_sim
+FROM p, q ORDER BY cos_sim DESC, vec_id LIMIT 10"""
 
 
 ANN_SQL = """
@@ -3480,6 +3525,8 @@ QUERIES.update(
                 + (
                     " UNION ALL SELECT 'sq8' AS method, * FROM "
                     f"({_sq8_sql()})"
+                    " UNION ALL SELECT 'rp16' AS method, * FROM "
+                    f"({_rp_sql()})"
                 )
             ),
         },

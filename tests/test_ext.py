@@ -1807,3 +1807,53 @@ def test_exact_rerank_candidates_broadcast_plan(spark):
     )
     # candidate ids broadcast into a semi join — no corpus shuffle
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_random_project_matches_driver_mirror_and_preserves_angles(spark):
+    import numpy as np
+
+    from sed_spark.ext.similarity import (
+        project_vector,
+        random_project,
+        rp_sign_matrix,
+    )
+
+    rng = np.random.RandomState(5)
+    # clustered vectors: pairwise cosines span [~0, ~1], so the JL check
+    # below measures real structure (i.i.d. uniform vectors are all
+    # near-orthogonal and a 16-dim projection's noise would swamp the
+    # ~0-centered cosine spread)
+    centers = rng.uniform(-1, 1, (6, 64))
+    vecs = np.array(
+        [centers[i % 6] + 0.15 * rng.uniform(-1, 1, 64) for i in range(60)],
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    # unrounded projection equals the Python mirror bit-for-bit
+    got = {
+        r["vec_id"]: r["rp"]
+        for r in random_project(
+            df, 64, 16, round_decimals=None,
+        ).select("vec_id", "rp").collect()
+    }
+    for i in range(60):
+        assert got[i] == project_vector(list(vecs[i]), 64, 16)
+
+    # JL: pairwise cosines in 16-dim track the 64-dim cosines
+    signs = np.array(rp_sign_matrix(64, 16), dtype=float)
+    proj = vecs @ signs.T / np.sqrt(16.0)
+
+    def cosines(m):
+        n = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return (n @ n.T)[np.triu_indices(60, 1)]
+
+    full, low = cosines(vecs), cosines(proj)
+    assert np.corrcoef(full, low)[0, 1] > 0.7
+    assert np.abs(full - low).max() < 0.6
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="dims"):
+        random_project(df, 64, 0)

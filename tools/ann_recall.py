@@ -68,6 +68,9 @@ def main() -> None:
     def ids(df) -> set:
         return {r["vec_id"] for r in df.collect()}
 
+    rp16 = similarity.random_project(emb, 64, 16).persist()
+    rp32 = similarity.random_project(emb, 64, 32, salt="rp32").persist()
+
     branches = {
         "ivf nprobe=1": lambda q: similarity.ivf_topk(
             emb, centroids, q, k=k, nprobe=1,
@@ -127,6 +130,23 @@ def main() -> None:
         ),
         "pq m=16 k=32 + rerank r=20": lambda q: similarity.pq_topk_rerank(
             emb, books_m16k32, q, k=k, refine=20,
+        ),
+        # round 7: JL sign projection — shortlist in 16/32-dim space,
+        # optional exact rerank of the shortlist with full vectors
+        "rp 64->16": lambda q: similarity.cosine_topk(
+            rp16, similarity.project_vector(q, 64, 16), k=k, vec_col="rp",
+        ),
+        "rp 64->32": lambda q: similarity.cosine_topk(
+            rp32, similarity.project_vector(q, 64, 32, salt="rp32"),
+            k=k, vec_col="rp",
+        ),
+        "rp 64->16 + rerank shortlist=30": lambda q: similarity.exact_rerank(
+            emb,
+            similarity.cosine_topk(
+                rp16, similarity.project_vector(q, 64, 16),
+                k=30, vec_col="rp",
+            ).select("vec_id"),
+            q, k=k,
         ),
     }
 

@@ -542,6 +542,17 @@ def main() -> None:
         thunk.cleanup = lambda: shutil.rmtree(tmp, ignore_errors=True)
         return thunk
 
+    def _rp(n):
+        # JL 64->16 sign projection + cosine top-10 in projected space
+        d = pin(synth_embeddings(spark, n))
+        q_rp = similarity.project_vector([0.1] * 64, 64, 16)
+        return lambda: run_noop(
+            similarity.cosine_topk(
+                similarity.random_project(d, 64, 16), q_rp, k=10,
+                vec_col="rp",
+            ),
+        )
+
     def _robust(n):
         # 100 groups: median + MAD + outlier count, approx sketch mode
         par = spark.sparkContext.defaultParallelism * 4
@@ -701,6 +712,7 @@ def main() -> None:
         ("kmv_sketch (k=256 bottom-k)", [10**6, 10**7, 10**8], _kmv),
         ("label_propagation (3 rounds, deg~20)", [10**5, 10**6, 10**7], _lpa),
         ("robust_stats_by (100 grp med/MAD)", [10**6, 10**7, 10**8], _robust),
+        ("random_project 64->16 + topk", [10**5, 10**6, 10**7], _rp),
     ]
 
     # optional substring filters: `scaling_report.py bm25 pagerank` times
