@@ -34,6 +34,7 @@ __all__ = [
     "bloom_file_index",
     "bloom_candidate_files",
     "read_with_bloom_prune",
+    "compaction_plan",
 ]
 
 
@@ -309,3 +310,43 @@ def read_with_bloom_prune(
             spark.read.parquet(path).filter(F.lit(False))
         )
     return spark.read.parquet(*files).filter(F.col(key_col) == F.lit(key))
+
+
+def compaction_plan(
+    files: DataFrame,
+    size_col: str = "size_bytes",
+    file_col: str = "path",
+    target: int = 128 * 1024 * 1024,
+    group_col: str = "compaction_group",
+) -> DataFrame:
+    """Assign small files to rewrite groups of ~``target`` combined size
+    — the OPTIMIZE/compaction planner for the small-file problem every
+    long-lived ingestion layout develops (a 100 TB table written by
+    streaming micro-batches ends up with millions of KB-scale files;
+    scans then pay one open + footer read per file).
+
+    Deterministic contiguous bin packing: files ordered (size DESC,
+    name) get a running total, and ``group = floor((cumsum - size) /
+    target)`` — every file lands wholly in one group, group totals
+    average ``target`` and never exceed ``target`` plus the group's
+    largest member. A file that overshoots a boundary shortens (or
+    skips) the following group — the price of expressing the plan as
+    one window cumsum instead of a sequential greedy accumulator; for
+    compaction, "~target-sized rewrites" is the actual requirement. A
+    single over-``target`` file monopolizes its group, and big-first
+    ordering keeps giant files from padding many groups. The window is
+    GLOBAL by design: the input is a file-METADATA table (one row per
+    file — millions of rows at the extreme, never data-sized), so one
+    task ranks it; the rewrite itself (read group, write one file) is
+    the distributed part and is per-group parallel.
+    """
+    from pyspark.sql.window import Window
+
+    if target <= 0:
+        raise ValueError(f"target must be positive, got {target}")
+    w = Window.orderBy(F.col(size_col).desc(), F.col(file_col).asc())
+    cum = F.sum(size_col).over(w)
+    return files.withColumn(
+        group_col,
+        F.floor((cum - F.col(size_col)) / F.lit(float(target))).cast("long"),
+    )

@@ -1442,6 +1442,8 @@ sql("run_stats",
 _Z_RANGES = [("l_quantity", 0.0, 51.0), ("l_extendedprice", 900.0, 105000.0)]
 _Z_BITS = 8
 _Z_SHIFT = 10
+#: compaction branch: target rows per rewrite group over the z buckets
+_COMPACT_TARGET = 5000
 
 
 @q("file_stats")
@@ -1498,7 +1500,37 @@ def file_stats(spark, sf_dir):
         ),
         cols,
     )
-    return plain.unionByName(zstats).unionByName(bstats)
+    # compaction-planner branch (round 7): the z-bucket stats table
+    # plays the file-metadata table; layout.compaction_plan assigns
+    # ~_COMPACT_TARGET-row rewrite groups (cumsum-interval packing, the
+    # OPTIMIZE planner), and the branch emits per-GROUP stats (file_id
+    # 300000 + group) — the oracle replays the same window cumsum
+    plan = layout.compaction_plan(
+        zstats, size_col="num_rows", file_col="file_id",
+        target=_COMPACT_TARGET, group_col="__grp",
+    )
+    mm = [
+        F.min("l_quantity_min").alias("l_quantity_min"),
+        F.max("l_quantity_max").alias("l_quantity_max"),
+        F.min("l_extendedprice_min").alias("l_extendedprice_min"),
+        F.max("l_extendedprice_max").alias("l_extendedprice_max"),
+        F.min("l_shipdate_min").alias("l_shipdate_min"),
+        F.max("l_shipdate_max").alias("l_shipdate_max"),
+    ]
+    cstats = (
+        plan.groupBy("__grp")
+        .agg(F.sum("num_rows").alias("num_rows"), *mm)
+        .select(
+            (F.col("__grp") + 300000)
+            .cast(plain.schema["file_id"].dataType)
+            .alias("file_id"),
+            "num_rows",
+            *[c for c in plain.columns if c not in ("file_id", "num_rows")],
+        )
+    )
+    return (
+        plain.unionByName(zstats).unionByName(bstats).unionByName(cstats)
+    )
 
 
 #: per-process cache of the hash-partitioned lineitem staging the bloom
@@ -1565,4 +1597,26 @@ sql("file_stats",
     "min(l_extendedprice) AS l_extendedprice_min, "
     "max(l_extendedprice) AS l_extendedprice_max, "
     "min(l_shipdate) AS l_shipdate_min, max(l_shipdate) AS l_shipdate_max "
-    "FROM lineitem WHERE l_orderkey = 1")
+    "FROM lineitem WHERE l_orderkey = 1 "
+    "UNION ALL "
+    "SELECT CAST(300000 + grp AS INTEGER) AS file_id, "
+    "CAST(SUM(num_rows) AS BIGINT) AS num_rows, "
+    "min(qmin) AS l_quantity_min, max(qmax) AS l_quantity_max, "
+    "min(emin) AS l_extendedprice_min, max(emax) AS l_extendedprice_max, "
+    "min(smin) AS l_shipdate_min, max(smax) AS l_shipdate_max "
+    "FROM ("
+    "  SELECT *, CAST(floor(CAST(cum - num_rows AS DOUBLE) / "
+    + fl(float(_COMPACT_TARGET)) + ") AS BIGINT) AS grp FROM ("
+    "    SELECT file_id, num_rows, qmin, qmax, emin, emax, smin, smax, "
+    "      SUM(num_rows) OVER (ORDER BY num_rows DESC, file_id ASC) AS cum "
+    "    FROM ("
+    "      SELECT CAST((zval >> " + str(_Z_SHIFT) + ") + 100000 AS INTEGER)"
+    "        AS file_id, "
+    "      COUNT(*) AS num_rows, "
+    "      min(l_quantity) AS qmin, max(l_quantity) AS qmax, "
+    "      min(l_extendedprice) AS emin, max(l_extendedprice) AS emax, "
+    "      min(l_shipdate) AS smin, max(l_shipdate) AS smax "
+    "      FROM (" + _zval_sql() + ") GROUP BY 1"
+    "    )"
+    "  )"
+    ") GROUP BY grp")

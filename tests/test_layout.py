@@ -229,3 +229,46 @@ def test_bloom_file_index_rejects_unsafe_key_types(spark, tmp_path):
     ).write.mode("overwrite").parquet(path)
     with pytest.raises(ValueError, match="render identically"):
         layout.bloom_file_index(spark, path, "k")
+
+
+def test_compaction_plan_groups_reach_target(spark):
+    from sed_spark import layout
+
+    sizes = [500, 400, 300, 200, 120, 90, 60, 30, 10, 5]
+    files = spark.createDataFrame(
+        [(f"f{i:02d}", s) for i, s in enumerate(sizes)],
+        "path string, size_bytes long",
+    )
+    got = layout.compaction_plan(files, target=600).collect()
+    groups: dict = {}
+    for r in got:
+        groups.setdefault(r["compaction_group"], []).append(
+            (r["path"], r["size_bytes"]),
+        )
+    # python mirror: size desc, path asc; grp = floor((cum - s)/target)
+    order = sorted(((s, p) for p, s in [(f"f{i:02d}", s) for i, s in enumerate(sizes)]),
+                   key=lambda t: (-t[0], t[1]))
+    cum, want = 0, {}
+    for s, p in order:
+        cum += s
+        want.setdefault((cum - s) // 600, []).append((p, s))
+    assert {g: sorted(v) for g, v in groups.items()} == \
+        {g: sorted(v) for g, v in want.items()}
+    # contract: totals average ~target and never exceed target + the
+    # group's largest member (boundary-crossing files may shorten the
+    # NEXT group — documented cumsum-interval semantics)
+    totals = {g: sum(s for _, s in v) for g, v in groups.items()}
+    for g, t in totals.items():
+        assert t <= 600 + max(s for _, s in groups[g])
+    assert sum(totals.values()) == sum(sizes)
+    # an over-target file monopolizes its group
+    big = spark.createDataFrame(
+        [("huge", 10_000), ("a", 10), ("b", 10)],
+        "path string, size_bytes long",
+    )
+    bg = {r["path"]: r["compaction_group"]
+          for r in layout.compaction_plan(big, target=600).collect()}
+    assert bg["huge"] == 0 and bg["a"] == bg["b"] and bg["a"] > 0
+
+    with pytest.raises(ValueError, match="target"):
+        layout.compaction_plan(files, target=0)
