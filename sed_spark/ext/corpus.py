@@ -800,9 +800,23 @@ def robust_stats_by(
             return F.percentile(col, F.lit(0.5))
         return F.percentile_approx(col, 0.5, max(1, int(1.0 / relative_error)))
 
+    def ns_join(left, right):
+        # NULL-SAFE join-back: groupBy keeps a NULL-key group, but a
+        # plain equi-join would drop it — exactly the corrupt-shard
+        # group a monitoring gate most needs to see
+        ren = {kk: f"__rk_{i}" for i, kk in enumerate(keys)}
+        r = right
+        for kk, nk in ren.items():
+            r = r.withColumnRenamed(kk, nk)
+        cond = None
+        for kk, nk in ren.items():
+            c = F.col(kk).eqNullSafe(F.col(nk))
+            cond = c if cond is None else cond & c
+        return left.join(r, cond).drop(*ren.values())
+
     v = F.col(value_col).cast("double")
     med = df.groupBy(*keys).agg(med_of(v).alias("__med"))
-    dev = df.join(med, keys).select(
+    dev = ns_join(df, med).select(
         *keys, F.abs(v - F.col("__med")).alias("__adev"), "__med",
     )
     mad = dev.groupBy(*keys).agg(
@@ -810,8 +824,7 @@ def robust_stats_by(
         med_of(F.col("__adev")).alias("__mad"),
     )
     out = (
-        dev.drop("__med")
-        .join(mad, keys)
+        ns_join(dev.drop("__med"), mad)
         .groupBy(*keys)
         .agg(
             F.first("__med").alias("median"),
@@ -851,8 +864,9 @@ def weighted_cap_sample(
     across runs, repartitions, and engines, and a new document only
     ever displaces the current worst key.
 
-    Rows with NULL or non-positive weight get a NULL key and never
-    survive (weights are odds; zero odds = never drawn). Same skew
+    Rows with a NULL id, NULL weight, or non-positive weight get a NULL
+    key and never survive (weights are odds; zero odds = never drawn —
+    and a NULL id has no deterministic draw to rank by). Same skew
     contract as :func:`exact_cap_sample` (per-group window rank — use
     rate-based sampling for heavy-tailed groups); keys are rounded to
     ``round_decimals`` with the id as tie-break, the same quantized
@@ -868,8 +882,13 @@ def weighted_cap_sample(
     half = 0.5 / (2.0 ** (32 if method == "md5" else 64))
     clamped = F.least(u + F.lit(half), F.lit(1.0 - 2.0 ** -53))
     w_val = F.col(weight_col).cast("double")
+    # NULL ids never survive on EITHER hash path: md5(NULL||salt) is
+    # already NULL, but xxhash64 SKIPS null inputs and hashes just the
+    # salt — every NULL-id row would share one draw and tie
+    # unbreakably (NULL id tie-break), making the survivor set
+    # partition-dependent
     es_key = F.when(
-        w_val > 0,
+        (w_val > 0) & F.col(id_col).isNotNull(),
         F.round(F.log(F.when(u.isNotNull(), clamped)) / w_val, round_decimals),
     )
     win = Window.partitionBy(key_col).orderBy(

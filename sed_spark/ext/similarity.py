@@ -1555,7 +1555,22 @@ def random_project(
                                 round_decimals=round_decimals))
         for row in signs
     ]
-    return df.withColumn(out_col, F.array(*comps))
+    # fail LOUDLY on a dimension mismatch: out-of-range array indexing
+    # yields NULL and one NULL poisons every signed sum, so a short
+    # vector would otherwise project to an all-NULL row and silently
+    # vanish from every downstream shortlist (the driver mirror raises
+    # IndexError for the same input — keep the engine path as loud)
+    guarded = F.when(
+        F.size(F.col(vec_col)) == in_dim, F.array(*comps),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"random_project: expected {in_dim}-dim {vec_col}, got "),
+                F.size(F.col(vec_col)).cast("string"),
+            ),
+        ),
+    )
+    return df.withColumn(out_col, guarded)
 
 
 def project_vector(

@@ -546,14 +546,20 @@ def kmv_by(
     Distinct ``(group, hash)`` first (bounds the data to true distincts),
     then a rank window PARTITIONED BY the group — never a global sort;
     per-partition work is bounded by the group's distinct count, and the
-    uniform hash order makes the bottom-k scan cheap."""
+    uniform hash order makes the bottom-k scan cheap. NULL keys are
+    excluded like :func:`kmv_sketch`'s (a NULL hash would sort FIRST,
+    burn a rank slot, and silently shrink the sketch by one)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     from pyspark.sql.window import Window
 
     keys = [by] if isinstance(by, str) else list(by)
     h = _hash32(F.col(key_col).cast("string"), salt)
-    dist = df.select(*keys, h.alias("h")).distinct()
+    dist = (
+        df.select(*keys, h.alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
     w = Window.partitionBy(*keys).orderBy("h")
     return (
         dist.withColumn("__rn", F.row_number().over(w))

@@ -775,3 +775,30 @@ def test_weighted_cap_sample_matches_reference_and_is_proportional(spark):
 
     with pt.raises(ValueError, match="cap"):
         weighted_cap_sample(big, cap=0, weight_col="w")
+
+
+def test_robust_stats_by_keeps_null_key_group(spark):
+    from sed_spark.ext.corpus import robust_stats_by
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), (None, 3.0), ("a", 5.0), ("a", 7.0)],
+        "g string, v double",
+    )
+    got = {r["g"]: r for r in robust_stats_by(df, "v", "g", exact=True).collect()}
+    assert set(got) == {None, "a"}
+    assert got[None]["median"] == 2.0 and got[None]["mad"] == 1.0
+    assert got[None]["n_rows"] == 3
+    assert got["a"]["median"] == 6.0
+
+
+def test_weighted_cap_sample_null_ids_never_survive_xxhash(spark):
+    from sed_spark.ext.corpus import weighted_cap_sample
+
+    df = spark.createDataFrame(
+        [(None, "d", 5.0), (None, "d", 5.0), (1, "d", 1.0), (2, "d", 1.0)],
+        "doc_id long, domain string, w double",
+    )
+    kept = weighted_cap_sample(
+        df, cap=3, weight_col="w", method="xxhash64",
+    ).collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 2]

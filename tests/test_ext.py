@@ -1857,3 +1857,17 @@ def test_random_project_matches_driver_mirror_and_preserves_angles(spark):
 
     with pt.raises(ValueError, match="dims"):
         random_project(df, 64, 0)
+
+
+def test_random_project_raises_on_dimension_mismatch(spark):
+    import pytest as pt
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from sed_spark.ext.similarity import random_project
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, [1.0] * 32)],
+        "vec_id long, embedding array<double>",
+    )
+    with pt.raises(SparkRuntimeException, match="expected 64-dim"):
+        random_project(df, 64, 8).select("rp").collect()

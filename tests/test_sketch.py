@@ -401,3 +401,14 @@ def test_kmv_param_validation(spark):
         sketch.kmv_sketch(df, "key", k=1)
     with pytest.raises(ValueError, match="k must be"):
         sketch.kmv_by(df, "g", "key", k=0)
+
+
+def test_kmv_excludes_null_keys(spark):
+    rows = [(0, None)] + [(0, f"k{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "g int, key string")
+    # global sketch: NULL contributes no hash
+    kmv = sketch.kmv_sketch(df, "key", k=16).collect()[0]["kmv"]
+    assert kmv == ref_kmv([f"k{i}" for i in range(30)], 16)
+    # grouped: NULL must not burn a rank slot and shrink the sketch
+    grouped = sketch.kmv_by(df, "g", "key", k=16).collect()[0]["kmv"]
+    assert grouped == kmv
