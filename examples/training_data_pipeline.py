@@ -18,6 +18,9 @@ The standard LLM-corpus shape, each stage a sed_spark ext operator:
 9b. BM25 retrieval probe, PageRank centrality over the near-dup graph,
     trained quality classifier (distributed logistic regression), and
     mergeable corpus sketches (CMS term counts + HLL distinct terms)
+9c. monitoring + curation extras: per-domain quantiles, decayed
+    freshness, triangle/LPA graph signals, KMV set algebra, median/MAD
+    outlier gates, weighted caps, JL projection shortlist + rerank
 
 Every stage is a DataFrame→DataFrame transform, so the whole pipeline is
 one lazy plan until the final counts — at 100 TB the same code runs with
