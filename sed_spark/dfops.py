@@ -483,6 +483,61 @@ def sessionize(
     )
 
 
+def funnel_steps(
+    df: DataFrame,
+    steps: Sequence,
+    group_col: str = "user_id",
+    time_col: str = "ts",
+    step_col: str = "event_type",
+) -> DataFrame:
+    """ORDERED multi-step funnel per group: for each user the earliest
+    time of step ``i`` occurring STRICTLY AFTER their earliest
+    qualifying step ``i-1`` — the signup → activation → purchase
+    conversion question, where "purchased before signing up" must NOT
+    count as conversion (a plain per-step ``min`` would).
+
+    Returns one row per group that entered the funnel (performed
+    ``steps[0]``): ``(group, step_ts_0..step_ts_{k-1}, steps_reached)``
+    with NULL timestamps from the first missed step on — conversion
+    between steps i and i+1 is ``count(step_ts_{i+1}) /
+    count(step_ts_i)``. Groups that never performed ``steps[0]`` are
+    absent (they are not in the funnel, not at step 0 of it).
+
+    Shape: step 0 is one hash aggregate; each later step is a
+    same-key join + filter + aggregate — k-1 equi-joins ALL keyed on
+    ``group_col``, so after the first shuffle every stage reuses the
+    same hash partitioning (no re-shuffle under AQE), and per-step
+    state is one row per surviving group. Same-timestamp events do not
+    advance the funnel (strict ``>``): with integer-microsecond
+    timestamps the comparison is exact on any engine.
+    """
+    if len(steps) < 2:
+        raise ValueError(f"need at least 2 funnel steps, got {list(steps)}")
+    base = df.select(
+        F.col(group_col), F.col(step_col), F.col(time_col),
+    )
+    cur = (
+        base.filter(F.col(step_col) == steps[0])
+        .groupBy(group_col)
+        .agg(F.min(time_col).alias("step_ts_0"))
+    )
+    for i, s in enumerate(steps[1:], 1):
+        nxt = (
+            base.filter(F.col(step_col) == s)
+            .join(
+                cur.select(group_col, f"step_ts_{i - 1}"), group_col,
+            )
+            .filter(F.col(time_col) > F.col(f"step_ts_{i - 1}"))
+            .groupBy(group_col)
+            .agg(F.min(time_col).alias(f"step_ts_{i}"))
+        )
+        cur = cur.join(nxt, group_col, "left")
+    reached = F.lit(1)
+    for i in range(1, len(steps)):
+        reached = reached + F.col(f"step_ts_{i}").isNotNull().cast("int")
+    return cur.withColumn("steps_reached", reached)
+
+
 # ---------------------------------------------------------------------------
 # as-of join
 # ---------------------------------------------------------------------------

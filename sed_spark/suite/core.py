@@ -1297,7 +1297,31 @@ def sessionization(spark, sf_dir):
         F.lit(0).cast("long").alias("k2"),
         F.col("n").cast("long").alias("v"),
     )
-    return batch.unionAll(live).unionAll(overlap).unionAll(enrich)
+    # funnel branch (round 7): the ORDERED signup -> view -> purchase
+    # conversion (dfops.funnel_steps — per-user earliest step-i event
+    # strictly after the earliest qualifying step i-1; a purchase before
+    # signup must NOT convert). Long form: one row per user per REACHED
+    # step, k2 = step index, v = that step's integer-µs timestamp.
+    evf = df.withColumn("ts_us", ts_us(df))
+    fun = dfops.funnel_steps(
+        evf, ["signup", "view", "purchase"],
+        group_col="user_id", time_col="ts_us", step_col="event_type",
+    )
+    fun_rows = fun.select(
+        "user_id",
+        F.posexplode(
+            F.array("step_ts_0", "step_ts_1", "step_ts_2"),
+        ).alias("step", "step_ts"),
+    ).filter(F.col("step_ts").isNotNull()).select(
+        F.lit("funnel").alias("part"),
+        F.col("user_id").alias("k1"),
+        F.col("step").cast("long").alias("k2"),
+        F.col("step_ts").cast("long").alias("v"),
+    )
+    return (
+        batch.unionAll(live).unionAll(overlap).unionAll(enrich)
+        .unionAll(fun_rows)
+    )
 
 
 sql("sessionization", f"""
@@ -1339,6 +1363,30 @@ SELECT 'enrich' AS part,
   CAST(0 AS BIGINT) AS k2, count(*) AS v
 FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment
+UNION ALL
+SELECT 'funnel' AS part, k1, k2, v FROM (
+  WITH f0 AS (
+    SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+  ),
+  f1 AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+    FROM events e JOIN f0 ON f0.user_id = e.user_id
+    WHERE e.event_type = 'view' AND epoch_us(e.ts) > f0.t0
+    GROUP BY e.user_id
+  ),
+  f2 AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+    FROM events e JOIN f1 ON f1.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > f1.t1
+    GROUP BY e.user_id
+  )
+  SELECT user_id AS k1, CAST(0 AS BIGINT) AS k2, t0 AS v FROM f0
+  UNION ALL
+  SELECT user_id, CAST(1 AS BIGINT), t1 FROM f1
+  UNION ALL
+  SELECT user_id, CAST(2 AS BIGINT), t2 FROM f2
+)
 """)
 
 

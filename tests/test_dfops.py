@@ -654,3 +654,47 @@ def test_skew_report_orders_by_weight(spark):
     assert rows[0]["n_rows"] == 201  # 200 hot rows + 1 in the 0..9 band
     total = left.count()
     assert rows[0]["share"] == round(201 / total, 6)
+
+
+def test_funnel_steps_ordered_conversion(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sed_spark.dfops import funnel_steps
+
+    rows = [
+        # u1 converts fully in order
+        (1, "signup", 100), (1, "view", 200), (1, "purchase", 300),
+        # u2 purchased BEFORE signup: purchase must not count
+        (2, "purchase", 50), (2, "signup", 100), (2, "view", 150),
+        # u3 never signed up: absent from the funnel
+        (3, "view", 10), (3, "purchase", 20),
+        # u4 signup only
+        (4, "signup", 500),
+        # u5: same-timestamp view does NOT advance (strict >)
+        (5, "signup", 100), (5, "view", 100),
+        # u6: multiple candidates -> earliest qualifying each step
+        (6, "signup", 10), (6, "signup", 5), (6, "view", 7), (6, "view", 9),
+        (6, "purchase", 8), (6, "purchase", 30),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_type string, ts long")
+    got = {
+        r["user_id"]: r
+        for r in funnel_steps(
+            df, ["signup", "view", "purchase"],
+        ).collect()
+    }
+    assert set(got) == {1, 2, 4, 5, 6}
+    assert (got[1]["step_ts_0"], got[1]["step_ts_1"], got[1]["step_ts_2"]) \
+        == (100, 200, 300)
+    assert got[1]["steps_reached"] == 3
+    assert got[2]["step_ts_1"] == 150 and got[2]["step_ts_2"] is None
+    assert got[2]["steps_reached"] == 2
+    assert got[4]["steps_reached"] == 1
+    assert got[5]["step_ts_1"] is None  # ts 100 not > 100
+    # u6: signup min = 5; earliest view > 5 is 7; earliest purchase > 7 is 8
+    assert (got[6]["step_ts_0"], got[6]["step_ts_1"], got[6]["step_ts_2"]) \
+        == (5, 7, 8)
+
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel_steps(df, ["signup"])

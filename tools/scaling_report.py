@@ -542,6 +542,26 @@ def main() -> None:
         thunk.cleanup = lambda: shutil.rmtree(tmp, ignore_errors=True)
         return thunk
 
+    def _funnel(n):
+        # 3-step ordered funnel over n events / n//100 users
+        from sed_spark import dfops
+
+        par = spark.sparkContext.defaultParallelism * 4
+        d = pin(
+            spark.range(0, n, 1, par).select(
+                (F.col("id") % max(n // 100, 10)).alias("user_id"),
+                F.element_at(
+                    F.array(F.lit("signup"), F.lit("view"), F.lit("purchase"),
+                            F.lit("click"), F.lit("error")),
+                    (F.pmod(F.hash(F.col("id")), F.lit(5)) + 1).cast("int"),
+                ).alias("event_type"),
+                F.col("id").alias("ts"),
+            ),
+        )
+        return lambda: run_noop(
+            dfops.funnel_steps(d, ["signup", "view", "purchase"]),
+        )
+
     def _rp(n):
         # JL 64->16 sign projection + cosine top-10 in projected space
         d = pin(synth_embeddings(spark, n))
@@ -713,6 +733,7 @@ def main() -> None:
         ("label_propagation (3 rounds, deg~20)", [10**5, 10**6, 10**7], _lpa),
         ("robust_stats_by (100 grp med/MAD)", [10**6, 10**7, 10**8], _robust),
         ("random_project 64->16 + topk", [10**5, 10**6, 10**7], _rp),
+        ("funnel_steps (3 steps, n/100 users)", [10**6, 10**7, 10**8], _funnel),
     ]
 
     # optional substring filters: `scaling_report.py bm25 pagerank` times
