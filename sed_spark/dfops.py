@@ -41,6 +41,7 @@ __all__ = [
     "split_dld_time_from_sector_id",
     "with_row_index",
     "sessionize",
+    "funnel_steps",
     "asof_join",
     "point_in_interval_join",
     "interval_overlap_join",
@@ -501,13 +502,18 @@ def funnel_steps(
     with NULL timestamps from the first missed step on — conversion
     between steps i and i+1 is ``count(step_ts_{i+1}) /
     count(step_ts_i)``. Groups that never performed ``steps[0]`` are
-    absent (they are not in the funnel, not at step 0 of it).
+    absent (they are not in the funnel, not at step 0 of it), and so
+    are NULL-key rows (no identity to convert — the filter is explicit
+    so the equi-joins' NULL-dropping never decides semantics
+    silently).
 
-    Shape: step 0 is one hash aggregate; each later step is a
-    same-key join + filter + aggregate — k-1 equi-joins ALL keyed on
+    Shape: step 0 is one hash aggregate; each later step joins its
+    candidates against the PREVIOUS step's one-row-per-survivor frame
+    (never the accumulated result — that would re-execute every earlier
+    join once per later step) — k-1 equi-joins ALL keyed on
     ``group_col``, so after the first shuffle every stage reuses the
-    same hash partitioning (no re-shuffle under AQE), and per-step
-    state is one row per surviving group. Same-timestamp events do not
+    same hash partitioning (no re-shuffle under AQE), plus k-1 final
+    left joins to assemble the wide row. Same-timestamp events do not
     advance the funnel (strict ``>``): with integer-microsecond
     timestamps the comparison is exact on any engine.
     """
@@ -515,23 +521,25 @@ def funnel_steps(
         raise ValueError(f"need at least 2 funnel steps, got {list(steps)}")
     base = df.select(
         F.col(group_col), F.col(step_col), F.col(time_col),
-    )
-    cur = (
+    ).filter(F.col(group_col).isNotNull())
+    prev = (
         base.filter(F.col(step_col) == steps[0])
         .groupBy(group_col)
         .agg(F.min(time_col).alias("step_ts_0"))
     )
+    frames = [prev]
     for i, s in enumerate(steps[1:], 1):
-        nxt = (
+        prev = (
             base.filter(F.col(step_col) == s)
-            .join(
-                cur.select(group_col, f"step_ts_{i - 1}"), group_col,
-            )
+            .join(prev.select(group_col, f"step_ts_{i - 1}"), group_col)
             .filter(F.col(time_col) > F.col(f"step_ts_{i - 1}"))
             .groupBy(group_col)
             .agg(F.min(time_col).alias(f"step_ts_{i}"))
         )
-        cur = cur.join(nxt, group_col, "left")
+        frames.append(prev)
+    cur = frames[0]
+    for f in frames[1:]:
+        cur = cur.join(f, group_col, "left")
     reached = F.lit(1)
     for i in range(1, len(steps)):
         reached = reached + F.col(f"step_ts_{i}").isNotNull().cast("int")

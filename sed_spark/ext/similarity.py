@@ -1559,8 +1559,15 @@ def random_project(
     # yields NULL and one NULL poisons every signed sum, so a short
     # vector would otherwise project to an all-NULL row and silently
     # vanish from every downstream shortlist (the driver mirror raises
-    # IndexError for the same input — keep the engine path as loud)
+    # IndexError for the same input — keep the engine path as loud).
+    # A NULL vector is NOT a mismatch: it passes through as a NULL
+    # projection (left-join enrichments produce them routinely; the
+    # legacy size(NULL) = -1 would otherwise abort the job with a
+    # nonsense "got -1")
     guarded = F.when(
+        F.col(vec_col).isNull(),
+        F.lit(None).cast("array<double>"),
+    ).when(
         F.size(F.col(vec_col)) == in_dim, F.array(*comps),
     ).otherwise(
         F.raise_error(

@@ -548,7 +548,9 @@ def kmv_by(
     per-partition work is bounded by the group's distinct count, and the
     uniform hash order makes the bottom-k scan cheap. NULL keys are
     excluded like :func:`kmv_sketch`'s (a NULL hash would sort FIRST,
-    burn a rank slot, and silently shrink the sketch by one)."""
+    burn a rank slot, and silently shrink the sketch by one) — but a
+    group whose keys are ALL NULL still appears, with an empty sketch
+    (distinct-reach 0), matching ``count(distinct ...) group by``."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     from pyspark.sql.window import Window
@@ -561,11 +563,31 @@ def kmv_by(
         .distinct()
     )
     w = Window.partitionBy(*keys).orderBy("h")
-    return (
+    sketches = (
         dist.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .groupBy(*keys)
         .agg(F.array_sort(F.collect_list("h")).alias("kmv"))
+    )
+    # NULL-SAFE join-back so a NULL GROUP KEY keeps its real sketch
+    # (plain equi-join would hand it the empty-array fallback)
+    groups = df.select(*keys).distinct()
+    ren = {kk: f"__gk_{i}" for i, kk in enumerate(keys)}
+    r = sketches
+    for kk, nk in ren.items():
+        r = r.withColumnRenamed(kk, nk)
+    cond = None
+    for kk, nk in ren.items():
+        c = F.col(kk).eqNullSafe(F.col(nk))
+        cond = c if cond is None else cond & c
+    return (
+        groups.join(r, cond, "left")
+        .select(
+            *keys,
+            F.coalesce(
+                "kmv", F.array().cast("array<long>"),
+            ).alias("kmv"),
+        )
     )
 
 

@@ -344,7 +344,13 @@ def compaction_plan(
 
     if target <= 0:
         raise ValueError(f"target must be positive, got {target}")
-    w = Window.orderBy(F.col(size_col).desc(), F.col(file_col).asc())
+    # explicit ROWS frame: the default RANGE frame treats duplicate
+    # (size, path) rows as peers, giving each a cumsum that includes
+    # both and breaking the per-group bound on non-unique listings
+    w = (
+        Window.orderBy(F.col(size_col).desc(), F.col(file_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum = F.sum(size_col).over(w)
     return files.withColumn(
         group_col,

@@ -698,3 +698,14 @@ def test_funnel_steps_ordered_conversion(spark):
 
     with pytest.raises(ValueError, match="at least 2"):
         funnel_steps(df, ["signup"])
+
+
+def test_funnel_steps_excludes_null_groups(spark):
+    from sed_spark.dfops import funnel_steps
+
+    df = spark.createDataFrame(
+        [(None, "signup", 1), (None, "view", 2), (7, "signup", 1)],
+        "user_id int, event_type string, ts long",
+    )
+    got = funnel_steps(df, ["signup", "view"]).collect()
+    assert [r["user_id"] for r in got] == [7]

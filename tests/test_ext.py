@@ -1871,3 +1871,14 @@ def test_random_project_raises_on_dimension_mismatch(spark):
     )
     with pt.raises(SparkRuntimeException, match="expected 64-dim"):
         random_project(df, 64, 8).select("rp").collect()
+
+
+def test_random_project_null_vector_passes_through(spark):
+    from sed_spark.ext.similarity import random_project
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 16), (1, None)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["rp"] for r in random_project(df, 16, 4).collect()}
+    assert got[1] is None and got[0] is not None

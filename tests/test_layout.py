@@ -272,3 +272,20 @@ def test_compaction_plan_groups_reach_target(spark):
 
     with pytest.raises(ValueError, match="target"):
         layout.compaction_plan(files, target=0)
+
+
+def test_compaction_plan_handles_duplicate_listing_rows(spark):
+    from sed_spark import layout
+
+    # two identical (path, size) rows must each get a ROWS-frame cumsum,
+    # not a shared RANGE-peer cumsum that inflates both
+    files = spark.createDataFrame(
+        [("a", 500), ("a", 500), ("b", 200)],
+        "path string, size_bytes long",
+    )
+    got = sorted(
+        (r["path"], r["compaction_group"])
+        for r in layout.compaction_plan(files, target=600).collect()
+    )
+    # cum: 500 (grp 0), 1000 (grp 0: floor(500/600)), 1200 (grp 1)
+    assert got == [("a", 0), ("a", 0), ("b", 1)]

@@ -412,3 +412,15 @@ def test_kmv_excludes_null_keys(spark):
     # grouped: NULL must not burn a rank slot and shrink the sketch
     grouped = sketch.kmv_by(df, "g", "key", k=16).collect()[0]["kmv"]
     assert grouped == kmv
+
+
+def test_kmv_by_all_null_group_gets_empty_sketch(spark):
+    df = spark.createDataFrame(
+        [("empty", None), ("empty", None), ("live", "k1"), (None, "k2")],
+        "g string, key string",
+    )
+    got = {r["g"]: r["kmv"] for r in sketch.kmv_by(df, "g", "key", k=8).collect()}
+    assert set(got) == {"empty", "live", None}
+    assert got["empty"] == []  # distinct-reach 0, group still present
+    assert got["live"] == ref_kmv(["k1"], 8)
+    assert got[None] == ref_kmv(["k2"], 8)  # NULL GROUP keeps its sketch
