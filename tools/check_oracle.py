@@ -90,6 +90,16 @@ def main():
     con = duck_connection()
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 
+    # the driver's CORRECTNESS record folds a bounded 50-row window; a
+    # 51st suite row silently ships with no hard cross-engine signal
+    # (round-7 verdict: correlated_subqueries fell off the end)
+    if len(qs) > 50:
+        print(
+            f"WARNING: suite registers {len(qs)} queries but the driver "
+            "CORRECTNESS window records only 50 — rows past the window get "
+            "NO verified signal. Fold new shapes into existing rows.",
+        )
+
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
