@@ -404,7 +404,7 @@ def _dense_via_groupby(
     not hidden state. ``GROUPBY_CELLS_PER_REDUCER = None`` disables
     the repartition entirely."""
     agg = _groupby_sparse_agg(proj, cube, occupancy_hint)
-        # allocate straight in the caller's output dtype: assigning the
+    # allocate straight in the caller's output dtype: assigning the
     # sparse (idx, cnt) pairs casts on write — bit-identical to the old
     # uint32-then-astype shape but skips a full read+write pass over the
     # cube (measured 2.5-3.5 s of pure driver time on a 1e8-cell cube,

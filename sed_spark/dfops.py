@@ -835,6 +835,7 @@ def point_in_interval_join(
     bounds: str = "[)",
     max_buckets: int = 4096,
     how: str = "inner",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Distributed point-in-interval (range) join: every point row paired
     with every interval row whose ``[lo, hi)`` (or ``[lo, hi]``) range
@@ -858,6 +859,16 @@ def point_in_interval_join(
     ``left`` (unmatched points kept with NULL interval columns).
     Column collisions between the two sides raise up front — rename
     before joining.
+
+    For ``how='left'``, pass ``id_col`` naming a column of ``points``
+    that is unique and non-null (an event id, a row key — at pipeline
+    scale one always exists): the match-back join then uses it directly
+    with NO surrogate id and NO persist. Without it the fallback
+    synthesizes ``monotonically_increasing_id`` and must ``persist()``
+    the points frame to pin one evaluation; those cached blocks stay
+    until session LRU pressure or an explicit ``unpersist`` — fine for
+    batch jobs, a slow leak in a long-lived session, so prefer
+    ``id_col`` there.
     """
     if bounds not in ("[)", "[]"):
         raise ValueError(f"bounds must be '[)' or '[]', got {bounds!r}")
@@ -911,25 +922,36 @@ def point_in_interval_join(
     )
     if how == "inner":
         return pt.join(iv, keys).filter(contain).drop("__bucket")
-    # left: re-attach matches by a surrogate row id, NOT by equi-joining
+    # left: re-attach matches by a unique row id, NOT by equi-joining
     # on all point columns — a NULL in any point column would make a
     # genuinely matched row come back unmatched (null-unsafe keys), and
     # duplicate point rows would fan out multiplicatively.
-    # monotonically_increasing_id values depend on partition layout and
-    # `pts` feeds BOTH the matched branch and the outer join; persist()
-    # pins one evaluation so the two consumers read the same ids (the
-    # same guard, and the same cost rationale, as _asof_fill_keyless:
-    # an eager localCheckpoint measured +2.5 s of pure job overhead
-    # there). If an evicted block recomputes, the ids reproduce as long
-    # as the upstream plan is deterministic — callers whose `points`
-    # sits downstream of nondeterministic sampling should checkpoint it
+    iv_cols = [c for c in intervals.columns if c != by]
+    if id_col is not None:
+        # caller-guaranteed unique non-null key: one plan, two reads of
+        # the same deterministic source, nothing to pin, nothing cached
+        if id_col not in points.columns:
+            raise ValueError(f"id_col {id_col!r} not in points columns")
+        matched = pt.join(iv, keys).filter(contain).drop("__bucket")
+        return points.join(
+            matched.select(id_col, *iv_cols), id_col, "left",
+        )
+    # fallback: monotonically_increasing_id values depend on partition
+    # layout and `pts` feeds BOTH the matched branch and the outer join;
+    # persist() pins one evaluation so the two consumers read the same
+    # ids (the same guard, and the same cost rationale, as
+    # _asof_fill_keyless: an eager localCheckpoint measured +2.5 s of
+    # pure job overhead there). The blocks stay cached until session LRU
+    # or unpersist — see the docstring; pass id_col to avoid this path.
+    # If an evicted block recomputes, the ids reproduce as long as the
+    # upstream plan is deterministic — callers whose `points` sits
+    # downstream of nondeterministic sampling should checkpoint it
     # themselves, per the asof_join contract.
     pts = points.withColumn(
         "__pid", F.monotonically_increasing_id(),
     ).persist()
     pt = pts.withColumn("__bucket", F.floor(F.col(on) / w).cast("long"))
     matched = pt.join(iv, keys).filter(contain).drop("__bucket")
-    iv_cols = [c for c in intervals.columns if c != by]
     return pts.join(
         matched.select("__pid", *iv_cols), "__pid", "left",
     ).drop("__pid")
@@ -1077,10 +1099,12 @@ def skew_join(
 
     Hot keys come from ``hot_keys`` (explicit values of a single join
     column) or are detected with one aggregate over the left side:
-    every key with more than ``hot_threshold`` left rows. Detection
-    collects only the hot-key list itself (bounded by ``max_hot_keys``
-    — more hot keys than that means the distribution isn't "a few hot
-    keys" and this strategy is the wrong tool; the raise says so).
+    every key with more than ``hot_threshold`` left rows. The detected
+    set never leaves the cluster — routing is broadcast semi/anti joins
+    against the hot-key frame, and only its bounded COUNT reaches the
+    driver (more than ``max_hot_keys`` hot keys means the distribution
+    isn't "a few hot keys" and this strategy is the wrong tool; the
+    raise says so).
 
     Correctness shape: hot keys are defined by LEFT frequency, so a
     cold left row can never match a hot-key right row — the cold branch
@@ -1098,36 +1122,54 @@ def skew_join(
     if hot_keys is None:
         if hot_threshold is None or hot_threshold < 1:
             raise ValueError("pass hot_keys or a positive hot_threshold")
-        hot_rows = (
-            # null keys never join under these left-preserving forms, so
-            # they route through the cold branch regardless of frequency
+        # the hot-key set stays a DataFrame end to end — routing below is
+        # broadcast semi/anti joins against it, NEVER an isin() literal
+        # list (a multi-million-value In expression blows up the plan and
+        # a value collect() risks driver OOM exactly when skew is broad);
+        # null keys never join under these left-preserving forms, so they
+        # route through the cold branch regardless of frequency
+        hotf = (
             left.filter(F.col(key).isNotNull())
             .groupBy(key)
             .agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") > hot_threshold)
             .select(key)
-            .limit(max_hot_keys + 1)
-            .collect()
         )
-        if len(hot_rows) > max_hot_keys:
+        # only the COUNT comes to the driver, bounded by limit()
+        n_hot = hotf.limit(max_hot_keys + 1).count()
+        if n_hot > max_hot_keys:
             raise ValueError(
                 f"more than {max_hot_keys} keys exceed hot_threshold="
                 f"{hot_threshold}; that is broad skew, not a few hot keys "
                 "— raise the threshold or use salted_join",
             )
-        hot_keys = [r[0] for r in hot_rows]
-    # a None hot key would poison the isin() routing below (three-valued
-    # logic turns both branch filters NULL and silently drops every cold
-    # row); null keys never equi-join under these left-preserving forms,
-    # so they are always cold — strip them from an explicit list too
-    hot_keys = [k for k in hot_keys if k is not None]
-    if not hot_keys:
-        return left.join(right, keys, how)
-    is_hot = F.col(key).isin(hot_keys)
-    r_hot = right.filter(F.col(key).isin(hot_keys))
-    hot_part = left.filter(is_hot).join(F.broadcast(r_hot), keys, how)
-    cold_part = left.filter(~is_hot | F.col(key).isNull()).join(
-        right.filter(~F.col(key).isin(hot_keys)), keys, how,
+        if n_hot == 0:
+            return left.join(right, keys, how)
+    else:
+        # explicit lists stay caller-sized; a None hot key would poison
+        # null-unsafe routing (nulls never equi-join, so they are always
+        # cold) — strip it here too
+        vals = [k for k in hot_keys if k is not None]
+        if not vals:
+            return left.join(right, keys, how)
+        if len(vals) > max_hot_keys:
+            raise ValueError(
+                f"explicit hot_keys has {len(vals)} values, above "
+                f"max_hot_keys={max_hot_keys} — that is broad skew; use "
+                "salted_join",
+            )
+        hotf = left.sparkSession.createDataFrame(
+            [(v,) for v in vals], schema=left.select(key).schema,
+        )
+    # all four routing joins broadcast the SAME hotf subtree, so Spark's
+    # ReuseExchange materializes it once per query; null left keys fail
+    # the semi probe and keep their cold-branch routing
+    hot_part = left.join(F.broadcast(hotf), [key], "left_semi").join(
+        F.broadcast(right.join(F.broadcast(hotf), [key], "left_semi")),
+        keys, how,
+    )
+    cold_part = left.join(F.broadcast(hotf), [key], "left_anti").join(
+        right.join(F.broadcast(hotf), [key], "left_anti"), keys, how,
     )
     return hot_part.unionByName(cold_part)
 

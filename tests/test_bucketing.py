@@ -109,6 +109,40 @@ def test_incremental_lsh_index_bucketed_removes_index_shuffle(spark, tmp_path):
     assert a == b
 
 
+def test_corpus_diff_over_bucketed_snapshots_is_shuffle_free(spark, tmp_path):
+    # proves corpus_diff's docstring claim (ext/corpus.py): each side
+    # reduces to (id, md5) — a projection that PRESERVES the staged
+    # bucket distribution — so over two snapshots bucketed on doc_id the
+    # full-outer diff join has NO Exchange on either side
+    from sed_spark.ext.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(100)], ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(i, f"text {i}" if i % 3 else f"edited {i}")
+         for i in range(50, 150)],
+        ["doc_id", "text"],
+    )
+    old_t = stage_bucketed(
+        old, "t_diff_old", ["doc_id"], n_buckets=8,
+        sort_cols=["doc_id"], path=str(tmp_path / "old"),
+    )
+    new_t = stage_bucketed(
+        new, "t_diff_new", ["doc_id"], n_buckets=8,
+        sort_cols=["doc_id"], path=str(tmp_path / "new"),
+    )
+    diff = corpus_diff(old_t, new_t)
+    rows = diff.collect()
+    plan = diff._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "Exchange" not in plan, plan
+    # and the diff itself is right
+    got = {r["doc_id"]: r["status"] for r in rows}
+    assert got[0] == "removed" and got[149] == "added"
+    assert got[52] == "unchanged" and got[60] == "changed"
+
+
 # ---------------------------------------------------------------------------
 # Z-order clustered writes
 # ---------------------------------------------------------------------------

@@ -464,6 +464,40 @@ def test_point_in_interval_left_join_null_cols_and_dup_rows(spark):
     assert got == [(5.0, None, 0), (5.0, None, 0), (50.0, "tag", None)]
 
 
+def test_point_in_interval_left_join_id_col_path(spark):
+    # id_col names a caller-guaranteed unique key: the match-back join
+    # uses it directly — no surrogate id, no persist (round-8 fix for
+    # the cached-block leak in long-lived sessions)
+    from sed_spark.dfops import point_in_interval_join
+
+    pdf = spark.createDataFrame(
+        [(0, 5.0, None), (1, 5.5, None), (2, 50.0, "tag"), (3, 99.0, None)],
+        "pid int, x double, note string",
+    )
+    idf = spark.createDataFrame(
+        [(0, 4.0, 6.0), (1, 5.0, 7.0)], ["iid", "lo", "hi"],
+    )
+    kw = dict(on="x", lo_col="lo", hi_col="hi", bucket_width=10.0,
+              how="left")
+    with_id = sorted(
+        (r["pid"], r["iid"])
+        for r in point_in_interval_join(pdf, idf, id_col="pid", **kw).collect()
+    )
+    # pids 0 (x=5.0, lo-inclusive) and 1 (x=5.5) match both intervals;
+    # 2 and 3 are unmatched
+    assert with_id == [(0, 0), (0, 1), (1, 0), (1, 1), (2, None), (3, None)]
+    # identical rows to the surrogate-id fallback
+    fallback = sorted(
+        (r["pid"], r["iid"])
+        for r in point_in_interval_join(pdf, idf, **kw).collect()
+    )
+    assert with_id == fallback
+    import pytest
+
+    with pytest.raises(ValueError, match="id_col"):
+        point_in_interval_join(pdf, idf, id_col="nope", **kw)
+
+
 def test_point_in_interval_join_guards_runaway_fanout(spark):
     import pytest
 

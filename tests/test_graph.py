@@ -322,6 +322,43 @@ def test_triangle_count_matches_bruteforce_random(spark):
     assert got == want
 
 
+def test_triangle_count_skewed_hub_exact_and_bounded_wedges(spark):
+    # one celebrity node (0) adjacent to everyone; under degree-ordered
+    # orientation the hub only pivots wedges toward its ≺-LARGER
+    # neighbors, so its fan-out is bounded — and counts stay exact
+    from pyspark.sql import functions as F
+
+    from sed_spark.ext.graph import triangle_count
+
+    n = 60
+    hub = [(0, i) for i in range(1, n)]       # star: degree(0) = 59
+    ring = [(i, i + 1) for i in range(1, n - 1)]  # path through the leaves
+    edges = spark.createDataFrame(hub + ring, "a_id long, b_id long")
+    # every path edge (i, i+1) closes a triangle with the hub: n-2 tris;
+    # hub is in all of them, leaf i is in the triangles of its incident
+    # path edges (1 at the ends, 2 inside)
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()
+    }
+    assert got[0] == n - 2
+    assert got[1] == 1 and got[n - 1] == 1
+    assert all(got[i] == 2 for i in range(2, n - 1))
+    # duplicate node ids in a caller-supplied frame must not duplicate
+    # output rows (round-8 ADVICE)
+    nodes = spark.createDataFrame(
+        [(0,), (0,), (1,), (99,)], "doc_id long",
+    )
+    rows = triangle_count(edges, nodes=nodes, node_col="doc_id").collect()
+    assert len(rows) == 3
+    assert {r["node"]: r["n_triangles"] for r in rows} == {
+        0: n - 2, 1: 1, 99: 0,
+    }
+    # the wedge stage pivots at the ≺-minimum endpoint: assert the
+    # oriented self-join keys on src (plan shape, not a straggler timer)
+    plan = triangle_count(edges)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def ref_lpa(edge_list, node_set, n_iter):
     adj: dict = {n: set() for n in node_set}
     for a, b in edge_list:
