@@ -35,6 +35,12 @@ __all__ = [
     "bpe_token_counts",
     "bpe_vocab",
     "bpe_encode",
+    "unigram_train",
+    "unigram_segment_expr",
+    "unigram_token_counts",
+    "unigram_vocab",
+    "unigram_encode",
+    "UNIGRAM_UNK_SCORE_MICRO",
 ]
 
 
@@ -593,5 +599,433 @@ def lm_familiarity(
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
             F.coalesce("n_unseen", F.lit(0)).alias("n_unseen"),
             F.coalesce("seen_cnt_sum", F.lit(0)).alias("seen_cnt_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram language-model tokenizer (SentencePiece-style)
+# ---------------------------------------------------------------------------
+
+#: cost charged to an out-of-alphabet single character during Viterbi
+#: segmentation (~100 nats in micro-nats — worse than any real piece, so
+#: it is only ever taken when no trained piece covers the position)
+UNIGRAM_UNK_SCORE_MICRO = 100_000_000
+
+
+def _unigram_quantize(counts: dict[str, int]) -> dict[str, int]:
+    """Integer micro-nat scores from exact integer piece counts:
+    ``score = round(-1e6 * ln(count / total))``. The ONLY float op of the
+    whole unigram pipeline happens here, on the driver, once per M-step —
+    every engine-side comparison (Spark expression DP, DuckDB oracle,
+    Python reference) is then pure integer arithmetic on these quantized
+    literals, so segmentations are bit-identical across engines."""
+    import math
+
+    total = sum(counts.values())
+    return {
+        p: int(round(-1e6 * math.log(c / total)))
+        for p, c in counts.items()
+    }
+
+
+def _viterbi_local(
+    word: str,
+    scores: dict[str, int],
+    max_piece_len: int,
+    unk: int = UNIGRAM_UNK_SCORE_MICRO,
+) -> tuple[str, ...]:
+    """Driver-side Viterbi segmentation — the exact tie-break contract of
+    :func:`unigram_segment_expr` (and unit-tested against it): per
+    position, minimize ``(cum_cost, cum_ntok, max_len - k, pieces)`` over
+    candidate last-piece lengths ``k``; an out-of-vocabulary single
+    character is always a candidate at ``unk`` cost, so segmentation
+    never fails."""
+    n = len(word)
+    dp: list[tuple[int, int, int, tuple[str, ...]]] = [(0, 0, 0, ())] * (n + 1)
+    for i in range(1, n + 1):
+        cands = []
+        for k in range(1, min(max_piece_len, i) + 1):
+            piece = word[i - k:i]
+            c = scores.get(piece)
+            if c is None:
+                if k != 1:
+                    continue
+                c = unk
+            prev = dp[i - k]
+            cands.append(
+                (prev[0] + c, prev[1] + 1, max_piece_len - k, prev[3] + (piece,)),
+            )
+        dp[i] = min(cands)
+    return dp[n][3]
+
+
+def _unigram_em_local(
+    words: list[tuple[str, int]],
+    seed_counts: dict[str, int],
+    vocab_size: int,
+    max_piece_len: int,
+    n_iter: int,
+) -> list[tuple[str, int]]:
+    """Shared M-step/prune driver logic over a count callback-free local
+    E-step (the distributed engine computes the SAME per-round counts
+    with the expression DP and re-enters :func:`_unigram_finalize`)."""
+    counts = dict(seed_counts)
+    for _ in range(n_iter):
+        scores = _unigram_quantize(counts)
+        counts = _unigram_estep_counts_local(words, scores, max_piece_len)
+    return _unigram_finalize(counts, vocab_size)
+
+
+def _unigram_estep_counts_local(
+    words: list[tuple[str, int]],
+    scores: dict[str, int],
+    max_piece_len: int,
+) -> dict[str, int]:
+    counts: dict[str, int] = {}
+    for w, tf in words:
+        for p in _viterbi_local(w, scores, max_piece_len):
+            counts[p] = counts.get(p, 0) + tf
+    # hard-EM zeros: unused single chars keep a floor count of 1 (the
+    # alphabet must stay covered); unused multi-char pieces drop
+    for p in scores:
+        if p not in counts and len(p) == 1:
+            counts[p] = 1
+    return counts
+
+
+def _unigram_finalize(
+    counts: dict[str, int], vocab_size: int,
+) -> list[tuple[str, int]]:
+    """Prune to ``vocab_size`` (every single char survives — coverage —
+    plus the top multi-char pieces by ``(count DESC, piece ASC)``), then
+    requantize over the survivors. Returns ``(piece, score_micro)``
+    sorted by piece — the deterministic id order of
+    :func:`unigram_vocab`."""
+    chars = {p: c for p, c in counts.items() if len(p) == 1}
+    if vocab_size < len(chars):
+        raise ValueError(
+            f"vocab_size={vocab_size} below alphabet size {len(chars)}",
+        )
+    multi = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[: vocab_size - len(chars)]
+    kept = dict(chars)
+    kept.update(dict(multi))
+    scores = _unigram_quantize(kept)
+    return sorted(scores.items())
+
+
+def _all_substrings_expr(word: Column, max_piece_len: int) -> Column:
+    """Every substring of length 1..max_piece_len as a (flattened) array
+    — the unigram seed candidates of one word."""
+    n = F.length(word)
+    return F.when(
+        n > 0,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.transform(
+                    F.sequence(F.lit(1), F.least(F.lit(max_piece_len), n - i + 1)),
+                    lambda k: word.substr(i, k),
+                ),
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def unigram_segment_expr(
+    word: Column,
+    pieces,
+    max_piece_len: int | None = None,
+    unk_score_micro: int = UNIGRAM_UNK_SCORE_MICRO,
+) -> Column:
+    """Viterbi-best unigram-LM segmentation of a word column as an
+    ``array<string>`` of pieces, entirely in expressions — the engine-side
+    twin of :func:`_viterbi_local`.
+
+    ``pieces`` is the trained ``[(piece, score_micro), ...]`` list; it
+    rides in the expression tree as a literal map (tokenizer-sized), so
+    the DP is pure integer arithmetic — bit-identical on any engine. One
+    left-to-right ``aggregate`` fold builds the DP table (an array of
+    ``(cost, ntok, kneg, ps)`` states, one per prefix); each step takes
+    the ``array_min`` over the ≤``max_piece_len`` candidate last pieces,
+    which encodes the deterministic tie-break ``(lower cost, fewer
+    tokens, longer last piece, lexicographic pieces)``. States carry
+    their piece arrays, so no backtracking pass re-reads the table
+    (words are whitespace tokens — the O(n²) state payload is bytes, and
+    the fold only ever runs per VOCABULARY word, never per corpus row)."""
+    pieces = list(pieces)
+    if max_piece_len is None:
+        max_piece_len = max((len(p) for p, _ in pieces), default=1)
+    score_map = F.create_map(
+        *[F.lit(x) for p, s in pieces for x in (p, int(s))],
+    )
+    n = F.length(word)
+
+    def step(acc, i):
+        cands = []
+        for k in range(1, max_piece_len + 1):
+            piece = word.substr(i - F.lit(k) + 1, F.lit(k))
+            cost = F.element_at(score_map, piece).cast("long")
+            if k == 1:
+                cost = F.coalesce(cost, F.lit(int(unk_score_micro)).cast("long"))
+            prev = F.element_at(acc, i - F.lit(k) + 1)
+            cands.append(
+                F.when(
+                    (F.lit(k) <= i) & cost.isNotNull(),
+                    F.struct(
+                        (prev["cost"] + cost).alias("cost"),
+                        (prev["ntok"] + F.lit(1)).alias("ntok"),
+                        F.lit(max_piece_len - k).alias("kneg"),
+                        F.concat(prev["ps"], F.array(piece)).alias("ps"),
+                    ),
+                ),
+            )
+        best = F.array_min(F.array(*cands))
+        return F.concat(acc, F.array(best))
+
+    init = F.array(
+        F.struct(
+            F.lit(0).cast("long").alias("cost"),
+            F.lit(0).cast("int").alias("ntok"),
+            F.lit(0).cast("int").alias("kneg"),
+            F.expr("CAST(array() AS array<string>)").alias("ps"),
+        ),
+    )
+    dp = F.aggregate(
+        # sequence(1, 0) would be DESCENDING — clamp and gate on n > 0
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        init,
+        step,
+        lambda acc: F.element_at(acc, -1)["ps"],
+    )
+    return F.when(n > 0, dp).otherwise(
+        F.expr("CAST(array() AS array<string>)"),
+    )
+
+
+def unigram_train(
+    df: DataFrame,
+    vocab_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+    max_piece_len: int = 4,
+    n_iter: int = 2,
+    seed_size: int = 1_000,
+    local_vocab_threshold: int = 2_000_000,
+) -> list[tuple[str, int]]:
+    """Distributed unigram-LM tokenizer training (the SentencePiece
+    unigram model, Kudo, ACL 2018), deterministic hard-EM variant:
+
+    1. **seed** — every substring of length 1..``max_piece_len`` of the
+       vocabulary's words, tf-weighted; the whole alphabet plus the top
+       ``seed_size`` multi-char candidates by ``(count DESC, piece ASC)``;
+    2. **EM** — ``n_iter`` rounds of Viterbi (hard) E-step piece counts
+       and a quantizing M-step (:func:`_unigram_quantize`: the one float
+       op, driver-side; everything the engines compare is integer).
+       Kudo's full EM marginalizes the lattice in floats — the hard-EM
+       simplification is what makes the fit reproducible cross-engine,
+       the same determinism trade the suite's BPE trainer makes;
+    3. **prune** — all single chars plus the best multi-char pieces to
+       ``vocab_size``, requantized (:func:`_unigram_finalize`).
+
+    Scale contract (same as :func:`bpe_train`): the corpus is aggregated
+    ONCE into the (word, tf) vocabulary (:func:`word_doc_freq`); 100 TB
+    of text is never re-read. Two engines with IDENTICAL output
+    (unit-tested against each other):
+
+    * **driver-local** (vocabulary ≤ ``local_vocab_threshold``, probed
+      with ``limit(threshold+1)``): the word/tf list collects once and
+      EM runs in-process;
+    * **distributed**: each E-step is ONE vocabulary-sized job — the
+      expression DP (:func:`unigram_segment_expr`) segments every vocab
+      word under the round's literal score map, explodes the pieces and
+      tf-weights one hash aggregate; only the tokenizer-sized
+      (piece, count) table reaches the driver for the M-step.
+
+    Returns ``[(piece, score_micro), ...]`` sorted by piece.
+    """
+    if vocab_size < 2:
+        raise ValueError(f"vocab_size must be >= 2, got {vocab_size}")
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    if vocab is None:
+        vocab = word_doc_freq(df, id_col, text_col)
+    wtf_plan = vocab.select("word", "tf")
+    if local_vocab_threshold > 0:
+        probe = wtf_plan.limit(local_vocab_threshold + 1).collect()
+        if len(probe) <= local_vocab_threshold:
+            words = [(r.word, int(r.tf)) for r in probe]
+            seed = _unigram_seed_local(words, max_piece_len, seed_size)
+            return _unigram_em_local(
+                words, seed, vocab_size, max_piece_len, n_iter,
+            )
+    # distributed engine: vocab-sized jobs, tokenizer-sized collects
+    sym = wtf_plan.localCheckpoint(eager=True)
+    sub_counts = (
+        sym.select(
+            "tf",
+            F.explode(
+                _all_substrings_expr(F.col("word"), max_piece_len),
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("tf").cast("long").alias("cnt"))
+    )
+    chars = sub_counts.filter(F.length("piece") == 1).collect()
+    multi = (
+        sub_counts.filter(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(seed_size)
+        .collect()
+    )
+    counts = {r.piece: int(r.cnt) for r in chars}
+    counts.update({r.piece: int(r.cnt) for r in multi})
+    for _ in range(n_iter):
+        scores = _unigram_quantize(counts)
+        seg = sym.select(
+            "tf",
+            F.explode(
+                unigram_segment_expr(
+                    F.col("word"), sorted(scores.items()), max_piece_len,
+                ),
+            ).alias("piece"),
+        )
+        rows = seg.groupBy("piece").agg(
+            F.sum("tf").cast("long").alias("cnt"),
+        ).collect()
+        counts = {r.piece: int(r.cnt) for r in rows}
+        for p in scores:
+            if p not in counts and len(p) == 1:
+                counts[p] = 1
+    return _unigram_finalize(counts, vocab_size)
+
+
+def _unigram_seed_local(
+    words: list[tuple[str, int]], max_piece_len: int, seed_size: int,
+) -> dict[str, int]:
+    counts: dict[str, int] = {}
+    for w, tf in words:
+        n = len(w)
+        for i in range(n):
+            for k in range(1, min(max_piece_len, n - i) + 1):
+                p = w[i:i + k]
+                counts[p] = counts.get(p, 0) + tf
+    chars = {p: c for p, c in counts.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:seed_size]
+    chars.update(dict(multi))
+    return chars
+
+
+def unigram_vocab(pieces) -> dict[str, int]:
+    """Piece → token-id mapping: pieces sorted lexicographically get ids
+    ``0..V-1`` — a pure function of the piece SET, so any engine (and the
+    pinned reference) derives identical ids."""
+    return {p: i for i, (p, _) in enumerate(sorted(pieces))}
+
+
+def unigram_token_counts(
+    df: DataFrame,
+    pieces,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document token count under a trained unigram piece list —
+    the same vocabulary-sized apply + word-key join shape as
+    :func:`bpe_token_counts` (the corpus is never segmented row by row).
+    Returns ``(id_col, n_unigram_tokens)``."""
+    from sed_spark.ext import scale_out
+
+    if vocab is None:
+        vocab = word_doc_freq(df, id_col, text_col)
+    per_word = vocab.select(
+        "word",
+        F.size(
+            unigram_segment_expr(F.col("word"), pieces),
+        ).alias("__n_sub"),
+    )
+    w = scale_out(df).select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    return (
+        w.join(per_word, "word")
+        .groupBy(id_col)
+        .agg(F.sum("__n_sub").cast("long").alias("n_unigram_tokens"))
+    )
+
+
+def unigram_encode(
+    df: DataFrame,
+    pieces,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+    unk_id: int = -1,
+) -> DataFrame:
+    """Per-document TOKEN-ID sequences under a trained unigram piece
+    list — ``(id_col, token_ids array<int>)`` in original word order;
+    the unigram twin of :func:`bpe_encode` with the identical OOV
+    contract: a word absent from an explicitly passed ``vocab`` table
+    encodes as one ``unk_id``; a segmentation falling back to an
+    out-of-vocabulary single character encodes that piece as ``unk_id``.
+    """
+    from sed_spark.ext import scale_out
+
+    if vocab is None:
+        vocab = word_doc_freq(df, id_col, text_col)
+    sym2id = unigram_vocab(pieces)
+    id_map = F.create_map(
+        *[F.lit(x) for kv in sym2id.items() for x in kv],
+    )
+    per_word = vocab.select(
+        "word",
+        F.transform(
+            unigram_segment_expr(F.col("word"), pieces),
+            lambda s: F.coalesce(
+                F.element_at(id_map, s), F.lit(int(unk_id)),
+            ).cast("int"),
+        ).alias("__ids"),
+    )
+    pos_words = scale_out(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("__pos", "word"),
+    ).filter(F.col("word") != "")
+    per_doc = (
+        pos_words.join(per_word, "word", "left")
+        .select(
+            id_col,
+            "__pos",
+            F.coalesce(
+                "__ids", F.array(F.lit(int(unk_id)).cast("int")),
+            ).alias("__ids"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__ids")),
+                    ),
+                    lambda x: x["__ids"],
+                ),
+            ).alias("token_ids"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                "token_ids", F.expr("CAST(array() AS array<int>)"),
+            ).alias("token_ids"),
         )
     )

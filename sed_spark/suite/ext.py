@@ -1865,6 +1865,29 @@ except ImportError:  # pragma: no cover - bootstrap only
     BPE_ID_DIGESTS_SF0_01 = None
     BPE_N_MERGES = 12
 
+# pinned sf0.01 unigram-LM expectations (tools/gen_unigram_expected.py)
+# — a pure-Python Kudo-style hard-EM reference, INDEPENDENT of the Spark
+# trainer: the Spark side trains live and must land on these counts and
+# id digests (round 8; same live-vs-pin contract as BPE).
+try:
+    from sed_spark.suite._unigram_expected import (
+        UNIGRAM_CORPUS_SIG_SF0_01,
+        UNIGRAM_COUNTS_SF0_01,
+        UNIGRAM_ID_DIGESTS_SF0_01,
+        UNIGRAM_MAX_PIECE_LEN,
+        UNIGRAM_N_ITER,
+        UNIGRAM_SEED_SIZE,
+        UNIGRAM_VOCAB_SIZE,
+    )
+except ImportError:  # pragma: no cover - bootstrap only
+    UNIGRAM_CORPUS_SIG_SF0_01 = None
+    UNIGRAM_COUNTS_SF0_01 = None
+    UNIGRAM_ID_DIGESTS_SF0_01 = None
+    UNIGRAM_VOCAB_SIZE = 48
+    UNIGRAM_MAX_PIECE_LEN = 4
+    UNIGRAM_N_ITER = 2
+    UNIGRAM_SEED_SIZE = 200
+
 #: per-process cache of the corpus signature check, keyed by sf_dir
 _BPE_SIG_CACHE: dict[str, bool] = {}
 
@@ -1898,6 +1921,38 @@ def _bpe_fit_cached(docs, sf_dir: str) -> list:
     if sf_dir not in _BPE_FIT_CACHE:
         _BPE_FIT_CACHE[sf_dir] = vocab.bpe_train(docs, BPE_N_MERGES)
     return _BPE_FIT_CACHE[sf_dir]
+
+
+_UNIGRAM_SIG_CACHE: dict[str, bool] = {}
+_UNIGRAM_FIT_CACHE: dict[str, list] = {}
+
+
+def _unigram_pin_applies(docs, sf_dir: str) -> bool:
+    """Content-signature gate, same contract as :func:`_bpe_pin_applies`
+    (the unigram pin is per-doc VALUES scoped to the pinned corpus)."""
+    if UNIGRAM_CORPUS_SIG_SF0_01 is None:
+        return False
+    if sf_dir not in _UNIGRAM_SIG_CACHE:
+        row = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).alias("len"),
+        ).collect()[0]
+        _UNIGRAM_SIG_CACHE[sf_dir] = (
+            int(row.n), int(row.len or 0),
+        ) == tuple(UNIGRAM_CORPUS_SIG_SF0_01)
+    return _UNIGRAM_SIG_CACHE[sf_dir]
+
+
+def _unigram_fit_cached(docs, sf_dir: str) -> list:
+    if sf_dir not in _UNIGRAM_FIT_CACHE:
+        _UNIGRAM_FIT_CACHE[sf_dir] = vocab.unigram_train(
+            docs,
+            vocab_size=UNIGRAM_VOCAB_SIZE,
+            max_piece_len=UNIGRAM_MAX_PIECE_LEN,
+            n_iter=UNIGRAM_N_ITER,
+            seed_size=UNIGRAM_SEED_SIZE,
+        )
+    return _UNIGRAM_FIT_CACHE[sf_dir]
 
 
 def _dsir_fit_cached(docs, sf_dir: str) -> list[float]:
@@ -1982,6 +2037,33 @@ def text_metrics(spark, sf_dir):
             out = out.withColumn("n_bpe_tokens", F.lit(None).cast("long"))
             out = out.withColumn(
                 "bpe_ids_digest", F.lit(None).cast("string"),
+            )
+    if UNIGRAM_COUNTS_SF0_01 is not None:
+        if _unigram_pin_applies(docs, sf_dir):
+            # round 8: live unigram-LM training (vocab.unigram_train —
+            # hard-EM over the once-aggregated vocabulary, quantized
+            # integer scores) + the Viterbi expression apply; the oracle
+            # carries per-doc counts and id digests from the independent
+            # pure-Python Kudo-style reference, so a green row proves
+            # seeding, EM, pruning, tie-breaks, and id assignment
+            fit = _unigram_fit_cached(docs, sf_dir)
+            uni = vocab.unigram_token_counts(docs, fit)
+            out = out.join(uni, "doc_id")
+            uenc = vocab.unigram_encode(docs, fit)
+            out = out.join(
+                uenc.select(
+                    "doc_id",
+                    F.md5(F.concat_ws(",", "token_ids"))
+                    .alias("unigram_ids_digest"),
+                ),
+                "doc_id",
+            )
+        else:
+            out = out.withColumn(
+                "n_unigram_tokens", F.lit(None).cast("long"),
+            )
+            out = out.withColumn(
+                "unigram_ids_digest", F.lit(None).cast("string"),
             )
     return out
 
@@ -2218,7 +2300,8 @@ thr AS (
 {_retrieval_sql_ctes()}
 {_retrieval_wrap(
     f"SELECT keyed.*, CAST(keyed.gumbel_key >= thr.kth AS INTEGER) "
-    f"AS is_sampled {_bpe_col_sql()}FROM keyed {_bpe_join_sql()}"
+    f"AS is_sampled {_bpe_col_sql()}{_unigram_col_sql()}"
+    f"FROM keyed {_bpe_join_sql()}{_unigram_join_sql()}"
     f"CROSS JOIN thr",
 )}"""
 
@@ -2258,6 +2341,39 @@ def _bpe_join_sql() -> str:
         "ON bpe.doc_id = keyed.doc_id\n"
         f"LEFT JOIN (VALUES {dvalues}) AS bpeids(doc_id, digest) "
         "ON bpeids.doc_id = keyed.doc_id\n"
+    )
+
+
+def _unigram_col_sql() -> str:
+    # same content-signature gating as _bpe_col_sql: off-signature BOTH
+    # engines emit NULL (_unigram_pin_applies mirrors this CASE)
+    if UNIGRAM_COUNTS_SF0_01 is None:  # pragma: no cover - bootstrap only
+        return ""
+    n, text_len = UNIGRAM_CORPUS_SIG_SF0_01
+    gate = (
+        f"(SELECT count(*) FROM documents) = {n} "
+        f"AND (SELECT sum(length(text)) FROM documents) = {text_len} "
+    )
+    return (
+        f", CASE WHEN {gate}"
+        "THEN CAST(uni.cnt AS BIGINT) ELSE NULL END AS n_unigram_tokens\n"
+        f", CASE WHEN {gate}"
+        "THEN uniids.digest ELSE NULL END AS unigram_ids_digest\n"
+    )
+
+
+def _unigram_join_sql() -> str:
+    if UNIGRAM_COUNTS_SF0_01 is None:  # pragma: no cover - bootstrap only
+        return ""
+    values = ", ".join(f"({d}, {c})" for d, c in UNIGRAM_COUNTS_SF0_01)
+    dvalues = ", ".join(
+        f"({d}, '{h}')" for d, h in (UNIGRAM_ID_DIGESTS_SF0_01 or [])
+    )
+    return (
+        f"LEFT JOIN (VALUES {values}) AS uni(doc_id, cnt) "
+        "ON uni.doc_id = keyed.doc_id\n"
+        f"LEFT JOIN (VALUES {dvalues}) AS uniids(doc_id, digest) "
+        "ON uniids.doc_id = keyed.doc_id\n"
     )
 
 

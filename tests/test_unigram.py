@@ -1,0 +1,153 @@
+"""Unigram-LM tokenizer: trainer engines, segmentation DP, encode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sed_spark.ext.vocab import (
+    UNIGRAM_UNK_SCORE_MICRO,
+    _viterbi_local,
+    unigram_encode,
+    unigram_segment_expr,
+    unigram_token_counts,
+    unigram_train,
+    unigram_vocab,
+)
+
+DOCS = [
+    (0, "spark sparkly park parking lot"),
+    (1, "spark spark park lot lot lot"),
+    (2, "parking sparkly spark"),
+    (3, "a lot of sparkly parks"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_segment_expr_matches_python_viterbi(spark):
+    # random piece tables + random words: the expression DP and the
+    # driver-side reference must agree exactly, tie-breaks included
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcd"
+    pieces = {c: 2_000_000 for c in alpha}
+    for _ in range(12):
+        k = rng.randint(2, 4)
+        p = "".join(rng.choice(alpha) for _ in range(k))
+        pieces[p] = rng.randrange(500_000, 3_000_000)
+    plist = sorted(pieces.items())
+    words = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(1, 10)))
+        for _ in range(60)
+    ] + ["", "a", "xyz"]  # empty word, single char, out-of-alphabet
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    got = {
+        r["word"]: tuple(r["seg"])
+        for r in df.select(
+            "word",
+            unigram_segment_expr(F.col("word"), plist, 4).alias("seg"),
+        ).collect()
+    }
+    for w in words:
+        want = _viterbi_local(w, pieces, 4) if w else ()
+        assert got[w] == want, (w, got[w], want)
+
+
+def test_unigram_train_engines_identical(spark):
+    df = _docs(spark)
+    local = unigram_train(df, vocab_size=16, max_piece_len=3, n_iter=2,
+                          seed_size=40)
+    dist = unigram_train(df, vocab_size=16, max_piece_len=3, n_iter=2,
+                         seed_size=40, local_vocab_threshold=0)
+    assert local == dist
+    assert len(local) == 16
+    pieces = [p for p, _ in local]
+    assert pieces == sorted(pieces)
+    # every alphabet char survives pruning
+    alphabet = {c for _, t in DOCS for c in t.replace(" ", "")}
+    assert alphabet <= set(pieces)
+    # scores are positive quantized micro-nats (count < total always)
+    assert all(isinstance(s, int) and s > 0 for _, s in local)
+
+
+def test_unigram_train_guards(spark):
+    df = _docs(spark)
+    with pytest.raises(ValueError, match="vocab_size"):
+        unigram_train(df, vocab_size=1)
+    with pytest.raises(ValueError, match="below alphabet"):
+        unigram_train(df, vocab_size=3, max_piece_len=2, n_iter=1)
+
+
+def test_unigram_token_counts_and_encode_roundtrip(spark):
+    df = _docs(spark)
+    pieces = unigram_train(df, vocab_size=20, max_piece_len=3, n_iter=2,
+                           seed_size=40)
+    counts = {
+        r["doc_id"]: r["n_unigram_tokens"]
+        for r in unigram_token_counts(df, pieces).collect()
+    }
+    enc = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in unigram_encode(df, pieces).collect()
+    }
+    assert set(counts) == set(enc) == {0, 1, 2, 3}
+    # token counts equal the encoded sequence lengths
+    for d in counts:
+        assert counts[d] == len(enc[d]), d
+    # ids decode back to the original text through the id->piece table
+    id2p = {i: p for p, i in unigram_vocab(pieces).items()}
+    scores = dict(pieces)
+    for doc_id, text in DOCS:
+        want = [
+            p for w in text.split(" ") for p in _viterbi_local(w, scores, 3)
+        ]
+        assert [id2p[i] for i in enc[doc_id]] == want
+        assert "".join(want) == text.replace(" ", "")
+
+
+def test_unigram_encode_oov_contract(spark):
+    # vocab table from corpus A, encode corpus B: a word missing from the
+    # vocab -> one unk; an out-of-alphabet char in a KNOWN word cannot
+    # happen (vocab words define the alphabet), so unk fallback pieces
+    # only appear via the foreign-vocab path
+    base = _docs(spark)
+    pieces = unigram_train(base, vocab_size=20, max_piece_len=3, n_iter=1,
+                           seed_size=40)
+    from sed_spark.ext.vocab import word_doc_freq
+
+    vocab = word_doc_freq(base)
+    other = spark.createDataFrame(
+        [(9, "spark zzz lot"), (10, "")], ["doc_id", "text"],
+    )
+    enc = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in unigram_encode(other, pieces, vocab=vocab, unk_id=-1).collect()
+    }
+    scores = dict(pieces)
+    want_spark = [unigram_vocab(pieces)[p]
+                  for p in _viterbi_local("spark", scores, 3)]
+    want_lot = [unigram_vocab(pieces)[p]
+                for p in _viterbi_local("lot", scores, 3)]
+    assert enc[9] == want_spark + [-1] + want_lot
+    assert enc[10] == []
+
+
+def test_unigram_oov_char_segments_at_unk_cost(spark):
+    # out-of-alphabet chars take the single-char unk fallback instead of
+    # failing the DP
+    plist = [("a", 1_000_000), ("ab", 1_500_000), ("b", 1_000_000)]
+    df = spark.createDataFrame([("aZb",), ("ZZ",)], ["word"])
+    got = {
+        r["word"]: tuple(r["seg"])
+        for r in df.select(
+            "word", unigram_segment_expr(F.col("word"), plist).alias("seg"),
+        ).collect()
+    }
+    assert got["aZb"] == ("a", "Z", "b")
+    assert got["ZZ"] == ("Z", "Z")
+    assert _viterbi_local("aZb", dict(plist), 2) == ("a", "Z", "b")
+    assert UNIGRAM_UNK_SCORE_MICRO > 10 * 1_500_000

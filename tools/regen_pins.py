@@ -1,6 +1,6 @@
 """Regenerate EVERY pinned oracle artifact in one shot.
 
-The suite pins six fitted artifacts against sf0.01 testdata so the
+The suite pins seven fitted artifacts against sf0.01 testdata so the
 oracle can carry them as literals while the Spark side fits live:
 
 * ``sed_spark/suite/_trained_centroids.py`` — IVF k-means fit
@@ -9,6 +9,9 @@ oracle can carry them as literals while the Spark side fits live:
   (tools/gen_dsir_logratios.py)
 * ``sed_spark/suite/_bpe_expected.py`` — BPE merges + per-doc counts
   from the independent pure-Python reference (tools/gen_bpe_expected.py)
+* ``sed_spark/suite/_unigram_expected.py`` — unigram-LM pieces + per-doc
+  counts/digests from the independent pure-Python reference
+  (tools/gen_unigram_expected.py)
 * ``sed_spark/suite/_trained_classifier.py`` — logistic-regression fit
   (tools/gen_trained_classifier.py)
 * ``sed_spark/suite/_pq_codebooks.py`` — product-quantization codebooks
@@ -36,6 +39,7 @@ def main() -> None:
         "tools/gen_trained_centroids.py",
         "tools/gen_dsir_logratios.py",
         "tools/gen_bpe_expected.py",
+        "tools/gen_unigram_expected.py",
         "tools/gen_trained_classifier.py",
         "tools/gen_pq_codebooks.py",
         "tools/gen_ivfpq_codebooks.py",
