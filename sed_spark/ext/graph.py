@@ -422,6 +422,7 @@ def triangle_count(
     b_col: str = "b_id",
     nodes: DataFrame | None = None,
     node_col: str | None = None,
+    orient: bool = True,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected graph — the local
     clustering signal (a dedup pair-graph node inside many triangles
@@ -452,9 +453,15 @@ def triangle_count(
     max out-degree is O(√m) for ANY degree distribution, so per-node
     wedge fan-out is bounded and total wedge volume is O(m^1.5) worst
     case — exact counts, no caps, no sampling. Cost: one degree
-    aggregate + two degree-attach joins more than the naive plan;
-    both joins are on edge endpoints (never skewed beyond the input's
-    own layout).
+    aggregate + two degree-attach joins more than the naive plan —
+    measured ~3x wall on a BOUNDED-degree (~20) graph at 1e7 edges
+    (SCALING.md), and identical wall on a 10%-of-edges-on-one-hub graph
+    where the naive plan's 5e11 hub wedges would never finish. That
+    trade picks the default: ``orient=True`` is the only plan that
+    survives an unknown degree distribution at 100 TB; pass
+    ``orient=False`` for a graph KNOWN to be bounded-degree (a banded
+    dedup pair graph with per-bucket caps) to take the cheaper
+    middle-node wedge join — both paths are exact and result-identical.
 
     Returns ``(node, n_triangles)`` for every node of ``nodes`` (or
     every edge endpoint when ``nodes`` is None), 0 for triangle-free
@@ -468,44 +475,61 @@ def triangle_count(
         )
         .distinct()
     )
-    deg = (
-        canon.select(F.col("u").alias("node"))
-        .unionAll(canon.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    with_deg = (
-        canon.join(deg.select(F.col("node").alias("u"),
-                              F.col("deg").alias("du")), "u")
-        .join(deg.select(F.col("node").alias("v"),
-                         F.col("deg").alias("dv")), "v")
-    )
-    # orient small ≺ large under the total (degree, id) order; carry the
-    # destination's rank so the wedge filter below can order x ≺ y
-    # without re-joining degrees
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = with_deg.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
-    )
-    o2 = oriented.select(
-        F.col("src"), F.col("dst").alias("dst2"), F.col("ddeg").alias("ddeg2"),
-    )
-    x_first = (F.col("ddeg") < F.col("ddeg2")) | (
-        (F.col("ddeg") == F.col("ddeg2")) & (F.col("dst") < F.col("dst2"))
-    )
-    wedges = oriented.join(o2, "src").filter(x_first)
-    closing = oriented.select(
-        F.col("src").alias("dst"), F.col("dst").alias("dst2"),
-    )
-    tris = wedges.join(closing, ["dst", "dst2"], "left_semi")
-    per_node = (
-        tris.select(F.explode(F.array("src", "dst", "dst2")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    if orient:
+        deg = (
+            canon.select(F.col("u").alias("node"))
+            .unionAll(canon.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        with_deg = (
+            canon.join(deg.select(F.col("node").alias("u"),
+                                  F.col("deg").alias("du")), "u")
+            .join(deg.select(F.col("node").alias("v"),
+                             F.col("deg").alias("dv")), "v")
+        )
+        # orient small ≺ large under the total (degree, id) order; carry
+        # the destination's rank so the wedge filter below can order
+        # x ≺ y without re-joining degrees
+        u_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        oriented = with_deg.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+        )
+        o2 = oriented.select(
+            F.col("src"), F.col("dst").alias("dst2"),
+            F.col("ddeg").alias("ddeg2"),
+        )
+        x_first = (F.col("ddeg") < F.col("ddeg2")) | (
+            (F.col("ddeg") == F.col("ddeg2")) & (F.col("dst") < F.col("dst2"))
+        )
+        wedges = oriented.join(o2, "src").filter(x_first)
+        closing = oriented.select(
+            F.col("src").alias("dst"), F.col("dst").alias("dst2"),
+        )
+        tris = wedges.join(closing, ["dst", "dst2"], "left_semi").select(
+            F.explode(F.array("src", "dst", "dst2")).alias("node"),
+        )
+    else:
+        # middle-node wedge join: edges (u,v) ⋈ (v,w) on v — both inputs
+        # <-ordered, so every wedge comes out u < v < w exactly once;
+        # close on the (u,w) edge. Cheaper by the degree machinery, but a
+        # degree-d hub emits d(d-1)/2 wedges — bounded-degree inputs only
+        e_mid = canon.select(F.col("u").alias("v"), F.col("v").alias("w"))
+        naive_wedges = canon.join(e_mid, "v").select("u", "v", "w")
+        naive_closing = canon.select(
+            F.col("u").alias("cu"), F.col("v").alias("cw"),
+        )
+        tris = naive_wedges.join(
+            naive_closing,
+            (F.col("u") == F.col("cu")) & (F.col("w") == F.col("cw")),
+            "left_semi",
+        ).select(F.explode(F.array("u", "v", "w")).alias("node"))
+    per_node = tris.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles"),
     )
     if nodes is not None:
         node_col = node_col or nodes.columns[0]

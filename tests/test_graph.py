@@ -320,6 +320,12 @@ def test_triangle_count_matches_bruteforce_random(spark):
         for r in triangle_count(edges, nodes=nodes).collect()
     }
     assert got == want
+    # the orient=False middle-node plan is result-identical
+    naive = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(edges, nodes=nodes, orient=False).collect()
+    }
+    assert naive == want
 
 
 def test_triangle_count_skewed_hub_exact_and_bounded_wedges(spark):

@@ -174,6 +174,17 @@ def main() -> None:
                   ("e", "f"), ("4", "5"), ("ab", "cd"), ("6", "7")]
         return lambda: run_noop(vocab.bpe_token_counts(d, merges))
 
+    def _unigram_counts(n):
+        # fixed 20-piece table over hex-digit words (application cost;
+        # training is vocabulary-sized, not corpus-sized — same contract
+        # as the bpe_token_counts row)
+        d = pin(synth_docs(spark, n))
+        pieces = sorted(
+            {c: 2_000_000 for c in "0123456789abcdef"}.items(),
+        ) + [("ab", 1_500_000), ("cd", 1_500_000),
+             ("abc", 1_200_000), ("f0", 1_500_000)]
+        return lambda: run_noop(vocab.unigram_token_counts(d, pieces))
+
     def _gumbel(n):
         d = pin(synth_docs(spark, n).withColumn("w", F.rand(5)))
         return lambda: run_noop(
@@ -600,6 +611,49 @@ def main() -> None:
         )
         return lambda: run_noop(graph.label_propagation(d, n_iter=3))
 
+    def _weighted_cap(n):
+        # A-ES weighted cap: 100 domains, cap 1000 survivors each — one
+        # keyed window rank over the hash-derived key
+        par = spark.sparkContext.defaultParallelism * 4
+        d = pin(
+            spark.range(0, n, 1, par).select(
+                F.col("id").alias("doc_id"),
+                (F.col("id") % 100).cast("string").alias("domain"),
+                (F.rand(17) + 0.01).alias("w"),
+            ),
+        )
+        return lambda: run_noop(
+            corpus.weighted_cap_sample(d, cap=1000, weight_col="w"),
+        )
+
+    def _quantile_by_exact(n):
+        # exact percentile mode (the oracle-audit path): sorts each
+        # group's values inside the aggregate — memory-bound per group,
+        # so the honest sizes stop a decade below the approx row's
+        par = spark.sparkContext.defaultParallelism * 4
+        d = pin(
+            spark.range(0, n, 1, par).select(
+                (F.col("id") % 100).alias("g"),
+                (F.rand(7) * 1000).alias("value"),
+            ),
+        )
+        return lambda: run_noop(
+            corpus.quantile_by(d, "value", "g", [0.5, 0.9, 0.99],
+                               exact=True),
+        )
+
+    def _robust_exact(n):
+        par = spark.sparkContext.defaultParallelism * 4
+        d = pin(
+            spark.range(0, n, 1, par).select(
+                (F.col("id") % 100).alias("g"),
+                (F.rand(13) * 1000).alias("value"),
+            ),
+        )
+        return lambda: run_noop(
+            corpus.robust_stats_by(d, "value", "g", k=3.0, exact=True),
+        )
+
     def _kmv(n):
         # bottom-256 distinct-hash sketch: distinct + TakeOrdered(k)
         d = pin(
@@ -656,6 +710,30 @@ def main() -> None:
         )
         return lambda: run_noop(graph.triangle_count(d, "a_id", "b_id"))
 
+    def _triangles_hub(n):
+        # adversarial skew: 10% of edges hit ONE hub node. The naive
+        # middle-node wedge join generates d^2/2 ≈ n^2/200 hub wedges
+        # (5e11 at 1e7 — a straggler that never finishes); degree-ordered
+        # orientation (round 8) pivots wedges at the ≺-smaller endpoint,
+        # so the hub only fans out toward its few ≺-larger peers and the
+        # row scales like the uniform graph
+        par = spark.sparkContext.defaultParallelism * 4
+        nodes = max(n // 10, 10)
+        d = pin(
+            spark.range(0, n, 1, par).select(
+                F.when(F.col("id") % 10 == 0, F.lit(0).cast("int"))
+                .otherwise(
+                    F.pmod(F.hash((F.col("id") * 2).cast("string")),
+                           F.lit(nodes)),
+                ).alias("a_id"),
+                F.pmod(
+                    F.hash((F.col("id") * 2 + 1).cast("string")),
+                    F.lit(nodes),
+                ).alias("b_id"),
+            ),
+        )
+        return lambda: run_noop(graph.triangle_count(d, "a_id", "b_id"))
+
     def _stream_enrich(n):
         # file-source replay of the stream-static broadcast enrichment:
         # n events probe a 10k-row dimension, no join state
@@ -704,6 +782,7 @@ def main() -> None:
         ("dsir_score (literal-fold projection)", [10**5, 10**6, 10**7], _dsir),
         ("word_doc_freq (2-stage agg)", [10**5, 10**6, 10**7], _word_doc_freq),
         ("bpe_token_counts (vocab join-back)", [10**5, 10**6, 10**7], _bpe_counts),
+        ("unigram_token_counts (Viterbi apply)", [10**5, 10**6, 10**7], _unigram_counts),
         ("gumbel_topk (2-pass sample)", [10**5, 10**6, 10**7], _gumbel),
         ("semantic_dedup (k scaled, ~500/cluster)", [10**4, 10**5], _semantic_dedup),
         ("minhash_jaccard_estimate (pair joins)", [10**5, 10**6], _jaccard_est),
@@ -728,10 +807,14 @@ def main() -> None:
         ("quantile_by (100 grp x 3 probs, approx)", [10**6, 10**7, 10**8], _quantile_by),
         ("decayed_stats_by (100 keys)", [10**6, 10**7, 10**8], _decayed_stats),
         ("triangle_count (deg~20 graph)", [10**5, 10**6, 10**7], _triangles),
+        ("triangle_count (10% edges on 1 hub)", [10**5, 10**6, 10**7], _triangles_hub),
         ("streaming_enrich (10k-dim replay)", [10**5, 10**6, 10**7], _stream_enrich),
         ("kmv_sketch (k=256 bottom-k)", [10**6, 10**7, 10**8], _kmv),
         ("label_propagation (3 rounds, deg~20)", [10**5, 10**6, 10**7], _lpa),
         ("robust_stats_by (100 grp med/MAD)", [10**6, 10**7, 10**8], _robust),
+        ("robust_stats_by EXACT percentiles", [10**5, 10**6, 10**7], _robust_exact),
+        ("quantile_by EXACT (oracle-audit mode)", [10**5, 10**6, 10**7], _quantile_by_exact),
+        ("weighted_cap_sample (100 dom, cap 1k)", [10**6, 10**7, 10**8], _weighted_cap),
         ("random_project 64->16 + topk", [10**5, 10**6, 10**7], _rp),
         ("funnel_steps (3 steps, n/100 users)", [10**6, 10**7, 10**8], _funnel),
     ]
