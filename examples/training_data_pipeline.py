@@ -170,6 +170,14 @@ def main() -> None:
     packed = text.pack_sequences(train_tok, "n_bpe_tokens", budget=2048)
     n_packs = packed.agg(F.max("pack_id")).collect()[0][0] + 1
 
+    # 9c. the other tokenizer family (round 8): unigram-LM pieces via
+    # deterministic hard-EM, then the Viterbi expression apply — token
+    # counts under the learned pieces for the same packing accounting
+    pieces = vocab.unigram_train(docs, vocab_size=40, max_piece_len=4,
+                                 n_iter=2, seed_size=120)
+    uni_tok = vocab.unigram_token_counts(docs, pieces)
+    n_uni_tokens = uni_tok.agg(F.sum("n_unigram_tokens")).collect()[0][0]
+
     # 9b. round-5 operators: BM25 retrieval against a probe query (the
     # retrieval-style decontamination screen), PageRank centrality over
     # the near-dup pair graph (the canonical-pick signal), a trained
@@ -307,6 +315,8 @@ def main() -> None:
     print(f"dsir resample kept {n_resampled} docs")
     print(f"bpe merges: {merges}")
     print(f"bpe-encoded corpus: {n_total_ids} token ids")
+    print(f"unigram pieces: {len(pieces)}; corpus = {n_uni_tokens} "
+          "unigram tokens")
     for r in grp:
         print(f"  split={r['split']:<5} ~distinct docs={r['estimate']}")
     print(f"train split packs into {n_packs} x 2048-token windows")
