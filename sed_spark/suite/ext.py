@@ -397,8 +397,14 @@ def dedup_clusters(spark, sf_dir):
     )
     # triangle branch (round 7): per-doc triangle count over the same
     # pair graph — the local-clique signal; rides in rank_micro (the
-    # row's one numeric slot), cluster columns NULL
-    tri = graph.triangle_count(pairs, nodes=docs.select("doc_id"))
+    # row's one numeric slot), cluster columns NULL. The banded LSH
+    # pair graph is bounded-degree by construction (per-bucket caps),
+    # so this takes the documented orient=False fast path; the
+    # degree-oriented default — result-identical, unit-tested — is for
+    # unknown degree distributions (see graph.triangle_count)
+    tri = graph.triangle_count(
+        pairs, nodes=docs.select("doc_id"), orient=False,
+    )
     out.append(
         tri.select(
             F.lit("triangles").alias("method"),

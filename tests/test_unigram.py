@@ -151,3 +151,43 @@ def test_unigram_oov_char_segments_at_unk_cost(spark):
     assert got["ZZ"] == ("Z", "Z")
     assert _viterbi_local("aZb", dict(plist), 2) == ("a", "Z", "b")
     assert UNIGRAM_UNK_SCORE_MICRO > 10 * 1_500_000
+
+
+def test_unigram_engines_identical_on_random_corpora(spark):
+    # property check: for random word-soup corpora the driver-local and
+    # distributed-E-step fits must be bit-identical, and the expression
+    # apply must agree with the Python Viterbi under the learned pieces
+    import random
+
+    from sed_spark.ext.vocab import word_doc_freq
+
+    rng = random.Random(1234)
+    alpha = "abcdef"
+    for trial in range(3):
+        words = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 8)))
+            for _ in range(30)
+        ]
+        docs = spark.createDataFrame(
+            [
+                (i, " ".join(rng.choice(words)
+                             for _ in range(rng.randint(3, 12))))
+                for i in range(25)
+            ],
+            ["doc_id", "text"],
+        )
+        kw = dict(vocab_size=12, max_piece_len=3, n_iter=2, seed_size=30)
+        local = unigram_train(docs, **kw)
+        dist = unigram_train(docs, local_vocab_threshold=0, **kw)
+        assert local == dist, f"trial {trial}"
+        scores = dict(local)
+        vocab = word_doc_freq(docs)
+        got = {
+            r["word"]: tuple(r["seg"])
+            for r in vocab.select(
+                "word",
+                unigram_segment_expr(F.col("word"), local, 3).alias("seg"),
+            ).collect()
+        }
+        for w, seg in got.items():
+            assert seg == _viterbi_local(w, scores, 3), (trial, w)
