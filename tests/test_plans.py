@@ -366,6 +366,19 @@ def test_grouped_hll_is_two_hash_aggregates(spark):
     assert "Expand" not in plan and "Window" not in plan
 
 
+def test_semi_anti_join_suite_row_plan_shape(spark):
+    # the round-8 folded row: EXISTS/NOT EXISTS as real semi/anti joins,
+    # skew/salted routing broadcast-shaped, correlated Q17/Q21/Q22
+    # decorrelated — never a cartesian or a nested-loop fallback
+    from sed_spark.suite.relational import semi_anti_join
+
+    plan = _plan(semi_anti_join(spark, SF_DIR))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan  # hot-key routing + Q17 agg probe
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_skew_join_hot_branch_is_broadcast(spark):
     from sed_spark.dfops import skew_join
     from sed_spark.suite.common import load
