@@ -28,7 +28,13 @@ import numpy as np
 
 from sed_spark.binning.core import BinnedData
 
-__all__ = ["nexus_tree", "write_nexus_h5", "to_nexus"]
+__all__ = [
+    "nexus_tree",
+    "write_nexus_h5",
+    "to_nexus",
+    "validate_nexus_tree",
+    "NXMPES_REQUIRED",
+]
 
 _AXIS_UNITS = {
     "energy": "eV",
@@ -69,6 +75,9 @@ def nexus_tree(
     title: str = "sed_spark binned data",
     metadata: dict[str, Any] | None = None,
     units: dict[str, str] | None = None,
+    start_time: str | None = None,
+    instrument: dict[str, Any] | None = None,
+    sample: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
     """NXmpes hierarchy for a binned cube, as a serializer-agnostic tree.
 
@@ -81,6 +90,10 @@ def nexus_tree(
       dataset per axis (bin centers) with a ``units`` attribute
     - ``entry/process`` (``NXprocess``): program provenance + bin spec
     - ``entry/metadata``: recursive ``NXcollection`` mirror of ``metadata``
+    - optional ``start_time`` dataset plus ``entry/instrument``
+      (``NXinstrument``) and ``entry/sample`` (``NXsample``) groups built
+      from plain dicts — the fields the NXmpes application definition
+      requires of a complete file (see :func:`validate_nexus_tree`)
     """
     unit_map = {**_AXIS_UNITS, **(units or {})}
     root = _group({"default": "entry", "NX_class": "NXroot"})
@@ -88,6 +101,16 @@ def nexus_tree(
     root["children"]["entry"] = entry
     entry["children"]["definition"] = _dataset(definition)
     entry["children"]["title"] = _dataset(title)
+    if start_time is not None:
+        entry["children"]["start_time"] = _dataset(str(start_time))
+    if instrument is not None:
+        inst = _metadata_group(instrument)
+        inst["attrs"]["NX_class"] = "NXinstrument"
+        entry["children"]["instrument"] = inst
+    if sample is not None:
+        smp = _metadata_group(sample)
+        smp["attrs"]["NX_class"] = "NXsample"
+        entry["children"]["sample"] = smp
 
     data = _group(
         {
@@ -117,6 +140,104 @@ def nexus_tree(
     if metadata:
         entry["children"]["metadata"] = _metadata_group(metadata)
     return root
+
+
+#: minimal required-content checklist for an NXmpes file, derived from
+#: the PUBLIC NXmpes application definition (nexusformat.org NXDL:
+#: NXmpes requires an NXentry carrying title, start_time, definition =
+#: NXmpes, an NXinstrument, an NXsample, and an NXdata with an energy
+#: axis). Paths are '/'-joined dataset/group names under the root.
+NXMPES_REQUIRED: tuple[tuple[str, str], ...] = (
+    ("entry", "group"),
+    ("entry/title", "dataset"),
+    ("entry/start_time", "dataset"),
+    ("entry/definition", "dataset"),
+    ("entry/instrument", "group"),
+    ("entry/sample", "group"),
+    ("entry/data", "group"),
+    ("entry/data/energy", "dataset"),
+)
+
+
+def _tree_get(tree: dict[str, Any], path: str) -> dict[str, Any] | None:
+    node: dict[str, Any] | None = tree
+    for part in path.split("/"):
+        if node is None or "children" not in node:
+            return None
+        node = node["children"].get(part)
+    return node
+
+
+def validate_nexus_tree(
+    tree: dict[str, Any],
+    definition: str = "NXmpes",
+    strict: bool = False,
+) -> list[str]:
+    """Dependency-free NeXus validation: returns a list of problems
+    (empty = passes), or raises ``ValueError`` when ``strict``.
+
+    Two layers, both from PUBLIC format rules:
+
+    * **NXdata contract** (the part every NeXus consumer relies on):
+      ``@signal`` names an existing dataset; every ``@axes`` entry has a
+      dataset whose length matches the signal's shape along its
+      ``@AXISNAME_indices`` dimension; axis datasets carry a ``units``
+      attribute.
+    * **Application-definition checklist** (``NXMPES_REQUIRED``): the
+      required groups/datasets of the public NXmpes NXDL, including
+      ``definition`` matching ``definition``.
+
+    This is a CHECKLIST validator, deliberately smaller than pynxtools'
+    full NXDL walk (reference src/sed/io/nexus.py:14-47 delegates to it);
+    it catches the structural mistakes that make a file unreadable, and
+    the reference's converter remains the strict path when installed.
+    """
+    problems: list[str] = []
+    for path, kind in NXMPES_REQUIRED:
+        node = _tree_get(tree, path)
+        if node is None:
+            problems.append(f"missing required {kind} {path!r}")
+        elif kind == "group" and "children" not in node:
+            problems.append(f"{path!r} must be a group, found a dataset")
+        elif kind == "dataset" and "children" in node:
+            problems.append(f"{path!r} must be a dataset, found a group")
+    defn = _tree_get(tree, "entry/definition")
+    if defn is not None and "data" in defn and defn["data"] != definition:
+        problems.append(
+            f"entry/definition is {defn['data']!r}, expected {definition!r}",
+        )
+    data = _tree_get(tree, "entry/data")
+    if data is not None and "children" in data:
+        attrs, children = data["attrs"], data["children"]
+        signal = attrs.get("signal")
+        if signal is None:
+            problems.append("entry/data lacks the @signal attribute")
+        elif signal not in children:
+            problems.append(f"@signal={signal!r} names no dataset")
+        else:
+            shape = np.shape(children[signal].get("data"))
+            for axis in attrs.get("axes", []):
+                if axis not in children:
+                    problems.append(f"@axes entry {axis!r} has no dataset")
+                    continue
+                idx = attrs.get(f"{axis}_indices")
+                if idx is None:
+                    problems.append(f"missing @{axis}_indices attribute")
+                elif not (0 <= int(idx) < len(shape)) or (
+                    len(np.shape(children[axis].get("data")))
+                    and np.shape(children[axis]["data"])[0] != shape[int(idx)]
+                ):
+                    problems.append(
+                        f"axis {axis!r} length does not match signal dim "
+                        f"{idx} of shape {shape}",
+                    )
+                if "units" not in children[axis]["attrs"]:
+                    problems.append(f"axis {axis!r} lacks a units attribute")
+    if strict and problems:
+        raise ValueError(
+            "NeXus tree fails validation:\n  " + "\n  ".join(problems),
+        )
+    return problems
 
 
 def _write_node(h5group, name: str, node: dict[str, Any]) -> None:
@@ -153,20 +274,42 @@ def to_nexus(
     reader: str = "mpes",
     definition: str = "NXmpes",
     input_files: Any = (),
+    strict_validation: bool = False,
     **kwds: Any,
 ) -> None:
     """NXmpes export (reference src/sed/io/nexus.py:14-47).
 
-    Uses the ``pynxtools`` converter when installed (reference parity path);
-    otherwise writes the :func:`nexus_tree` directly via ``h5py``.
+    Uses the ``pynxtools`` converter when installed (reference parity
+    path); otherwise writes the :func:`nexus_tree` directly via ``h5py``
+    after :func:`validate_nexus_tree` — problems warn by default (the
+    tree may legitimately lack e.g. ``start_time`` when the caller has
+    no acquisition metadata) and raise under ``strict_validation``.
+    Tree-building kwargs (``metadata``, ``start_time``, ``instrument``,
+    ``sample``, ``title``, ``units``) pass through to
+    :func:`nexus_tree` on the fallback path.
     """
     try:
         from pynxtools.dataconverter.convert import convert
     except ImportError:
-        write_nexus_h5(
-            nexus_tree(res, definition=definition, metadata=kwds.get("metadata")),
-            faddr,
+        tree_kwds = {
+            k: kwds[k]
+            for k in ("metadata", "start_time", "instrument", "sample",
+                      "title", "units")
+            if k in kwds
+        }
+        tree = nexus_tree(res, definition=definition, **tree_kwds)
+        problems = validate_nexus_tree(
+            tree, definition=definition, strict=strict_validation,
         )
+        if problems:
+            import warnings
+
+            warnings.warn(
+                "NeXus tree incomplete against the NXmpes checklist: "
+                + "; ".join(problems),
+                stacklevel=2,
+            )
+        write_nexus_h5(tree, faddr)
         return
     files = (input_files,) if isinstance(input_files, str) else tuple(input_files)
     convert(

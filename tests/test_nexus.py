@@ -63,3 +63,62 @@ def test_write_gated_on_h5py(tmp_path):
     with h5py.File(out) as f:
         assert f["entry/data"].attrs["signal"] == "data"
         np.testing.assert_array_equal(f["entry/data/data"][()], _res().data)
+
+
+def test_validator_passes_complete_tree_and_lists_gaps():
+    from sed_spark.nexus import validate_nexus_tree
+
+    # bare tree: structural NXdata contract holds, but the NXmpes
+    # checklist flags the missing acquisition fields
+    bare = nexus_tree(_res())
+    probs = validate_nexus_tree(bare)
+    assert any("start_time" in p for p in probs)
+    assert any("instrument" in p for p in probs)
+    assert any("sample" in p for p in probs)
+    assert not any("signal" in p or "axes" in p for p in probs)
+    # complete tree: checklist-clean
+    full = nexus_tree(
+        _res(),
+        start_time="2026-08-15T00:00:00Z",
+        instrument={"beamline": "X", "energy_resolution": 0.03},
+        sample={"name": "WSe2"},
+    )
+    assert validate_nexus_tree(full) == []
+    inst = full["children"]["entry"]["children"]["instrument"]
+    assert inst["attrs"]["NX_class"] == "NXinstrument"
+    assert inst["children"]["beamline"]["data"] == "X"
+
+
+def test_validator_catches_structural_breakage():
+    import pytest as _pytest
+
+    from sed_spark.nexus import validate_nexus_tree
+
+    tree = nexus_tree(
+        _res(), start_time="t", instrument={"a": 1}, sample={"name": "s"},
+    )
+    data = tree["children"]["entry"]["children"]["data"]
+    # a broken signal pointer short-circuits the (shape-dependent) axis
+    # checks — one problem, loudly
+    data["attrs"]["signal"] = "nope"
+    probs = validate_nexus_tree(tree)
+    assert any("@signal='nope'" in p for p in probs)
+    with _pytest.raises(ValueError, match="fails validation"):
+        validate_nexus_tree(tree, strict=True)
+    # with the signal intact, a stripped units attribute is caught
+    data["attrs"]["signal"] = "data"
+    del data["children"]["delay"]["attrs"]["units"]
+    probs = validate_nexus_tree(tree)
+    assert any("units" in p for p in probs)
+
+
+def test_validator_checks_axis_length_against_signal_dim():
+    from sed_spark.nexus import validate_nexus_tree
+
+    tree = nexus_tree(
+        _res(), start_time="t", instrument={"a": 1}, sample={"name": "s"},
+    )
+    data = tree["children"]["entry"]["children"]["data"]
+    data["children"]["energy"]["data"] = data["children"]["energy"]["data"][:2]
+    probs = validate_nexus_tree(tree)
+    assert any("does not match signal dim" in p for p in probs)
