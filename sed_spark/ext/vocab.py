@@ -41,6 +41,8 @@ __all__ = [
     "unigram_vocab",
     "unigram_encode",
     "UNIGRAM_UNK_SCORE_MICRO",
+    "wordpiece_pieces_expr",
+    "wordpiece_token_counts",
 ]
 
 
@@ -1028,4 +1030,162 @@ def unigram_encode(
                 "token_ids", F.expr("CAST(array() AS array<int>)"),
             ).alias("token_ids"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece greedy encoder (BERT-family tokenization)
+# ---------------------------------------------------------------------------
+
+def _wordpiece_local(
+    word: str,
+    piece_set: frozenset | set,
+    max_piece_len: int,
+    unk_token: str = "[UNK]",
+    cont_prefix: str = "##",
+) -> tuple[str, ...]:
+    """Driver-side mirror of :func:`wordpiece_pieces_expr` — BERT's
+    WordpieceTokenizer rule: greedy LONGEST-match-first left to right;
+    pieces matched past the word start must carry the continuation
+    prefix in the vocab (``##ing``); any position with no match makes
+    the WHOLE word ``unk_token`` (the published algorithm's all-or-
+    nothing contract, unlike unigram's per-char fallback)."""
+    n = len(word)
+    if n == 0:
+        return ()
+    out: list[str] = []
+    i = 0
+    while i < n:
+        matched = None
+        for k in range(min(max_piece_len, n - i), 0, -1):
+            cand = word[i:i + k] if i == 0 else cont_prefix + word[i:i + k]
+            if cand in piece_set:
+                matched = cand
+                break
+        if matched is None:
+            return (unk_token,)
+        out.append(matched)
+        i += len(matched) - (len(cont_prefix) if i > 0 else 0)
+    return tuple(out)
+
+
+def wordpiece_pieces_expr(
+    word: Column,
+    pieces,
+    max_piece_len: int | None = None,
+    unk_token: str = "[UNK]",
+    cont_prefix: str = "##",
+) -> Column:
+    """WordPiece segmentation of a word column as ``array<string>``,
+    entirely in expressions (the greedy twin of
+    :func:`unigram_segment_expr`'s Viterbi DP).
+
+    ``pieces`` is the vocab's piece iterable — word-initial surfaces
+    plain, continuation surfaces ``##``-prefixed, exactly how BERT
+    vocabularies ship. It rides as a literal map (value 1 — only
+    membership matters), so matching is pure string lookups: bit-
+    identical on any engine. One fold over positions; each step tries
+    the LONGEST candidate first (a coalesce over length-descending
+    lookups). A position with no match poisons the word to
+    ``[unk_token]`` — the published all-or-nothing rule.
+    """
+    plist = sorted(set(pieces))
+    if max_piece_len is None:
+        max_piece_len = max(
+            (len(p) - (len(cont_prefix) if p.startswith(cont_prefix) else 0)
+             for p in plist),
+            default=1,
+        )
+    member = F.create_map(
+        *[F.lit(x) for p in plist for x in (p, 1)],
+    )
+    n = F.length(word)
+
+    def step(acc, _):
+        pos = acc["pos"]  # 0-based chars consumed
+        at_start = pos == 0
+        cands = []
+        for k in range(max_piece_len, 0, -1):
+            surface = word.substr(pos + 1, F.lit(k))
+            cand = F.when(
+                at_start, surface,
+            ).otherwise(F.concat(F.lit(cont_prefix), surface))
+            cands.append(
+                F.when(
+                    (pos + F.lit(k) <= n)
+                    & F.element_at(member, cand).isNotNull(),
+                    cand,
+                ),
+            )
+        best = F.coalesce(*cands, F.lit(None).cast("string"))
+        step_len = F.length(best) - F.when(
+            at_start, F.lit(0),
+        ).otherwise(F.lit(len(cont_prefix)))
+        done_or_failed = (pos >= n) | acc["failed"]
+        return F.when(done_or_failed, acc).otherwise(
+            F.when(
+                best.isNull(),
+                F.struct(
+                    n.alias("pos"),
+                    F.lit(True).alias("failed"),
+                    F.array(F.lit(unk_token)).alias("ps"),
+                ),
+            ).otherwise(
+                F.struct(
+                    (pos + step_len).alias("pos"),
+                    F.lit(False).alias("failed"),
+                    F.concat(acc["ps"], F.array(best)).alias("ps"),
+                ),
+            ),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("int").alias("pos"),
+        F.lit(False).alias("failed"),
+        F.expr("CAST(array() AS array<string>)").alias("ps"),
+    )
+    folded = F.aggregate(
+        # each step consumes >= 1 char, so n steps always finish;
+        # sequence(1, 0) would be descending — clamp and gate on n > 0
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        init,
+        step,
+        lambda acc: acc["ps"],
+    )
+    return F.when(n > 0, folded).otherwise(
+        F.expr("CAST(array() AS array<string>)"),
+    )
+
+
+def wordpiece_token_counts(
+    df: DataFrame,
+    pieces,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+    unk_token: str = "[UNK]",
+) -> DataFrame:
+    """Per-document token count under a WordPiece vocab — the same
+    vocabulary-sized apply + word-key join shape as
+    :func:`bpe_token_counts` / :func:`unigram_token_counts`. Returns
+    ``(id_col, n_wordpiece_tokens)``."""
+    from sed_spark.ext import scale_out
+
+    if vocab is None:
+        vocab = word_doc_freq(df, id_col, text_col)
+    per_word = vocab.select(
+        "word",
+        F.size(
+            wordpiece_pieces_expr(F.col("word"), pieces,
+                                  unk_token=unk_token),
+        ).alias("__n_sub"),
+    )
+    w = scale_out(df).select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    return (
+        w.join(per_word, "word")
+        .groupBy(id_col)
+        .agg(F.sum("__n_sub").cast("long").alias("n_wordpiece_tokens"))
     )

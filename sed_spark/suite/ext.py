@@ -1884,6 +1884,7 @@ try:
         UNIGRAM_N_ITER,
         UNIGRAM_SEED_SIZE,
         UNIGRAM_VOCAB_SIZE,
+        WORDPIECE_COUNTS_SF0_01,
     )
 except ImportError:  # pragma: no cover - bootstrap only
     UNIGRAM_CORPUS_SIG_SF0_01 = None
@@ -1893,6 +1894,7 @@ except ImportError:  # pragma: no cover - bootstrap only
     UNIGRAM_MAX_PIECE_LEN = 4
     UNIGRAM_N_ITER = 2
     UNIGRAM_SEED_SIZE = 200
+    WORDPIECE_COUNTS_SF0_01 = None
 
 #: per-process cache of the corpus signature check, keyed by sf_dir
 _BPE_SIG_CACHE: dict[str, bool] = {}
@@ -2064,12 +2066,26 @@ def text_metrics(spark, sf_dir):
                 ),
                 "doc_id",
             )
+            # WordPiece greedy encode (round 8) over the SAME live fit:
+            # vocab = every learned piece word-initial AND
+            # ##-continuation; the oracle carries the independent
+            # reference's per-doc counts, so a green row proves the
+            # longest-match-first fold, the all-or-nothing [UNK] rule,
+            # and the continuation-prefix handling
+            wp_vocab = (
+                [p for p, _ in fit] + ["##" + p for p, _ in fit]
+            )
+            wp = vocab.wordpiece_token_counts(docs, wp_vocab)
+            out = out.join(wp, "doc_id")
         else:
             out = out.withColumn(
                 "n_unigram_tokens", F.lit(None).cast("long"),
             )
             out = out.withColumn(
                 "unigram_ids_digest", F.lit(None).cast("string"),
+            )
+            out = out.withColumn(
+                "n_wordpiece_tokens", F.lit(None).cast("long"),
             )
     return out
 
@@ -2365,6 +2381,8 @@ def _unigram_col_sql() -> str:
         "THEN CAST(uni.cnt AS BIGINT) ELSE NULL END AS n_unigram_tokens\n"
         f", CASE WHEN {gate}"
         "THEN uniids.digest ELSE NULL END AS unigram_ids_digest\n"
+        f", CASE WHEN {gate}"
+        "THEN CAST(wp.cnt AS BIGINT) ELSE NULL END AS n_wordpiece_tokens\n"
     )
 
 
@@ -2375,11 +2393,16 @@ def _unigram_join_sql() -> str:
     dvalues = ", ".join(
         f"({d}, '{h}')" for d, h in (UNIGRAM_ID_DIGESTS_SF0_01 or [])
     )
+    wvalues = ", ".join(
+        f"({d}, {c})" for d, c in (WORDPIECE_COUNTS_SF0_01 or [])
+    )
     return (
         f"LEFT JOIN (VALUES {values}) AS uni(doc_id, cnt) "
         "ON uni.doc_id = keyed.doc_id\n"
         f"LEFT JOIN (VALUES {dvalues}) AS uniids(doc_id, digest) "
         "ON uniids.doc_id = keyed.doc_id\n"
+        f"LEFT JOIN (VALUES {wvalues}) AS wp(doc_id, cnt) "
+        "ON wp.doc_id = keyed.doc_id\n"
     )
 
 

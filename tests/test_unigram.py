@@ -191,3 +191,55 @@ def test_unigram_engines_identical_on_random_corpora(spark):
         }
         for w, seg in got.items():
             assert seg == _viterbi_local(w, scores, 3), (trial, w)
+
+
+# ---------------------------------------------------------------------------
+# WordPiece greedy encoder
+# ---------------------------------------------------------------------------
+
+def test_wordpiece_matches_python_mirror_and_bert_rules(spark):
+    from sed_spark.ext.vocab import (
+        _wordpiece_local,
+        wordpiece_pieces_expr,
+    )
+
+    # BERT-style vocab: word-initial surfaces plain, continuations ##'d
+    vocab = ["un", "##aff", "##able", "##ing", "play", "##play",
+             "a", "##a", "##b", "b", "affable"]
+    words = ["unaffable", "playing", "play", "unplayable",
+             "aaa", "abba", "zzz", "az", "a", ""]
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    got = {
+        r["word"]: tuple(r["ps"])
+        for r in df.select(
+            "word",
+            wordpiece_pieces_expr(F.col("word"), vocab).alias("ps"),
+        ).collect()
+    }
+    pset = frozenset(vocab)
+    for w in words:
+        assert got[w] == _wordpiece_local(w, pset, 7), (w, got[w])
+    # the canonical example: longest-match-first, continuations prefixed
+    assert got["unaffable"] == ("un", "##aff", "##able")
+    assert got["playing"] == ("play", "##ing")
+    # all-or-nothing: one uncovered position poisons the whole word
+    assert got["zzz"] == ("[UNK]",)
+    assert got["az"] == ("[UNK]",)  # 'z' has no continuation piece
+    assert got[""] == ()
+
+
+def test_wordpiece_token_counts_join_shape(spark):
+    from sed_spark.ext.vocab import wordpiece_token_counts
+
+    docs = spark.createDataFrame(
+        [(0, "play playing zzz"), (1, "unaffable play")],
+        ["doc_id", "text"],
+    )
+    vocab = ["un", "##aff", "##able", "##ing", "play"]
+    got = {
+        r["doc_id"]: r["n_wordpiece_tokens"]
+        for r in wordpiece_token_counts(docs, vocab).collect()
+    }
+    # doc 0: play(1) + play,##ing(2) + [UNK](1) = 4
+    # doc 1: un,##aff,##able(3) + play(1) = 4
+    assert got == {0: 4, 1: 4}

@@ -91,6 +91,27 @@ def py_unigram_train(word_tf: dict[str, int]):
     return sorted(quantize(kept).items())
 
 
+def wordpiece(word: str, pset: set, max_len: int) -> tuple[str, ...]:
+    """Reference WordPiece greedy longest-match-first; continuation
+    surfaces are ##-prefixed in the vocab; any uncovered position makes
+    the whole word [UNK] (BERT's all-or-nothing rule)."""
+    if not word:
+        return ()
+    out, i, n = [], 0, len(word)
+    while i < n:
+        hit = None
+        for k in range(min(max_len, n - i), 0, -1):
+            cand = word[i:i + k] if i == 0 else "##" + word[i:i + k]
+            if cand in pset:
+                hit = cand
+                break
+        if hit is None:
+            return ("[UNK]",)
+        out.append(hit)
+        i += len(hit) - (2 if i > 0 else 0)
+    return tuple(out)
+
+
 def main() -> None:
     import duckdb
 
@@ -119,6 +140,16 @@ def main() -> None:
             int(doc_id),
             hashlib.md5(",".join(str(i) for i in ids).encode()).hexdigest(),
         ))
+    # WordPiece expectations over the SAME fit: vocab = every learned
+    # piece word-initial AND ##-continuation (the standard derivation
+    # when one piece inventory serves both positions); counts via the
+    # reference greedy above
+    wp_vocab = {p for p, _ in pieces} | {"##" + p for p, _ in pieces}
+    wp_cache = {w: wordpiece(w, wp_vocab, MAX_PIECE_LEN) for w in word_tf}
+    wp_counts = [
+        (int(doc_id), sum(len(wp_cache[w]) for w in text.split(" ")))
+        for doc_id, text in rows
+    ]
     sig = (len(rows), sum(len(text) for _, text in rows))
     with open(OUT, "w") as f:
         f.write(
@@ -140,10 +171,14 @@ def main() -> None:
         f.write("]\n\nUNIGRAM_ID_DIGESTS_SF0_01 = [\n")
         for doc_id, h in digests:
             f.write(f"    ({doc_id}, {h!r}),\n")
+        f.write("]\n\nWORDPIECE_COUNTS_SF0_01 = [\n")
+        for doc_id, c in wp_counts:
+            f.write(f"    ({doc_id}, {c}),\n")
         f.write("]\n")
     print(
         f"wrote {len(pieces)} pieces, {len(counts)} counts, "
-        f"{len(digests)} digests, sig={sig} to {OUT}",
+        f"{len(digests)} digests, {len(wp_counts)} wordpiece counts, "
+        f"sig={sig} to {OUT}",
     )
 
 
