@@ -177,6 +177,12 @@ def main() -> None:
                                  n_iter=2, seed_size=120)
     uni_tok = vocab.unigram_token_counts(docs, pieces)
     n_uni_tokens = uni_tok.agg(F.sum("n_unigram_tokens")).collect()[0][0]
+    # WordPiece greedy encode over the same inventory (word-initial +
+    # ##-continuation surfaces)
+    wp_vocab = [p for p, _ in pieces] + ["##" + p for p, _ in pieces]
+    n_wp_tokens = vocab.wordpiece_token_counts(docs, wp_vocab).agg(
+        F.sum("n_wordpiece_tokens"),
+    ).collect()[0][0]
 
     # 9b. round-5 operators: BM25 retrieval against a probe query (the
     # retrieval-style decontamination screen), PageRank centrality over
@@ -316,7 +322,7 @@ def main() -> None:
     print(f"bpe merges: {merges}")
     print(f"bpe-encoded corpus: {n_total_ids} token ids")
     print(f"unigram pieces: {len(pieces)}; corpus = {n_uni_tokens} "
-          "unigram tokens")
+          f"unigram / {n_wp_tokens} wordpiece tokens")
     for r in grp:
         print(f"  split={r['split']:<5} ~distinct docs={r['estimate']}")
     print(f"train split packs into {n_packs} x 2048-token windows")

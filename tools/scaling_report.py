@@ -185,6 +185,15 @@ def main() -> None:
              ("abc", 1_200_000), ("f0", 1_500_000)]
         return lambda: run_noop(vocab.unigram_token_counts(d, pieces))
 
+    def _wordpiece_counts(n):
+        # greedy longest-match fold over hex-digit words under a 36-piece
+        # vocab (16 chars + ## continuations + 2 multi) — application
+        # cost, same per-vocabulary-word contract as the other tokenizers
+        d = pin(synth_docs(spark, n))
+        chars = list("0123456789abcdef")
+        wp_vocab = chars + ["##" + c for c in chars] + ["ab", "##cd"]
+        return lambda: run_noop(vocab.wordpiece_token_counts(d, wp_vocab))
+
     def _gumbel(n):
         d = pin(synth_docs(spark, n).withColumn("w", F.rand(5)))
         return lambda: run_noop(
@@ -783,6 +792,7 @@ def main() -> None:
         ("word_doc_freq (2-stage agg)", [10**5, 10**6, 10**7], _word_doc_freq),
         ("bpe_token_counts (vocab join-back)", [10**5, 10**6, 10**7], _bpe_counts),
         ("unigram_token_counts (Viterbi apply)", [10**5, 10**6, 10**7], _unigram_counts),
+        ("wordpiece_token_counts (greedy fold)", [10**5, 10**6, 10**7], _wordpiece_counts),
         ("gumbel_topk (2-pass sample)", [10**5, 10**6, 10**7], _gumbel),
         ("semantic_dedup (k scaled, ~500/cluster)", [10**4, 10**5], _semantic_dedup),
         ("minhash_jaccard_estimate (pair joins)", [10**5, 10**6], _jaccard_est),
