@@ -177,9 +177,8 @@ def main() -> None:
                                  n_iter=2, seed_size=120)
     uni_tok = vocab.unigram_token_counts(docs, pieces)
     n_uni_tokens = uni_tok.agg(F.sum("n_unigram_tokens")).collect()[0][0]
-    # WordPiece greedy encode over the same inventory (word-initial +
-    # ##-continuation surfaces)
-    wp_vocab = [p for p, _ in pieces] + ["##" + p for p, _ in pieces]
+    # WordPiece: likelihood-merge training + greedy longest-match encode
+    wp_vocab = vocab.wordpiece_train(docs, n_merges=8)
     n_wp_tokens = vocab.wordpiece_token_counts(docs, wp_vocab).agg(
         F.sum("n_wordpiece_tokens"),
     ).collect()[0][0]

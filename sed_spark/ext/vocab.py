@@ -43,6 +43,9 @@ __all__ = [
     "UNIGRAM_UNK_SCORE_MICRO",
     "wordpiece_pieces_expr",
     "wordpiece_token_counts",
+    "wordpiece_train",
+    "wordpiece_symbols_expr",
+    "WORDPIECE_SCORE_SCALE",
 ]
 
 
@@ -1189,3 +1192,214 @@ def wordpiece_token_counts(
         .groupBy(id_col)
         .agg(F.sum("__n_sub").cast("long").alias("n_wordpiece_tokens"))
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece trainer (Schuster & Nakajima 2012 / BERT likelihood merges)
+# ---------------------------------------------------------------------------
+
+#: fixed-point multiplier for the WordPiece merge score. The published
+#: objective picks the adjacent pair maximizing cnt(xy)/(cnt(x)*cnt(y));
+#: ranking exact fractions distributedly needs one sortable integer, so
+#: both engines (and the pinned reference) use the FLOOR-quotient
+#: cnt(xy)*SCALE div (cnt(x)*cnt(y)) — exact integer semantics, and the
+#: quotient fits int64 because cnt(xy) <= min(cnt(x), cnt(y)) bounds it
+#: by SCALE.
+WORDPIECE_SCORE_SCALE = 10**18
+
+
+def wordpiece_symbols_expr(word: Column, cont_prefix: str = "##") -> Column:
+    """A word as its initial WordPiece symbol sequence: first character
+    plain, every later character continuation-prefixed (``abc`` →
+    ``[a, ##b, ##c]``) — the training start state."""
+    n = F.length(word)
+    tail = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
+            lambda i: F.concat(F.lit(cont_prefix), word.substr(i, F.lit(1))),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    return F.when(
+        n > 0,
+        F.concat(F.array(word.substr(F.lit(1), F.lit(1))), tail),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def _wp_fuse(a: str, b: str, cont_prefix: str = "##") -> str:
+    """Fused surface of an adjacent symbol pair: the right symbol is
+    always a continuation (it follows something), so the fusion strips
+    its prefix and keeps the left symbol's position status."""
+    return a + b[len(cont_prefix):]
+
+
+def _wp_apply_expr(symbols: Column, a: str, b: str,
+                   cont_prefix: str = "##") -> Column:
+    """One WordPiece merge as the same left-to-right non-overlapping
+    fold as :func:`bpe_apply_expr`, with the prefix-stripping fusion."""
+    fused = _wp_fuse(a, b, cont_prefix)
+
+    def step(acc, x):
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b))
+        )
+        return F.when(
+            hit,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(fused)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(
+        symbols, F.expr("CAST(array() AS array<string>)"), step,
+    )
+
+
+def _wp_train_local(
+    words: list[tuple[list[str], int]],
+    n_merges: int,
+    cont_prefix: str = "##",
+) -> list[str]:
+    """Driver-local WordPiece merge loop — identical pick rule to the
+    distributed engine: maximize the floor-quotient likelihood score,
+    ties by ``(l, r)`` lexicographic."""
+    vocab_new: list[str] = []
+    for _ in range(n_merges):
+        unit: dict[str, int] = {}
+        pair: dict[tuple[str, str], int] = {}
+        for s, tf in words:
+            for x in s:
+                unit[x] = unit.get(x, 0) + tf
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pair[p] = pair.get(p, 0) + tf
+        if not pair:
+            break
+        best = None
+        for (l, r), c in pair.items():
+            score = c * WORDPIECE_SCORE_SCALE // (unit[l] * unit[r])
+            key = (-score, l, r)
+            if best is None or key < best:
+                best = key
+        a, b = best[1], best[2]
+        fused = _wp_fuse(a, b, cont_prefix)
+        vocab_new.append(fused)
+        for idx, (s, tf) in enumerate(words):
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = fused
+                else:
+                    out.append(x)
+            words[idx] = (out, tf)
+    return vocab_new
+
+
+def wordpiece_train(
+    df: DataFrame,
+    n_merges: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+    cont_prefix: str = "##",
+    local_vocab_threshold: int = 2_000_000,
+) -> list[str]:
+    """Distributed WordPiece vocabulary training (Schuster & Nakajima,
+    ICASSP 2012 — the BERT tokenizer's learner): iteratively fuse the
+    adjacent symbol pair with the highest LIKELIHOOD score
+    ``cnt(xy)/(cnt(x)·cnt(y))`` (where BPE uses raw ``cnt(xy)``),
+    starting from first-char-plain / ``##``-continuation symbols.
+    Scores rank through the exact integer floor quotient
+    (:data:`WORDPIECE_SCORE_SCALE`), ties by ``(l, r)`` — the fit is a
+    pure function of the corpus on any engine.
+
+    Returns the learned vocabulary: base symbols (every word-initial
+    char plain + every continuation char ``##``-prefixed, sorted) then
+    each merge's fused surface in merge order — directly consumable by
+    :func:`wordpiece_pieces_expr` / :func:`wordpiece_token_counts`.
+
+    Scale contract (same as :func:`bpe_train` / :func:`unigram_train`):
+    ONE corpus aggregation into the (word, tf) vocabulary; the merge
+    loop is driver-local under ``local_vocab_threshold`` or, above it,
+    per merge ONE vocabulary-sized pair+unit count aggregate whose
+    top-1 scored row reaches the driver, then an expression-only fold.
+    """
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    if vocab is None:
+        vocab = word_doc_freq(df, id_col, text_col)
+    sym_plan = vocab.select(
+        "tf", wordpiece_symbols_expr(F.col("word"), cont_prefix).alias("sym"),
+    )
+    if local_vocab_threshold > 0:
+        probe = sym_plan.limit(local_vocab_threshold + 1).collect()
+        if len(probe) <= local_vocab_threshold:
+            words = [(list(r.sym), int(r.tf)) for r in probe]
+            base = sorted({x for s, _ in words for x in s})
+            return base + _wp_train_local(words, n_merges, cont_prefix)
+    sym = sym_plan.localCheckpoint(eager=True)
+    base = sorted(
+        r.x
+        for r in sym.select(F.explode("sym").alias("x")).distinct().collect()
+    )
+    merges: list[str] = []
+    for _ in range(n_merges):
+        units = (
+            sym.select("tf", F.explode("sym").alias("x"))
+            .groupBy("x")
+            .agg(F.sum("tf").cast("long").alias("cnt"))
+        )
+        pairs = (
+            sym.select(
+                "tf",
+                F.explode(
+                    F.when(
+                        F.size("sym") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size("sym") - 2),
+                            lambda i: F.struct(
+                                F.element_at(F.col("sym"), (i + 1).cast("int"))
+                                .alias("l"),
+                                F.element_at(F.col("sym"), (i + 2).cast("int"))
+                                .alias("r"),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.expr(
+                            "CAST(array() AS array<struct<l:string,r:string>>)",
+                        ),
+                    ),
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("tf").cast("long").alias("cnt"))
+        )
+        # decimal widening BEFORE the multiply (a long product of
+        # cnt * 10^18 overflows); the floor quotient itself fits long
+        scored = (
+            pairs.join(units.select(F.col("x").alias("l"),
+                                    F.col("cnt").alias("cl")), "l")
+            .join(units.select(F.col("x").alias("r"),
+                               F.col("cnt").alias("cr")), "r")
+            .select(
+                "l", "r",
+                F.expr(
+                    f"CAST(CAST(cnt AS DECIMAL(38,0)) * "
+                    f"{WORDPIECE_SCORE_SCALE} div "
+                    "(CAST(cl AS DECIMAL(38,0)) * cr) AS BIGINT)",
+                ).alias("score"),
+            )
+        )
+        top = scored.orderBy(
+            F.col("score").desc(), F.col("l").asc(), F.col("r").asc(),
+        ).limit(1).collect()
+        if not top:
+            break
+        a, b = top[0].l, top[0].r
+        merges.append(_wp_fuse(a, b, cont_prefix))
+        sym = sym.select(
+            "tf", _wp_apply_expr(F.col("sym"), a, b, cont_prefix).alias("sym"),
+        ).localCheckpoint(eager=True)
+    return base + merges

@@ -1885,6 +1885,7 @@ try:
         UNIGRAM_SEED_SIZE,
         UNIGRAM_VOCAB_SIZE,
         WORDPIECE_COUNTS_SF0_01,
+        WORDPIECE_N_MERGES,
     )
 except ImportError:  # pragma: no cover - bootstrap only
     UNIGRAM_CORPUS_SIG_SF0_01 = None
@@ -1895,6 +1896,7 @@ except ImportError:  # pragma: no cover - bootstrap only
     UNIGRAM_N_ITER = 2
     UNIGRAM_SEED_SIZE = 200
     WORDPIECE_COUNTS_SF0_01 = None
+    WORDPIECE_N_MERGES = 12
 
 #: per-process cache of the corpus signature check, keyed by sf_dir
 _BPE_SIG_CACHE: dict[str, bool] = {}
@@ -1961,6 +1963,17 @@ def _unigram_fit_cached(docs, sf_dir: str) -> list:
             seed_size=UNIGRAM_SEED_SIZE,
         )
     return _UNIGRAM_FIT_CACHE[sf_dir]
+
+
+_WORDPIECE_FIT_CACHE: dict[str, list] = {}
+
+
+def _wordpiece_fit_cached(docs, sf_dir: str) -> list:
+    if sf_dir not in _WORDPIECE_FIT_CACHE:
+        _WORDPIECE_FIT_CACHE[sf_dir] = vocab.wordpiece_train(
+            docs, n_merges=WORDPIECE_N_MERGES,
+        )
+    return _WORDPIECE_FIT_CACHE[sf_dir]
 
 
 def _dsir_fit_cached(docs, sf_dir: str) -> list[float]:
@@ -2066,15 +2079,14 @@ def text_metrics(spark, sf_dir):
                 ),
                 "doc_id",
             )
-            # WordPiece greedy encode (round 8) over the SAME live fit:
-            # vocab = every learned piece word-initial AND
-            # ##-continuation; the oracle carries the independent
-            # reference's per-doc counts, so a green row proves the
-            # longest-match-first fold, the all-or-nothing [UNK] rule,
-            # and the continuation-prefix handling
-            wp_vocab = (
-                [p for p, _ in fit] + ["##" + p for p, _ in fit]
-            )
+            # WordPiece (round 8): LIVE likelihood-merge training
+            # (vocab.wordpiece_train — exact integer floor-quotient
+            # scores) + the greedy longest-match expression encode; the
+            # oracle carries the independent reference's per-doc counts
+            # under ITS OWN trained vocab, so a green row proves the
+            # learner (scores, tie-breaks, ##-fusion) and the encoder
+            # (longest-match fold, all-or-nothing [UNK]) end to end
+            wp_vocab = _wordpiece_fit_cached(docs, sf_dir)
             wp = vocab.wordpiece_token_counts(docs, wp_vocab)
             out = out.join(wp, "doc_id")
         else:

@@ -243,3 +243,62 @@ def test_wordpiece_token_counts_join_shape(spark):
     # doc 0: play(1) + play,##ing(2) + [UNK](1) = 4
     # doc 1: un,##aff,##able(3) + play(1) = 4
     assert got == {0: 4, 1: 4}
+
+
+def test_wordpiece_train_engines_identical_and_encode_consistent(spark):
+    from sed_spark.ext.vocab import (
+        _wordpiece_local,
+        wordpiece_pieces_expr,
+        wordpiece_train,
+    )
+
+    df = _docs(spark)
+    local = wordpiece_train(df, n_merges=6)
+    dist = wordpiece_train(df, n_merges=6, local_vocab_threshold=0)
+    assert local == dist
+    # base symbols: word-initial chars plain + continuation chars ##'d,
+    # then 6 fused surfaces in merge order
+    base = [p for p in local if len(p.lstrip("#")) == 1 or p in ("##",)]
+    assert len(local) == len(set(local))
+    initials = {t.split(" ")[0][0] for _, t in DOCS} | {
+        w[0] for _, t in DOCS for w in t.split(" ")
+    }
+    assert all(w[0] in local for _, t in DOCS for w in t.split(" ") if w)
+    # every trained piece either starts a word or continues one
+    for p in local:
+        assert p == p.strip(), p
+    # the greedy encoder over the trained vocab reproduces the mirror
+    # and covers the training corpus without [UNK]
+    pset = frozenset(local)
+    max_len = max(len(p) - (2 if p.startswith("##") else 0) for p in local)
+    words = sorted({w for _, t in DOCS for w in t.split(" ")})
+    wdf = spark.createDataFrame([(w,) for w in words], ["word"])
+    got = {
+        r["word"]: tuple(r["ps"])
+        for r in wdf.select(
+            "word",
+            wordpiece_pieces_expr(F.col("word"), local).alias("ps"),
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == _wordpiece_local(w, pset, max_len), w
+        assert "[UNK]" not in got[w], w
+        # decode: strip ## and re-concatenate
+        assert "".join(p.lstrip("#") if p.startswith("##") else p
+                       for p in got[w]) == w
+
+
+def test_wordpiece_train_prefers_likelihood_over_raw_count(spark):
+    # BPE picks the most FREQUENT pair; WordPiece the most LIKELY one:
+    # "xy" appears 4x but x and y are everywhere (score 4/(8*8));
+    # "qz" appears 2x and q/z appear nowhere else (score 2/(2*2)) —
+    # WordPiece must fuse q+z first, BPE would fuse x+y
+    from sed_spark.ext.vocab import bpe_train, wordpiece_train
+
+    docs = spark.createDataFrame(
+        [(0, "xy xy qz"), (1, "xy xy qz yx yx yx yx")],
+        ["doc_id", "text"],
+    )
+    wp = wordpiece_train(docs, n_merges=1)
+    assert wp[-1] == "qz"
+    assert bpe_train(docs, n_merges=1) == [("x", "y")]

@@ -91,6 +91,52 @@ def py_unigram_train(word_tf: dict[str, int]):
     return sorted(quantize(kept).items())
 
 
+WP_N_MERGES = 12
+WP_SCALE = 10**18  # must equal vocab.WORDPIECE_SCORE_SCALE
+
+
+def py_wordpiece_train(word_tf: dict[str, int]) -> list[str]:
+    """Reference WordPiece learner (Schuster & Nakajima likelihood
+    merges): start from first-char-plain / ##-continuation symbols,
+    iteratively fuse the pair maximizing the exact floor quotient
+    cnt(xy)*WP_SCALE // (cnt(x)*cnt(y)), ties (l, r) lexicographic.
+    Returns base symbols (sorted) + fused surfaces in merge order."""
+    words = []
+    for w, tf in word_tf.items():
+        if w:
+            words.append(([w[0]] + ["##" + c for c in w[1:]], tf))
+    base = sorted({x for s, _ in words for x in s})
+    merges: list[str] = []
+    for _ in range(WP_N_MERGES):
+        unit: dict[str, int] = {}
+        pair: dict[tuple[str, str], int] = {}
+        for s, tf in words:
+            for x in s:
+                unit[x] = unit.get(x, 0) + tf
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pair[p] = pair.get(p, 0) + tf
+        if not pair:
+            break
+        best = None
+        for (l, r), c in pair.items():
+            key = (-(c * WP_SCALE // (unit[l] * unit[r])), l, r)
+            if best is None or key < best:
+                best = key
+        a, b = best[1], best[2]
+        fused = a + b[2:]
+        merges.append(fused)
+        for idx, (s, tf) in enumerate(words):
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = fused
+                else:
+                    out.append(x)
+            words[idx] = (out, tf)
+    return base + merges
+
+
 def wordpiece(word: str, pset: set, max_len: int) -> tuple[str, ...]:
     """Reference WordPiece greedy longest-match-first; continuation
     surfaces are ##-prefixed in the vocab; any uncovered position makes
@@ -140,12 +186,15 @@ def main() -> None:
             int(doc_id),
             hashlib.md5(",".join(str(i) for i in ids).encode()).hexdigest(),
         ))
-    # WordPiece expectations over the SAME fit: vocab = every learned
-    # piece word-initial AND ##-continuation (the standard derivation
-    # when one piece inventory serves both positions); counts via the
-    # reference greedy above
-    wp_vocab = {p for p, _ in pieces} | {"##" + p for p, _ in pieces}
-    wp_cache = {w: wordpiece(w, wp_vocab, MAX_PIECE_LEN) for w in word_tf}
+    # WordPiece expectations: the reference LEARNER above trains the
+    # vocab (likelihood merges), the reference greedy encoder counts
+    # under it — so the pinned counts certify the Spark trainer AND the
+    # expression encoder end to end
+    wp_pieces = py_wordpiece_train(word_tf)
+    wp_vocab = set(wp_pieces)
+    wp_max = max(len(p) - (2 if p.startswith("##") else 0)
+                 for p in wp_pieces)
+    wp_cache = {w: wordpiece(w, wp_vocab, wp_max) for w in word_tf}
     wp_counts = [
         (int(doc_id), sum(len(wp_cache[w]) for w in text.split(" ")))
         for doc_id, text in rows
@@ -162,8 +211,10 @@ def main() -> None:
             f"UNIGRAM_MAX_PIECE_LEN = {MAX_PIECE_LEN}\n"
             f"UNIGRAM_N_ITER = {N_ITER}\n"
             f"UNIGRAM_SEED_SIZE = {SEED_SIZE}\n\n"
+            f"WORDPIECE_N_MERGES = {WP_N_MERGES}\n\n"
             f"UNIGRAM_CORPUS_SIG_SF0_01 = {sig!r}\n\n"
             f"UNIGRAM_PIECES_SF0_01 = {pieces!r}\n\n"
+            f"WORDPIECE_PIECES_SF0_01 = {wp_pieces!r}\n\n"
             "UNIGRAM_COUNTS_SF0_01 = [\n",
         )
         for doc_id, c in counts:
