@@ -302,3 +302,20 @@ def test_wordpiece_train_prefers_likelihood_over_raw_count(spark):
     wp = wordpiece_train(docs, n_merges=1)
     assert wp[-1] == "qz"
     assert bpe_train(docs, n_merges=1) == [("x", "y")]
+
+
+def test_wordpiece_train_degenerate_inputs(spark):
+    from sed_spark.ext.vocab import wordpiece_train
+
+    # single-char words: no pairs, the loop breaks early and the vocab
+    # is just the base symbols
+    docs = spark.createDataFrame([(0, "a b a c")], ["doc_id", "text"])
+    assert wordpiece_train(docs, n_merges=5) == ["a", "b", "c"]
+    # n_merges above the available merge count: stops when pairs run dry
+    docs2 = spark.createDataFrame([(0, "ab ab")], ["doc_id", "text"])
+    got = wordpiece_train(docs2, n_merges=50)
+    assert got == ["##b", "a", "ab"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_merges"):
+        wordpiece_train(docs, n_merges=0)
