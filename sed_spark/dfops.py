@@ -836,6 +836,7 @@ def point_in_interval_join(
     max_buckets: int = 4096,
     how: str = "inner",
     id_col: str | None = None,
+    validate_id: bool = False,
 ) -> DataFrame:
     """Distributed point-in-interval (range) join: every point row paired
     with every interval row whose ``[lo, hi)`` (or ``[lo, hi]``) range
@@ -869,6 +870,12 @@ def point_in_interval_join(
     until session LRU pressure or an explicit ``unpersist`` — fine for
     batch jobs, a slow leak in a long-lived session, so prefer
     ``id_col`` there.
+
+    The ``id_col`` contract is NOT checked by default: a NULL id drops
+    its row's matches (null-unsafe equi-join) and a duplicate id fans
+    matches out multiplicatively — silently wrong results, not errors.
+    Pass ``validate_id=True`` in debug/test paths to spend one aggregate
+    job asserting the column is non-null and unique before joining.
     """
     if bounds not in ("[)", "[]"):
         raise ValueError(f"bounds must be '[)' or '[]', got {bounds!r}")
@@ -932,6 +939,24 @@ def point_in_interval_join(
         # the same deterministic source, nothing to pin, nothing cached
         if id_col not in points.columns:
             raise ValueError(f"id_col {id_col!r} not in points columns")
+        if validate_id:
+            chk = points.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(id_col).alias("n_nonnull"),
+                F.countDistinct(id_col).alias("n_distinct"),
+            ).collect()[0]
+            if chk["n_nonnull"] != chk["n"]:
+                raise ValueError(
+                    f"id_col {id_col!r} has "
+                    f"{chk['n'] - chk['n_nonnull']} NULLs — a NULL id "
+                    "silently drops its row's matches",
+                )
+            if chk["n_distinct"] != chk["n"]:
+                raise ValueError(
+                    f"id_col {id_col!r} is not unique "
+                    f"({chk['n_distinct']} distinct of {chk['n']} rows) "
+                    "— duplicate ids silently fan matches out",
+                )
         matched = pt.join(iv, keys).filter(contain).drop("__bucket")
         return points.join(
             matched.select(id_col, *iv_cols), id_col, "left",
@@ -1104,7 +1129,11 @@ def skew_join(
     against the hot-key frame, and only its bounded COUNT reaches the
     driver (more than ``max_hot_keys`` hot keys means the distribution
     isn't "a few hot keys" and this strategy is the wrong tool; the
-    raise says so).
+    raise says so). ``max_hot_keys`` is enforced on the DETECTION path
+    only: an explicit ``hot_keys`` list is caller-sized by construction,
+    so an oversized one warns (the broadcast hot-key frame grows with
+    it, and :func:`salted_join` is probably the better tool) but still
+    runs — explicit callers keep their pre-existing behavior.
 
     Correctness shape: hot keys are defined by LEFT frequency, so a
     cold left row can never match a hot-key right row — the cold branch
@@ -1153,10 +1182,15 @@ def skew_join(
         if not vals:
             return left.join(right, keys, how)
         if len(vals) > max_hot_keys:
-            raise ValueError(
+            # caller already holds the list — size is their informed
+            # choice; warn (broadcast frame grows with it) but honor it
+            import warnings
+
+            warnings.warn(
                 f"explicit hot_keys has {len(vals)} values, above "
-                f"max_hot_keys={max_hot_keys} — that is broad skew; use "
-                "salted_join",
+                f"max_hot_keys={max_hot_keys} — that looks like broad "
+                "skew; salted_join likely scales better",
+                stacklevel=2,
             )
         hotf = left.sparkSession.createDataFrame(
             [(v,) for v in vals], schema=left.select(key).schema,

@@ -617,6 +617,16 @@ def lm_familiarity(
 #: it is only ever taken when no trained piece covers the position)
 UNIGRAM_UNK_SCORE_MICRO = 100_000_000
 
+# Viterbi DP states carry their piece arrays — O(n²) bytes over a word of
+# n chars. Per VOCABULARY word that is pennies for natural words, but one
+# pathological token (a URL, a DNA string, an unsegmented CJK run) would
+# blow executor memory, so words beyond this cap take a per-char fallback
+# segmentation instead of the DP — the same class of guard as BERT's
+# max_input_chars_per_word (=100; long words there become [UNK]).
+# 64² small states ≈ a few KiB — safe; both engines apply the identical
+# cap so fits stay bit-identical.
+UNIGRAM_MAX_WORD_LEN = 64
+
 
 def _unigram_quantize(counts: dict[str, int]) -> dict[str, int]:
     """Integer micro-nat scores from exact integer piece counts:
@@ -639,14 +649,19 @@ def _viterbi_local(
     scores: dict[str, int],
     max_piece_len: int,
     unk: int = UNIGRAM_UNK_SCORE_MICRO,
+    max_word_len: int = UNIGRAM_MAX_WORD_LEN,
 ) -> tuple[str, ...]:
     """Driver-side Viterbi segmentation — the exact tie-break contract of
     :func:`unigram_segment_expr` (and unit-tested against it): per
     position, minimize ``(cum_cost, cum_ntok, max_len - k, pieces)`` over
     candidate last-piece lengths ``k``; an out-of-vocabulary single
     character is always a candidate at ``unk`` cost, so segmentation
-    never fails."""
+    never fails. Words longer than ``max_word_len`` take the per-char
+    fallback — the same guard, and the same reason, as the expression
+    twin."""
     n = len(word)
+    if n > max_word_len:
+        return tuple(word)
     dp: list[tuple[int, int, int, tuple[str, ...]]] = [(0, 0, 0, ())] * (n + 1)
     for i in range(1, n + 1):
         cands = []
@@ -671,6 +686,7 @@ def _unigram_em_local(
     vocab_size: int,
     max_piece_len: int,
     n_iter: int,
+    max_word_len: int = UNIGRAM_MAX_WORD_LEN,
 ) -> list[tuple[str, int]]:
     """Shared M-step/prune driver logic over a count callback-free local
     E-step (the distributed engine computes the SAME per-round counts
@@ -678,7 +694,9 @@ def _unigram_em_local(
     counts = dict(seed_counts)
     for _ in range(n_iter):
         scores = _unigram_quantize(counts)
-        counts = _unigram_estep_counts_local(words, scores, max_piece_len)
+        counts = _unigram_estep_counts_local(
+            words, scores, max_piece_len, max_word_len,
+        )
     return _unigram_finalize(counts, vocab_size)
 
 
@@ -686,10 +704,12 @@ def _unigram_estep_counts_local(
     words: list[tuple[str, int]],
     scores: dict[str, int],
     max_piece_len: int,
+    max_word_len: int = UNIGRAM_MAX_WORD_LEN,
 ) -> dict[str, int]:
     counts: dict[str, int] = {}
     for w, tf in words:
-        for p in _viterbi_local(w, scores, max_piece_len):
+        for p in _viterbi_local(w, scores, max_piece_len,
+                                max_word_len=max_word_len):
             counts[p] = counts.get(p, 0) + tf
     # hard-EM zeros: unused single chars keep a floor count of 1 (the
     # alphabet must stay covered); unused multi-char pieces drop
@@ -745,6 +765,7 @@ def unigram_segment_expr(
     pieces,
     max_piece_len: int | None = None,
     unk_score_micro: int = UNIGRAM_UNK_SCORE_MICRO,
+    max_word_len: int = UNIGRAM_MAX_WORD_LEN,
 ) -> Column:
     """Viterbi-best unigram-LM segmentation of a word column as an
     ``array<string>`` of pieces, entirely in expressions — the engine-side
@@ -760,7 +781,15 @@ def unigram_segment_expr(
     tokens, longer last piece, lexicographic pieces)``. States carry
     their piece arrays, so no backtracking pass re-reads the table
     (words are whitespace tokens — the O(n²) state payload is bytes, and
-    the fold only ever runs per VOCABULARY word, never per corpus row)."""
+    the fold only ever runs per VOCABULARY word, never per corpus row).
+
+    The O(n²) payload is ENFORCED bounded: a word longer than
+    ``max_word_len`` (default :data:`UNIGRAM_MAX_WORD_LEN`) skips the DP
+    and segments per character — a CaseWhen branch, evaluated only for
+    the offending rows, so one pathological vocabulary token (URL, DNA
+    string, no-whitespace CJK run) degrades ITS OWN segmentation instead
+    of blowing executor memory. :func:`_viterbi_local` mirrors the cap
+    exactly, keeping the two engines bit-identical."""
     pieces = list(pieces)
     if max_piece_len is None:
         max_piece_len = max((len(p) for p, _ in pieces), default=1)
@@ -800,14 +829,19 @@ def unigram_segment_expr(
         ),
     )
     dp = F.aggregate(
-        # sequence(1, 0) would be DESCENDING — clamp and gate on n > 0
-        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        # sequence(1, 0) would be DESCENDING — clamp and gate on n > 0;
+        # the sequence is also capped so the DP never materializes past
+        # max_word_len even transiently (the per-char branch wins anyway)
+        F.sequence(F.lit(1), F.greatest(F.least(n, F.lit(max_word_len)), F.lit(1))),
         init,
         step,
         lambda acc: F.element_at(acc, -1)["ps"],
     )
-    return F.when(n > 0, dp).otherwise(
-        F.expr("CAST(array() AS array<string>)"),
+    per_char = F.filter(F.split(word, ""), lambda c: c != F.lit(""))
+    return (
+        F.when(n > F.lit(max_word_len), per_char)
+        .when(n > 0, dp)
+        .otherwise(F.expr("CAST(array() AS array<string>)"))
     )
 
 
@@ -821,6 +855,7 @@ def unigram_train(
     n_iter: int = 2,
     seed_size: int = 1_000,
     local_vocab_threshold: int = 2_000_000,
+    max_word_len: int = UNIGRAM_MAX_WORD_LEN,
 ) -> list[tuple[str, int]]:
     """Distributed unigram-LM tokenizer training (the SentencePiece
     unigram model, Kudo, ACL 2018), deterministic hard-EM variant:
@@ -851,6 +886,11 @@ def unigram_train(
       tf-weights one hash aggregate; only the tokenizer-sized
       (piece, count) table reaches the driver for the M-step.
 
+    Words longer than ``max_word_len`` segment per character in every
+    E-step (both engines, identically) — the DP's O(n²) state payload
+    is bounded no matter what pathological tokens the corpus contains;
+    see :data:`UNIGRAM_MAX_WORD_LEN`.
+
     Returns ``[(piece, score_micro), ...]`` sorted by piece.
     """
     if vocab_size < 2:
@@ -867,6 +907,7 @@ def unigram_train(
             seed = _unigram_seed_local(words, max_piece_len, seed_size)
             return _unigram_em_local(
                 words, seed, vocab_size, max_piece_len, n_iter,
+                max_word_len,
             )
     # distributed engine: vocab-sized jobs, tokenizer-sized collects
     sym = wtf_plan.localCheckpoint(eager=True)
@@ -896,6 +937,7 @@ def unigram_train(
             F.explode(
                 unigram_segment_expr(
                     F.col("word"), sorted(scores.items()), max_piece_len,
+                    max_word_len=max_word_len,
                 ),
             ).alias("piece"),
         )
@@ -941,6 +983,7 @@ def unigram_token_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     vocab: DataFrame | None = None,
+    max_word_len: int = UNIGRAM_MAX_WORD_LEN,
 ) -> DataFrame:
     """Per-document token count under a trained unigram piece list —
     the same vocabulary-sized apply + word-key join shape as
@@ -953,7 +996,8 @@ def unigram_token_counts(
     per_word = vocab.select(
         "word",
         F.size(
-            unigram_segment_expr(F.col("word"), pieces),
+            unigram_segment_expr(F.col("word"), pieces,
+                                 max_word_len=max_word_len),
         ).alias("__n_sub"),
     )
     w = scale_out(df).select(
@@ -974,6 +1018,7 @@ def unigram_encode(
     text_col: str = "text",
     vocab: DataFrame | None = None,
     unk_id: int = -1,
+    max_word_len: int = UNIGRAM_MAX_WORD_LEN,
 ) -> DataFrame:
     """Per-document TOKEN-ID sequences under a trained unigram piece
     list — ``(id_col, token_ids array<int>)`` in original word order;
@@ -993,7 +1038,8 @@ def unigram_encode(
     per_word = vocab.select(
         "word",
         F.transform(
-            unigram_segment_expr(F.col("word"), pieces),
+            unigram_segment_expr(F.col("word"), pieces,
+                                 max_word_len=max_word_len),
             lambda s: F.coalesce(
                 F.element_at(id_map, s), F.lit(int(unk_id)),
             ).cast("int"),

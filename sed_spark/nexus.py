@@ -208,7 +208,9 @@ def validate_nexus_tree(
         )
     data = _tree_get(tree, "entry/data")
     if data is not None and "children" in data:
-        attrs, children = data["attrs"], data["children"]
+        # hand-built / foreign trees may lack "attrs" on any node; a
+        # malformed node is a validation PROBLEM, never a validator crash
+        attrs, children = data.get("attrs", {}), data["children"]
         signal = attrs.get("signal")
         if signal is None:
             problems.append("entry/data lacks the @signal attribute")
@@ -231,7 +233,7 @@ def validate_nexus_tree(
                         f"axis {axis!r} length does not match signal dim "
                         f"{idx} of shape {shape}",
                     )
-                if "units" not in children[axis]["attrs"]:
+                if "units" not in children[axis].get("attrs", {}):
                     problems.append(f"axis {axis!r} lacks a units attribute")
     if strict and problems:
         raise ValueError(
@@ -285,18 +287,21 @@ def to_nexus(
     tree may legitimately lack e.g. ``start_time`` when the caller has
     no acquisition metadata) and raise under ``strict_validation``.
     Tree-building kwargs (``metadata``, ``start_time``, ``instrument``,
-    ``sample``, ``title``, ``units``) pass through to
-    :func:`nexus_tree` on the fallback path.
+    ``sample``, ``title``, ``units``) are consumed HERE on both paths —
+    they feed :func:`nexus_tree` on the fallback path and are popped
+    before the pynxtools ``convert(**kwds)`` call, so the same call
+    signature behaves identically whether or not pynxtools is installed
+    (remaining kwds go to the converter/reader only).
     """
+    tree_kwds = {
+        k: kwds.pop(k)
+        for k in ("metadata", "start_time", "instrument", "sample",
+                  "title", "units")
+        if k in kwds
+    }
     try:
         from pynxtools.dataconverter.convert import convert
     except ImportError:
-        tree_kwds = {
-            k: kwds[k]
-            for k in ("metadata", "start_time", "instrument", "sample",
-                      "title", "units")
-            if k in kwds
-        }
         tree = nexus_tree(res, definition=definition, **tree_kwds)
         problems = validate_nexus_tree(
             tree, definition=definition, strict=strict_validation,

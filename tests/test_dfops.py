@@ -498,6 +498,39 @@ def test_point_in_interval_left_join_id_col_path(spark):
         point_in_interval_join(pdf, idf, id_col="nope", **kw)
 
 
+def test_point_in_interval_validate_id_makes_contract_violations_loud(spark):
+    # the id_col contract (unique, non-null) is the caller's to uphold;
+    # violations are silently wrong results by default — validate_id=True
+    # spends one aggregate to raise instead (round-8 ADVICE)
+    import pytest
+
+    from sed_spark.dfops import point_in_interval_join
+
+    idf = spark.createDataFrame(
+        [(0, 4.0, 6.0), (1, 5.0, 7.0)], ["iid", "lo", "hi"],
+    )
+    kw = dict(on="x", lo_col="lo", hi_col="hi", bucket_width=10.0,
+              how="left", id_col="pid", validate_id=True)
+    good = spark.createDataFrame(
+        [(0, 5.0), (1, 50.0)], "pid int, x double",
+    )
+    rows = sorted(
+        (r["pid"], r["iid"])
+        for r in point_in_interval_join(good, idf, **kw).collect()
+    )
+    assert rows == [(0, 0), (0, 1), (1, None)]
+    dup = spark.createDataFrame(
+        [(0, 5.0), (0, 50.0)], "pid int, x double",
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        point_in_interval_join(dup, idf, **kw)
+    nullid = spark.createDataFrame(
+        [(0, 5.0), (None, 50.0)], "pid int, x double",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        point_in_interval_join(nullid, idf, **kw)
+
+
 def test_point_in_interval_join_guards_runaway_fanout(spark):
     import pytest
 
@@ -667,6 +700,24 @@ def test_skew_join_guards(spark):
         skew_join(left, right, ["k", "lv"], hot_keys=[7])
     with pytest.raises(ValueError, match="how must be"):
         skew_join(left, right, "k", how="full", hot_keys=[7])
+
+
+def test_skew_join_explicit_oversized_hot_keys_warns_not_raises(spark):
+    # max_hot_keys bounds the DETECTION path only; an explicit list is
+    # caller-sized by construction, so an oversized one warns (salted_join
+    # is probably the better tool) but still runs with identical rows
+    import warnings
+
+    from sed_spark.dfops import skew_join
+
+    left, right = _skewed_pair(spark)
+    plain = _sorted_rows(left.join(right, ["k"], "inner"))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = skew_join(left, right, "k", hot_keys=[7, 3, 5],
+                        max_hot_keys=2)
+        assert _sorted_rows(got) == plain
+    assert any("salted_join" in str(w.message) for w in caught)
 
 
 def test_salted_join_guards(spark):

@@ -112,6 +112,63 @@ def test_validator_catches_structural_breakage():
     assert any("units" in p for p in probs)
 
 
+def test_validator_reports_missing_attrs_instead_of_crashing():
+    # hand-built / foreign trees may lack "attrs" on any node — the
+    # validator must report the gap as a problem, not raise KeyError
+    from sed_spark.nexus import validate_nexus_tree
+
+    tree = nexus_tree(
+        _res(), start_time="t", instrument={"a": 1}, sample={"name": "s"},
+    )
+    data = tree["children"]["entry"]["children"]["data"]
+    del data["children"]["energy"]["attrs"]  # axis node with no attrs at all
+    probs = validate_nexus_tree(tree)
+    assert any("energy" in p and "units" in p for p in probs)
+    # data group itself stripped of attrs: reported as a missing @signal
+    del data["attrs"]
+    probs = validate_nexus_tree(tree)
+    assert any("@signal" in p for p in probs)
+
+
+def test_to_nexus_pops_tree_kwargs_before_pynxtools_convert(monkeypatch):
+    # the same to_nexus call must behave identically whether pynxtools is
+    # installed or not: tree-building kwargs never leak into convert()
+    import sys
+    import types
+
+    from sed_spark import nexus as nexus_mod
+
+    seen = {}
+
+    def fake_convert(**kwargs):
+        seen.update(kwargs)
+
+    pkg = types.ModuleType("pynxtools")
+    dc = types.ModuleType("pynxtools.dataconverter")
+    cv = types.ModuleType("pynxtools.dataconverter.convert")
+    cv.convert = fake_convert
+    pkg.dataconverter = dc
+    dc.convert = cv
+    monkeypatch.setitem(sys.modules, "pynxtools", pkg)
+    monkeypatch.setitem(sys.modules, "pynxtools.dataconverter", dc)
+    monkeypatch.setitem(sys.modules, "pynxtools.dataconverter.convert", cv)
+    nexus_mod.to_nexus(
+        _res(), "/tmp/ignored.nxs",
+        start_time="2026-08-16T00:00:00Z",
+        instrument={"beamline": "X"},
+        sample={"name": "WSe2"},
+        title="t",
+        units={"energy": "eV"},
+        metadata={"run": 1},
+        eln_data="converter-only.yml",
+    )
+    tree_only = {"start_time", "instrument", "sample", "title", "units",
+                 "metadata"}
+    assert tree_only.isdisjoint(seen)
+    assert seen["eln_data"] == "converter-only.yml"
+    assert seen["nxdl"] == "NXmpes"
+
+
 def test_validator_checks_axis_length_against_signal_dim():
     from sed_spark.nexus import validate_nexus_tree
 

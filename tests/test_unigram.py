@@ -153,6 +153,52 @@ def test_unigram_oov_char_segments_at_unk_cost(spark):
     assert UNIGRAM_UNK_SCORE_MICRO > 10 * 1_500_000
 
 
+def test_unigram_max_word_len_caps_dp_with_per_char_fallback(spark):
+    # a pathological long token (URL / DNA run) must not build the O(n²)
+    # DP payload: past max_word_len both engines segment per character,
+    # identically (round-8 ADVICE)
+    from sed_spark.ext.vocab import UNIGRAM_MAX_WORD_LEN
+
+    plist = [("a", 1_000_000), ("ab", 900_000), ("b", 1_000_000)]
+    long_word = "ab" * 40  # 80 chars > default cap of 64
+    short_word = "abab"
+    df = spark.createDataFrame(
+        [(long_word,), (short_word,)], ["word"],
+    )
+    got = {
+        r["word"]: tuple(r["seg"])
+        for r in df.select(
+            "word", unigram_segment_expr(F.col("word"), plist).alias("seg"),
+        ).collect()
+    }
+    assert got[long_word] == tuple(long_word)  # per-char fallback
+    assert got[short_word] == ("ab", "ab")  # DP still wins under the cap
+    assert _viterbi_local(long_word, dict(plist), 2) == tuple(long_word)
+    assert _viterbi_local(short_word, dict(plist), 2) == ("ab", "ab")
+    # an explicit tighter cap applies on both sides too
+    got6 = df.select(
+        "word",
+        unigram_segment_expr(F.col("word"), plist, max_word_len=6)
+        .alias("seg"),
+    ).collect()
+    by_word = {r["word"]: tuple(r["seg"]) for r in got6}
+    assert by_word[short_word] == ("ab", "ab")  # 4 <= 6: DP
+    assert by_word[long_word] == tuple(long_word)
+    assert _viterbi_local("abababab", dict(plist), 2, max_word_len=6) == tuple(
+        "abababab",
+    )
+    assert len(long_word) > UNIGRAM_MAX_WORD_LEN
+    # training over a corpus containing the pathological token completes
+    # and the engines stay bit-identical
+    docs = spark.createDataFrame(
+        [(0, f"ab ab {long_word}"), (1, "ab b a")], ["doc_id", "text"],
+    )
+    kw = dict(vocab_size=4, max_piece_len=2, n_iter=2, seed_size=10)
+    local = unigram_train(docs, **kw)
+    dist = unigram_train(docs, local_vocab_threshold=0, **kw)
+    assert local == dist
+
+
 def test_unigram_engines_identical_on_random_corpora(spark):
     # property check: for random word-soup corpora the driver-local and
     # distributed-E-step fits must be bit-identical, and the expression
