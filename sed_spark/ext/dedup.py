@@ -27,6 +27,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "incremental_lsh_pairs",
     "jaccard_pairs",
+    "prefix_similarity_join",
     "simhash16",
     "simhash_pairs",
     "benchmark_contamination",
@@ -353,6 +354,143 @@ def jaccard_pairs(
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "n_common", "jaccard")
+    )
+
+
+def prefix_similarity_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    positional: bool = True,
+) -> DataFrame:
+    """EXACT Jaccard threshold self-join via prefix filtering — the
+    AllPairs/PPJoin family (Bayardo et al., WWW'07; Xiao et al., WWW'08),
+    the lossless counterpart to :func:`jaccard_pairs`'s frequency
+    blocking: every pair with ``jaccard >= threshold`` over the full
+    distinct shingle sets is returned, none invented, none missed.
+
+    The prefix-filter lemma: order all tokens by ascending corpus
+    document frequency (rarest first, ties by token value); a set of
+    size n need only index its first ``n - ceil(t*n) + 1`` tokens,
+    because two sets whose prefixes are disjoint cannot reach Jaccard
+    ``t``. The inverted index therefore holds the RAREST slice of every
+    document — the ubiquitous stop-phrase shingles that fan a full
+    inverted-index join out to k² rows land in almost no prefix at all,
+    which is what bounds the candidate join at corpus scale WITHOUT the
+    recall loss of ``max_doc_freq`` blocking. Higher thresholds mean
+    shorter prefixes: production near-dup sweeps at t ≈ 0.7–0.9 index
+    only ~10–30%% of each document's tokens.
+
+    Stages (every join key-partitioned; no cartesian, no windows):
+
+    1. distinct (doc, shingle) + one groupBy for document frequencies —
+       the global token ORDER is the (freq, token) tuple itself, so no
+       rank assignment (and no global window) is ever needed;
+    2. per-doc ``sort_array(collect_list(struct(freq, token)))``, slice
+       the prefix, keep the full sorted token array for verification;
+    3. prefix self-join on token with the Jaccard length filter
+       ``min(na, nb) >= t * max(na, nb)`` (a necessary condition, so a
+       pure pre-filter);
+    4. per candidate pair, the PPJoin positional filter (``positional``):
+       a shared prefix token at sorted positions (ia, ib) bounds the
+       overlap by ``1 + min(na - ia, nb - ib)``; pairs whose best bound
+       misses the required overlap ``ceil(t * (na + nb) / (1 + t))``
+       drop before verification — a groupBy max, zero extra shuffles;
+    5. exact verify: ``array_intersect`` over the two full (distinct)
+       token arrays — O(candidates), never O(n²).
+
+    Float guard: the integer thresholds are computed with a 1e-9 slack
+    (``ceil(t*n - eps)``) so double rounding can only widen the prefix /
+    loosen a filter, never drop a qualifying pair. Returns
+    ``(a_id, b_id, n_common, jaccard)`` — the same shape as
+    :func:`jaccard_pairs`.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    eps = 1e-9
+    t = float(threshold)
+    dg = exploded_shingles(df, id_col, text_col, shingle_n, distinct=True)
+    freq = dg.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+    # (freq asc, token asc) IS the global order — sort structs directly
+    docs = (
+        dg.join(freq, "g")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__df"), F.col("g"))),
+            ).alias("__ord"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            id_col,
+            F.col("__n"),
+            F.transform(F.col("__ord"), lambda s: s["g"]).alias("__toks"),
+        )
+    )
+    # prefix length: n - ceil(t*n - eps) + 1, clamped to [1, n]
+    plen = F.greatest(
+        F.lit(1),
+        F.col("__n") - F.ceil(F.lit(t) * F.col("__n") - F.lit(eps)) + 1,
+    ).cast("int")
+    prefix = docs.select(
+        id_col,
+        "__n",
+        F.posexplode(F.slice(F.col("__toks"), F.lit(1), plen))
+        .alias("__pos0", "g"),
+    ).select(
+        id_col, "__n", (F.col("__pos0") + 1).alias("__pos"), "g",
+    )
+    a = prefix.select(
+        F.col(id_col).alias("a_id"), F.col("__n").alias("na"),
+        F.col("__pos").alias("ia"), "g",
+    )
+    b = prefix.select(
+        F.col(id_col).alias("b_id"), F.col("__n").alias("nb"),
+        F.col("__pos").alias("ib"), "g",
+    )
+    length_ok = (
+        F.least(F.col("na"), F.col("nb")).cast("double") + F.lit(eps)
+        >= F.lit(t) * F.greatest(F.col("na"), F.col("nb"))
+    )
+    witnessed = a.join(
+        b, (a["g"] == b["g"]) & (F.col("a_id") < F.col("b_id")),
+    ).filter(length_ok)
+    ubound = F.lit(1) + F.least(
+        F.col("na") - F.col("ia"), F.col("nb") - F.col("ib"),
+    )
+    cands = witnessed.groupBy("a_id", "b_id").agg(
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+        F.max(ubound).alias("__ub"),
+    )
+    if positional:
+        o_req = F.ceil(
+            F.lit(t) * (F.col("na") + F.col("nb")) / F.lit(1.0 + t)
+            - F.lit(eps),
+        )
+        cands = cands.filter(F.col("__ub") >= o_req)
+    ta = docs.select(
+        F.col(id_col).alias("a_id"), F.col("__toks").alias("__ta"),
+    )
+    tb = docs.select(
+        F.col(id_col).alias("b_id"), F.col("__toks").alias("__tb"),
+    )
+    c = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+    return (
+        cands.join(ta, "a_id")
+        .join(tb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            c.cast("long").alias("n_common"),
+            (
+                c.cast("double")
+                / (F.col("na") + F.col("nb") - c)
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

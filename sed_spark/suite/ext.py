@@ -577,13 +577,30 @@ FROM documents d LEFT JOIN (
 
 
 def jaccard_pairs(spark, sf_dir):
-    return dedup.jaccard_pairs(
-        load(spark, sf_dir, "documents"), threshold=0.05, max_doc_freq=100,
+    """Both inverted-index similarity-join strategies, tag-unioned:
+    ``blocked`` is the frequency-blocked approximate join (ubiquitous
+    shingles dropped before the index, bounded fanout, recall loss);
+    ``ppjoin`` (round 9) is the prefix-filtered EXACT join
+    (:func:`sed_spark.ext.dedup.prefix_similarity_join`, AllPairs/PPJoin)
+    — lossless at threshold 0.5, candidates bounded by indexing only
+    each document's rarest-token prefix."""
+    docs = load(spark, sf_dir, "documents")
+    blocked = dedup.jaccard_pairs(
+        docs, threshold=0.05, max_doc_freq=100,
+    ).select(F.lit("blocked").alias("method"), "a_id", "b_id",
+             "n_common", "jaccard")
+    exact = dedup.prefix_similarity_join(docs, threshold=0.5).select(
+        F.lit("ppjoin").alias("method"), "a_id", "b_id",
+        "n_common", "jaccard",
     )
+    return blocked.unionByName(exact)
 
 
-# mirrors dedup.jaccard_pairs with default frequency blocking: shingles in
-# more than 100 documents are dropped BEFORE the join and the per-doc counts
+# mirrors dedup.jaccard_pairs with default frequency blocking (shingles in
+# more than 100 documents dropped BEFORE the join and the per-doc counts),
+# plus the prefix-filtered exact join: the oracle needs no prefix filter —
+# it computes the SAME exact answer from the full inverted index (prefix
+# filtering only prunes candidates; the result set is identical)
 JACCARD_SQL = f"""
 WITH base AS ({_grams_sql(3)}),
 dg0 AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM base),
@@ -594,13 +611,26 @@ common AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
   FROM dg a JOIN dg b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
+),
+cnt0 AS (SELECT doc_id, COUNT(*) AS n FROM dg0 GROUP BY doc_id),
+common0 AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+  FROM dg0 a JOIN dg0 b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
 )
-SELECT a_id, b_id, n_common,
+SELECT 'blocked' AS method, a_id, b_id, n_common,
   CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
 FROM common
 JOIN cnt ca ON ca.doc_id = a_id
 JOIN cnt cb ON cb.doc_id = b_id
 WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.05
+UNION ALL
+SELECT 'ppjoin', a_id, b_id, n_common,
+  CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+FROM common0
+JOIN cnt0 ca ON ca.doc_id = a_id
+JOIN cnt0 cb ON cb.doc_id = b_id
+WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5
 """
 
 

@@ -1882,3 +1882,62 @@ def test_random_project_null_vector_passes_through(spark):
     )
     got = {r["vec_id"]: r["rp"] for r in random_project(df, 16, 4).collect()}
     assert got[1] is None and got[0] is not None
+
+
+def test_prefix_similarity_join_exact_vs_brute_force(spark):
+    # the prefix-filtered join is EXACT: against a brute-force pairwise
+    # Jaccard over full distinct shingle sets it must return the same
+    # pairs and values at every threshold, positional filter on or off
+    import itertools
+    import random
+
+    from sed_spark.ext.dedup import prefix_similarity_join
+
+    rng = random.Random(99)
+    words = [f"w{i}" for i in range(10)]
+    rows = []
+    for i in range(50):
+        rows.append((i, " ".join(rng.choice(words)
+                                 for _ in range(rng.randint(1, 12)))))
+    for i in range(50, 62):  # near-dups: one-word edits of earlier docs
+        src = rows[rng.randrange(50)][1].split(" ")
+        if len(src) > 3:
+            src[rng.randrange(len(src))] = rng.choice(words)
+        rows.append((i, " ".join(src)))
+
+    def shingles(text, n=3):
+        w = text.split(" ")
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for tau in (0.3, 0.7, 1.0):
+        want = {}
+        for (i, a), (j, b) in itertools.combinations(rows, 2):
+            sa, sb = shingles(a), shingles(b)
+            if not sa or not sb:
+                continue
+            c = len(sa & sb)
+            u = len(sa | sb)
+            if u and c / u >= tau:
+                want[(i, j)] = (c, c / u)
+        for positional in (True, False):
+            got = {
+                (r["a_id"], r["b_id"]): (r["n_common"], r["jaccard"])
+                for r in prefix_similarity_join(
+                    df, threshold=tau, positional=positional,
+                ).collect()
+            }
+            assert set(got) == set(want), (tau, positional)
+            for k, (c, j) in want.items():
+                assert got[k][0] == c and abs(got[k][1] - j) < 1e-12, (tau, k)
+
+
+def test_prefix_similarity_join_validation(spark):
+    import pytest as pt
+
+    from sed_spark.ext.dedup import prefix_similarity_join
+
+    df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    for bad in (0.0, -0.1, 1.5):
+        with pt.raises(ValueError, match="threshold"):
+            prefix_similarity_join(df, threshold=bad)

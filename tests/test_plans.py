@@ -465,3 +465,16 @@ def test_correlated_subqueries_decorrelate_no_cartesian(spark):
     plan = _plan(correlated_subqueries(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_prefix_similarity_join_is_equi_join_no_cartesian(spark):
+    # the prefix self-join must plan as a hash/sort-merge equi-join on the
+    # shingle with the id inequality as a post-join condition — never a
+    # cartesian/nested-loop — and verification joins stay id-keyed
+    from sed_spark.ext.dedup import prefix_similarity_join
+    from sed_spark.suite.common import load
+
+    docs = load(spark, SF_DIR, "documents")
+    plan = _plan(prefix_similarity_join(docs, threshold=0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
