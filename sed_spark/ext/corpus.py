@@ -32,6 +32,7 @@ __all__ = [
     "robust_stats_by",
     "decayed_stats_by",
     "gumbel_topk",
+    "top_items_by",
     "corpus_diff",
 ]
 
@@ -901,3 +902,49 @@ def weighted_cap_sample(
     if keep_col is None:
         return ranked.filter(keep).drop("__rn", "__wkey")
     return ranked.withColumn(keep_col, keep.cast("int")).drop("__rn", "__wkey")
+
+
+def top_items_by(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 10,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-group top-``k`` heaviest item values — the heavy-hitters
+    monitor every corpus pipeline runs per source/language/shard (which
+    domains dominate a crawl slice, which event types dominate a user,
+    which tokens dominate a subcorpus).
+
+    Exact, two stages: one hash aggregate on ``(group, item)`` (map-side
+    partials collapse the corpus to the distinct-pair table), then a
+    ``row_number`` window over THAT AGGREGATED table partitioned by
+    group. The window sorts distinct-item rows, never corpus rows — the
+    same altitude argument as ``compaction_plan``'s metadata window; the
+    collect-free alternative (per-group ``collect_list`` + slice) would
+    materialize every group's full distinct-item set in one executor
+    row and is exactly what this avoids for heavy-tailed item domains.
+
+    Ranking is ``(weight DESC, item ASC)`` — fully deterministic; NULL
+    items rank last among ties and NULL/non-positive weights never
+    outrank real ones (``sum`` of an all-NULL weight group is NULL →
+    ``desc_nulls_last``). Returns ``(group_col, item_col, n, rank)``
+    with ``rank`` in ``1..k``.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n = (
+        F.sum(F.col(weight_col).cast("double"))
+        if weight_col is not None
+        else F.count(F.lit(1)).cast("long")
+    )
+    counts = df.groupBy(group_col, item_col).agg(n.alias("n"))
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("n").desc_nulls_last(), F.col(item_col).asc_nulls_last(),
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+    )

@@ -20,6 +20,7 @@ __all__ = [
     "html_to_text_expr",
     "extract_html_text",
     "chunk_documents",
+    "collocations",
     "dsir_fit",
     "dsir_score",
     "lang_id",
@@ -946,4 +947,65 @@ def gate_stats(gated: DataFrame) -> DataFrame:
     One hash aggregate, reasons-sized output."""
     return gated.groupBy("reject_reason").agg(
         F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-level collocation (phrase) mining: adjacent word pairs
+    scored by their association ratio — the phrase-detection pass
+    tokenizer and quality teams run over a training corpus (Mikolov et
+    al.'s word2vec phrase scoring is the same count ratio with a
+    discount).
+
+    ``lift = n_pair * N / (n_w1 * n_w2)`` where ``N`` is the corpus word
+    count — the exponentiated PMI, kept as a ratio instead of a log so
+    the whole score is a fixed tree of exactly-rounded IEEE ops over
+    exact integers: any engine computing ``((n_pair*N)/n_w1)/n_w2`` in
+    doubles produces the identical bits (log/exp have no such
+    cross-engine guarantee). ``lift > 1`` co-occurs more than unigram
+    frequencies predict; a bigram of two corpus-dominating words scores
+    near 1 no matter how often it appears.
+
+    Scale shape: the corpus collapses in two keyed hash aggregates
+    (bigram counts via :func:`~sed_spark.ext.vocab.bigram_counts`,
+    unigram tf via :func:`~sed_spark.ext.vocab.word_doc_freq`) —
+    ``min_count`` prunes the bigram tail BEFORE the two word-count
+    joins; ``N`` rides in as a broadcast one-row aggregate. No windows,
+    no driver collects. Returns ``(w1, w2, n_pair, n_w1, n_w2, lift)``.
+    """
+    from sed_spark.ext.vocab import bigram_counts, word_doc_freq
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    bg = bigram_counts(df, id_col, text_col).filter(
+        F.col("cnt") >= min_count,
+    )
+    words = word_doc_freq(df, id_col, text_col).select("word", "tf")
+    total = words.agg(F.sum("tf").cast("double").alias("__N"))
+    split = F.split(F.col("g"), " ")
+    pairs = bg.select(
+        F.element_at(split, 1).alias("w1"),
+        F.element_at(split, 2).alias("w2"),
+        F.col("cnt").cast("long").alias("n_pair"),
+    )
+    w1 = words.select(F.col("word").alias("w1"), F.col("tf").alias("n_w1"))
+    w2 = words.select(F.col("word").alias("w2"), F.col("tf").alias("n_w2"))
+    return (
+        pairs.join(w1, "w1")
+        .join(w2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2", "n_pair",
+            F.col("n_w1").cast("long").alias("n_w1"),
+            F.col("n_w2").cast("long").alias("n_w2"),
+            (
+                F.col("n_pair").cast("double") * F.col("__N")
+                / F.col("n_w1") / F.col("n_w2")
+            ).alias("lift"),
+        )
     )

@@ -1450,8 +1450,26 @@ def run_stats(spark, sf_dir):
         F.col("mad").alias("v_mad"),
         F.col("n_outliers").alias("v_n_out"),
     )
+    # heavy-hitters branch (round 9): per-user top-2 event types
+    # (corpus.top_items_by — hash aggregate + row_number over the
+    # AGGREGATED table, ties by type ASC), pivoted to columns; a user
+    # with one distinct type keeps NULLs in the rank-2 pair
+    from sed_spark.ext.corpus import top_items_by
+
+    ti = top_items_by(df, "user_id", "event_type", k=2)
+    t1 = ti.filter(F.col("rank") == 1).select(
+        "user_id",
+        F.col("event_type").alias("top_type"),
+        F.col("n").alias("top_type_n"),
+    )
+    t2 = ti.filter(F.col("rank") == 2).select(
+        "user_id",
+        F.col("event_type").alias("top2_type"),
+        F.col("n").alias("top2_type_n"),
+    )
     return (
         base.join(wide, "user_id").join(dec, "user_id").join(rob, "user_id")
+        .join(t1, "user_id").join(t2, "user_id", "left")
     )
 
 
@@ -1466,11 +1484,17 @@ sql("run_stats",
     "CAST(SUM(CASE WHEN abs(e.value - m.med) > 3.0 * t.mad "
     "THEN 1 ELSE 0 END) AS BIGINT) AS v_n_out "
     "FROM events e JOIN med m USING (user_id) JOIN madt t USING (user_id) "
-    "GROUP BY e.user_id, t.mad) "
+    "GROUP BY e.user_id, t.mad), "
+    "tc AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n "
+    "FROM events GROUP BY user_id, event_type), "
+    "tr AS (SELECT user_id, event_type, n, row_number() OVER "
+    "(PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rn FROM tc) "
     "SELECT user_id, elapsed_us, n_events, "
     "CAST(n_events AS DOUBLE) / (CAST(elapsed_us AS DOUBLE) / "
     f"{fl(1e6)}) AS rate_hz, v_p50, v_p90, decayed_n, decayed_sum, "
-    "v_mad, v_n_out "
+    "v_mad, v_n_out, "
+    "t1.event_type AS top_type, t1.n AS top_type_n, "
+    "t2.event_type AS top2_type, t2.n AS top2_type_n "
     "FROM (SELECT user_id, CAST(max(epoch_us(ts)) - "
     "min(epoch_us(ts)) AS BIGINT) AS elapsed_us, COUNT(*) AS n_events, "
     "round(quantile_cont(value, 0.5), 6) AS v_p50, "
@@ -1482,7 +1506,10 @@ sql("run_stats",
     "CAST(epoch_us(ts) AS DOUBLE)) / 3600000000.0) "
     "* value, 9) AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE), 6) "
     "AS decayed_sum "
-    "FROM events, tmax GROUP BY user_id) JOIN rob USING (user_id)")
+    "FROM events, tmax GROUP BY user_id) "
+    "JOIN rob USING (user_id) "
+    "JOIN (SELECT * FROM tr WHERE rn = 1) t1 USING (user_id) "
+    "LEFT JOIN (SELECT * FROM tr WHERE rn = 2) t2 USING (user_id)")
 
 
 #: z-order fold parameters (round 6): 8 bits per dim over the two value

@@ -2588,6 +2588,10 @@ def _GATE_RULES():
     ]
 
 
+#: collocation branch: minimum corpus bigram count to qualify as a phrase
+_COLLOC_MIN = 5
+
+
 def repetition(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     rep = text.repetition_stats(docs)
@@ -2610,13 +2614,40 @@ def repetition(spark, sf_dir):
         "doc_id", "n_unseen", "seen_cnt_sum",
     )
     joined = rep.join(vd, "doc_id").join(tp, "doc_id").join(fam, "doc_id")
+    # collocation branch (round 9): corpus-level phrase mining
+    # (text.collocations — bigram lift as a fixed IEEE ratio tree, so
+    # both engines order candidates on identical doubles) joined back
+    # per doc: each document's highest-lift qualifying bigram, ties by
+    # bigram DESC via the max(struct) aggregate the oracle mirrors with
+    # a row_number window
+    from sed_spark.ext.dedup import exploded_shingles
+
+    colloc = text.collocations(docs, min_count=_COLLOC_MIN).select(
+        F.concat_ws(" ", "w1", "w2").alias("g"), "lift",
+    )
+    dbg = exploded_shingles(docs, n=2).distinct()
+    topc = (
+        dbg.join(colloc, "g")
+        .groupBy("doc_id")
+        .agg(F.max(F.struct(F.col("lift"), F.col("g"))).alias("__t"))
+        .select(
+            "doc_id",
+            F.col("__t.g").alias("top_colloc"),
+            F.round(F.col("__t.lift"), 6).alias("top_colloc_lift"),
+        )
+    )
+    joined = joined.join(topc, "doc_id", "left").select(
+        *[c for c in joined.columns],
+        F.coalesce("top_colloc", F.lit("")).alias("top_colloc"),
+        F.coalesce("top_colloc_lift", F.lit(0.0)).alias("top_colloc_lift"),
+    )
     # quality_gate (round 7): the rule-stack keep/drop decision with
     # first-failing-rule attribution, composed over the signals this row
     # already computes — pure projection, mirrored by CASE in the oracle
     return text.quality_gate(joined, _GATE_RULES())
 
 
-REPETITION_SQL = """
+REPETITION_SQL = f"""
 WITH d AS (
   SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS ws
   FROM documents
@@ -2695,6 +2726,30 @@ fam AS (
     COALESCE(f.seen_cnt_sum, 0) AS seen_cnt_sum
   FROM (SELECT doc_id FROM documents) d0
   LEFT JOIN fam0 f ON d0.doc_id = f.doc_id
+),
+cb AS (
+  SELECT g AS bg, CAST(count(*) AS BIGINT) AS n_pair
+  FROM g GROUP BY g HAVING count(*) >= {_COLLOC_MIN}
+),
+nt AS (SELECT CAST(sum(tf) AS DOUBLE) AS N FROM v),
+cl AS (
+  SELECT bg, CAST(n_pair AS DOUBLE) * nt.N / v1.tf / v2.tf AS lift
+  FROM cb CROSS JOIN nt
+  JOIN v v1 ON v1.word = string_split(bg, ' ')[1]
+  JOIN v v2 ON v2.word = string_split(bg, ' ')[2]
+),
+dbg AS (SELECT DISTINCT doc_id, g AS bg FROM g),
+tc0 AS (
+  SELECT doc_id, bg, lift,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY lift DESC, bg DESC) AS rn
+  FROM dbg JOIN cl USING (bg)
+),
+tcol AS (
+  SELECT d0.doc_id, COALESCE(t.bg, '') AS top_colloc,
+    COALESCE(round(t.lift, 6), 0.0) AS top_colloc_lift
+  FROM (SELECT doc_id FROM documents) d0
+  LEFT JOIN (SELECT * FROM tc0 WHERE rn = 1) t ON d0.doc_id = t.doc_id
 )
 SELECT wc.doc_id, wc.n_words, wc.n_distinct_words,
   round(1.0 - n_distinct_words / CAST(n_words AS DOUBLE), 6) AS dup_word_frac,
@@ -2704,6 +2759,7 @@ SELECT wc.doc_id, wc.n_words, wc.n_distinct_words,
   vd.rarest_word_df, vd.df_sum,
   tp.top_pair, tp.top_pair_count, tp.top_pair_corpus_cnt,
   fam.n_unseen, fam.seen_cnt_sum,
+  tcol.top_colloc, tcol.top_colloc_lift,
   CAST(CASE WHEN NOT COALESCE(wc.n_words >= 20, FALSE) THEN 0
        WHEN NOT COALESCE(
          round(1.0 - n_distinct_words / CAST(n_words AS DOUBLE), 6) <= 0.6,
@@ -2722,6 +2778,7 @@ LEFT JOIN (SELECT * FROM top WHERE rn = 1) t ON wc.doc_id = t.doc_id
 JOIN vd ON vd.doc_id = wc.doc_id
 JOIN tp ON tp.doc_id = wc.doc_id
 JOIN fam ON fam.doc_id = wc.doc_id
+JOIN tcol ON tcol.doc_id = wc.doc_id
 """
 
 

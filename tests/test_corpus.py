@@ -802,3 +802,87 @@ def test_weighted_cap_sample_null_ids_never_survive_xxhash(spark):
         df, cap=3, weight_col="w", method="xxhash64",
     ).collect()
     assert sorted(r["doc_id"] for r in kept) == [1, 2]
+
+
+def test_top_items_by_exact_ranks_and_ties(spark):
+    from sed_spark.ext.corpus import top_items_by
+
+    rows = (
+        [("u1", "a")] * 5 + [("u1", "b")] * 5 + [("u1", "c")] * 2
+        + [("u2", "x")] * 3 + [("u2", None)] * 4
+        + [("u3", "only")]
+    )
+    df = spark.createDataFrame(rows, "grp string, item string")
+    got = {
+        (r["grp"], r["rank"]): (r["item"], r["n"])
+        for r in top_items_by(df, "grp", "item", k=2).collect()
+    }
+    # tie a/b at 5 breaks by item ASC; NULL item counts but ranks after
+    # real items on ties (here it wins on weight)
+    assert got[("u1", 1)] == ("a", 5)
+    assert got[("u1", 2)] == ("b", 5)
+    assert got[("u2", 1)] == (None, 4)
+    assert got[("u2", 2)] == ("x", 3)
+    assert got[("u3", 1)] == ("only", 1)
+    assert ("u3", 2) not in got
+
+
+def test_top_items_by_weighted_and_validation(spark):
+    import pytest as pt
+
+    from sed_spark.ext.corpus import top_items_by
+
+    df = spark.createDataFrame(
+        [("g", "a", 1.0), ("g", "a", 1.5), ("g", "b", 10.0),
+         ("g", "c", None)],
+        "grp string, item string, w double",
+    )
+    got = [
+        (r["item"], r["n"], r["rank"])
+        for r in top_items_by(df, "grp", "item", k=3, weight_col="w")
+        .orderBy("rank").collect()
+    ]
+    # sum(NULL weights) is NULL -> ranks last
+    assert got == [("b", 10.0, 1), ("a", 2.5, 2), ("c", None, 3)]
+    with pt.raises(ValueError, match="k must be"):
+        top_items_by(df, "grp", "item", k=0)
+
+
+def test_collocations_match_python_reference(spark):
+    from sed_spark.ext.text import collocations
+
+    docs = [
+        (0, "new york is big new york is old"),
+        (1, "new york and new jersey"),
+        (2, "big apple is new"),
+    ]
+    texts = [t for _, t in docs]
+    words = [w for t in texts for w in t.split(" ")]
+    N = len(words)
+    uni = {}
+    for w in words:
+        uni[w] = uni.get(w, 0) + 1
+    bi = {}
+    for t in texts:
+        ws = t.split(" ")
+        for i in range(len(ws) - 1):
+            bi[(ws[i], ws[i + 1])] = bi.get((ws[i], ws[i + 1]), 0) + 1
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["n_w1"], r["n_w2"], r["lift"])
+        for r in collocations(df, min_count=2).collect()
+    }
+    want = {
+        (a, b): c for (a, b), c in bi.items() if c >= 2
+    }
+    assert set(got) == set(want)
+    for (a, b), c in want.items():
+        lift = c * float(N) / uni[a] / uni[b]
+        assert got[(a, b)][:3] == (c, uni[a], uni[b])
+        assert got[(a, b)][3] == lift, (a, b)
+    # "new york" (3x, tight) must out-lift any pair of ubiquitous words
+    assert got[("new", "york")][3] > 1.0
+    import pytest as pt
+
+    with pt.raises(ValueError, match="min_count"):
+        collocations(df, min_count=0)
