@@ -302,6 +302,27 @@ def main() -> None:
         emb, shortlist.select("vec_id"), q0, k=5,
     ).count()
 
+    # round-9 curation ops: the EXACT near-dup sweep (prefix-filtered
+    # similarity join — no LSH false negatives, candidates bounded by
+    # rarest-token prefixes), corpus phrase mining (bigram lift), and
+    # the per-domain heavy-hitters monitor
+    exact_pairs = dedup.prefix_similarity_join(docs, threshold=0.8)
+    n_exact_pairs = exact_pairs.count()
+    # bloom semi-join reduction: the decontamination-shaped probe where
+    # definitely-clean rows skip the shuffle entirely (row-identical to
+    # the plain semi join — Bloom filters have no false negatives)
+    flagged = sketch.bloom_reduced_join(
+        docs, bench.select("doc_id"), "doc_id", how="left_semi",
+        m_bits=1 << 12,
+    )
+    n_bloom_flagged = flagged.count()
+    phrases = text.collocations(docs, min_count=5)
+    top_phrase = phrases.orderBy(
+        F.col("lift").desc(), "w1", "w2",
+    ).first()
+    hot_doms = corpus.top_items_by(doms, "domain", "doc_id", k=3)
+    n_hot_rows = hot_doms.count()
+
     # 10. materialize the training order: a deterministic epoch shuffle
     # written as one ordered file per shard (a trainer reading shards in
     # index order replays the same global permutation on any machine)
@@ -345,6 +366,11 @@ def main() -> None:
           f"weighted cap kept {n_wcap}; rp16 rerank top-5 rows={rp_top}")
     print(f"pq: {pq_codes.count()} vectors -> 4-byte codes; "
           f"adc top-5 returned {pq_top}")
+    tp = (f"{top_phrase['w1']} {top_phrase['w2']} "
+          f"(lift={top_phrase['lift']:.1f})") if top_phrase else "none"
+    print(f"exact near-dup pairs (t=0.8): {n_exact_pairs}; "
+          f"top collocation: {tp}; domain top-3 rows: {n_hot_rows}; "
+          f"bloom-reduced probe matched {n_bloom_flagged}")
     for r in per_split_domain:
         print(f"  split={r['split']:<5} domain={r['domain']:<20} "
               f"docs={r['n_docs']}")

@@ -33,6 +33,9 @@ __all__ = [
     "bloom_build",
     "bloom_merge",
     "bloom_probe",
+    "bloom_bitmap",
+    "bloom_probe_expr",
+    "bloom_reduced_join",
     "cms_build",
     "cms_merge",
     "cms_query",
@@ -461,6 +464,131 @@ def bloom_probe(
         )
         .drop("__rid")
     )
+
+
+def bloom_bitmap(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    salt: str = "bloom",
+) -> list[int]:
+    """Collect a Bloom filter as ``m_bits // 32`` packed 32-bit words
+    (kept in longs so every mask is a non-negative exact double: Spark's
+    shift builtins take only literal shift amounts, ``pow(2, b)`` for
+    b ≤ 31 is exact and sign-free) — the DENSE driver-side form of
+    :func:`bloom_build`'s sparse set-bit table, sized for embedding in
+    an expression tree (1 MiB of longs at the default 2^20 bits; 2^23
+    bits ≈ 1% fp at 1M keys is 8 MiB).
+
+    The set bits pack distributively: one groupBy on ``bit // 32`` with
+    a ``bit_or`` of the per-bit masks, so at most ``m_bits / 32`` rows
+    reach the driver regardless of key count — a bounded, sketch-sized
+    collect, the same altitude as the CMS/HLL register collects.
+    """
+    if m_bits % 32 != 0:
+        raise ValueError(f"m_bits must be a multiple of 32, got {m_bits}")
+    rows = (
+        bloom_build(df, key_col, m_bits, k_hashes, salt)
+        .groupBy(F.floor(F.col("bit") / 32).cast("int").alias("w"))
+        .agg(
+            F.bit_or(
+                F.pow(F.lit(2.0), F.col("bit") % 32).cast("long"),
+            ).alias("word"),
+        )
+        .collect()
+    )
+    words = [0] * (m_bits // 32)
+    for r in rows:
+        words[r["w"]] = r["word"]
+    return words
+
+
+def bloom_probe_expr(
+    key: Column,
+    words: Sequence[int],
+    k_hashes: int = 4,
+    salt: str = "bloom",
+) -> Column:
+    """Pure-EXPRESSION Bloom membership test against a
+    :func:`bloom_bitmap`: true = maybe present, false = definitely not,
+    NULL key → NULL. The bitmap rides the plan as one literal
+    ``array<long>``, so the probe is ``k_hashes`` md5s + bit tests
+    inside whole-stage codegen — zero joins, zero shuffles, usable as a
+    scan-level pre-filter (the expression form Spark's own runtime
+    bloom-filter join inserts, but engine-controlled and deterministic).
+    """
+    words = list(words)
+    m_bits = len(words) * 32
+    if m_bits == 0 or k_hashes < 1:
+        raise ValueError("words must be non-empty and k_hashes >= 1")
+    arr = F.lit(words)
+    k = key.cast("string")
+    test = None
+    for j in range(k_hashes):
+        h = _hash32(k, f"{salt}:{j}") % m_bits
+        word = F.element_at(arr, F.floor(h / 32).cast("int") + 1)
+        mask = F.pow(F.lit(2.0), h % 32).cast("long")
+        bit = word.bitwiseAND(mask) != 0
+        test = bit if test is None else (test & bit)
+    return test
+
+
+def bloom_reduced_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    salt: str = "bloomjoin",
+) -> DataFrame:
+    """Semi-join reduction: rows of ``left`` whose key is DEFINITELY
+    absent from ``right`` (Bloom filters have no false negatives) never
+    enter the join — for ``inner``/``left_semi`` they are dropped before
+    the shuffle; for ``left``/``left_anti`` they short-circuit to the
+    pass-through branch with no join at all. Row-identical to
+    ``left.join(right, on, how)`` by construction: false positives only
+    ever ROUTE a row into the exact join, so the fp rate buys less
+    pruning, never a wrong answer.
+
+    This is the classic distributed-DB semi-join reduction made
+    explicit: build the filter from the (smaller) right side's keys
+    (one aggregate, ≤ ``m_bits/32`` longs to the driver via
+    :func:`bloom_bitmap`), probe the (huge) left side with the
+    codegen'd :func:`bloom_probe_expr` AT THE SCAN, and shuffle only
+    the maybe-present slice. At a selective 100 TB join the shuffle
+    shrinks by the non-match fraction — the same effect as Spark's AQE
+    runtime bloom filter, but deterministic, cross-format, and under
+    caller control (size ``m_bits ≈ -n·ln(fp)/ln(2)²``).
+
+    NULL left keys never equi-join, so they route to the pass-through
+    branch (kept for ``left``/``left_anti``, dropped for
+    ``inner``/``left_semi``) without probing.
+    """
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(
+            "how must be inner/left/left_semi/left_anti, got " + repr(how),
+        )
+    words = bloom_bitmap(
+        right.select(on).filter(F.col(on).isNotNull()),
+        on, m_bits, k_hashes, salt,
+    )
+    probe = bloom_probe_expr(F.col(on), words, k_hashes, salt)
+    maybe = left.filter(F.coalesce(probe, F.lit(False)))
+    if how in ("inner", "left_semi"):
+        return maybe.join(right, [on], how)
+    definite = left.filter(~F.coalesce(probe, F.lit(False)))
+    if how == "left_anti":
+        return maybe.join(right, [on], "left_anti").unionByName(definite)
+    # left: pass-through rows append the right columns as typed NULLs
+    joined = maybe.join(right, [on], "left")
+    pads = [
+        F.lit(None).cast(f.dataType).alias(f.name)
+        for f in right.schema.fields
+        if f.name != on
+    ]
+    return joined.unionByName(definite.select("*", *pads))
 
 
 def _kmv_est_expr(kmv: Column, k: int) -> Column:

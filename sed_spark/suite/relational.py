@@ -444,11 +444,25 @@ def semi_anti_join(spark, sf_dir):
         ).distinct(),
         "salted_semi",
     )
+    # round 9: the same semi set through Bloom semi-join reduction
+    # (sed_spark.ext.sketch.bloom_reduced_join) — definitely-absent keys
+    # drop at the probe expression before any shuffle; no false
+    # negatives makes the rows exactly the plain semi-join's
+    from sed_spark.ext.sketch import bloom_reduced_join
+
+    bloom_semi = tag(
+        bloom_reduced_join(
+            ukeys, cust.select("c_custkey"), "c_custkey",
+            how="left_semi", m_bits=1 << 16,
+        ).distinct(),
+        "bloom_semi",
+    )
     correlated = correlated_subqueries(spark, sf_dir)
     return (
         with_urgent.unionByName(no_orders)
         .unionByName(skew_semi)
         .unionByName(salted_semi)
+        .unionByName(bloom_semi)
         .unionByName(correlated)
     )
 
@@ -475,6 +489,12 @@ WHERE o_orderpriority = '1-URGENT'
   AND EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
 UNION ALL
 SELECT DISTINCT 'salted_semi' AS shape, CAST(o_custkey AS VARCHAR) AS key,
+  CAST(NULL AS BIGINT) AS val_int, CAST(NULL AS DOUBLE) AS val_dbl
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+  AND EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT DISTINCT 'bloom_semi' AS shape, CAST(o_custkey AS VARCHAR) AS key,
   CAST(NULL AS BIGINT) AS val_int, CAST(NULL AS DOUBLE) AS val_dbl
 FROM orders
 WHERE o_orderpriority = '1-URGENT'

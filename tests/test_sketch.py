@@ -424,3 +424,72 @@ def test_kmv_by_all_null_group_gets_empty_sketch(spark):
     assert got["empty"] == []  # distinct-reach 0, group still present
     assert got["live"] == ref_kmv(["k1"], 8)
     assert got[None] == ref_kmv(["k2"], 8)  # NULL GROUP keeps its sketch
+
+
+def test_bloom_reduced_join_identical_to_plain_join(spark):
+    # semi-join reduction must be row-identical to the plain join for
+    # every supported how — NULL keys, duplicate keys, and high-fp tiny
+    # bitmaps included (false positives only route rows into the exact
+    # join; false negatives cannot exist)
+    from sed_spark.ext.sketch import bloom_reduced_join
+
+    left = spark.createDataFrame(
+        [(i % 50, f"l{i}") for i in range(200)]
+        + [(None, "lnull"), (None, "lnull2")],
+        "k int, lv string",
+    )
+    right = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(0, 30, 3)] + [(None, "rnull")],
+        "k int, rv string",
+    )
+
+    def srt(df):
+        return sorted(tuple(repr(x) for x in r) for r in df.collect())
+
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        plain = left.join(right, ["k"], how)
+        got = bloom_reduced_join(left, right, "k", how=how, m_bits=256)
+        assert got.columns == plain.columns, how
+        assert srt(got) == srt(plain), how
+        # saturated 32-bit filter: everything routes to the exact join,
+        # rows still identical
+        got_fp = bloom_reduced_join(
+            left, right, "k", how=how, m_bits=32, k_hashes=2,
+        )
+        assert srt(got_fp) == srt(plain), how
+
+
+def test_bloom_probe_expr_no_false_negatives_and_null(spark):
+    from pyspark.sql import functions as F
+
+    from sed_spark.ext.sketch import bloom_bitmap, bloom_probe_expr
+
+    right = spark.createDataFrame(
+        [(i,) for i in range(0, 100, 7)], "k int",
+    )
+    words = bloom_bitmap(right, "k", m_bits=512)
+    assert len(words) == 512 // 32
+    probe = spark.createDataFrame(
+        [(i,) for i in range(100)] + [(None,)], "k int",
+    )
+    got = {
+        r["k"]: r["p"]
+        for r in probe.select(
+            "k", bloom_probe_expr(F.col("k"), words).alias("p"),
+        ).collect()
+    }
+    for i in range(0, 100, 7):
+        assert got[i] is True, i  # members always test maybe-present
+    assert got[None] is None  # NULL key -> NULL, never a match claim
+
+
+def test_bloom_reduced_join_validation(spark):
+    import pytest as pt
+
+    from sed_spark.ext.sketch import bloom_bitmap, bloom_reduced_join
+
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    with pt.raises(ValueError, match="how must be"):
+        bloom_reduced_join(df, df.select("k"), "k", how="right")
+    with pt.raises(ValueError, match="multiple of 32"):
+        bloom_bitmap(df, "k", m_bits=100)

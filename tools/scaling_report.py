@@ -779,6 +779,89 @@ def main() -> None:
         thunk.cleanup = lambda: shutil.rmtree(tmp, ignore_errors=True)
         return thunk
 
+    def _ppjoin(n):
+        # 40 hash-scattered words per doc from a 4096-word vocab (no
+        # consecutive-range structure, so chance 3-gram collisions are
+        # ~0); every 10th doc copies its predecessor with its one
+        # id-bearing word changed -> ~n/10 planted near-dup pairs and
+        # OUTPUT LINEAR in n. (synth_docs is unusable here: its mod-4096
+        # indexing repeats whole documents every 512 ids, and a
+        # duplicate-GROUP corpus makes the ANSWER itself quadratic in
+        # group size — the algorithm must emit every qualifying pair.
+        # Real pipelines run exact_dedup before the near-dup sweep, as
+        # examples/training_data_pipeline.py does.)
+        par = spark.sparkContext.defaultParallelism * 4
+        src = F.when(
+            (F.col("id") % 10 == 0) & (F.col("id") > 0), F.col("id") - 1,
+        ).otherwise(F.col("id"))
+        words = F.transform(
+            F.sequence(F.lit(1), F.lit(40)),
+            lambda i: F.when(
+                i == 1,
+                F.substring(F.md5(F.concat(F.lit("u"), F.col("id"))), 1, 6),
+            ).otherwise(
+                F.substring(
+                    F.md5(
+                        F.pmod(
+                            F.hash(src.cast("string"), i.cast("string")),
+                            F.lit(4096),
+                        ).cast("string"),
+                    ),
+                    1, 6,
+                ),
+            ),
+        )
+        d = pin(
+            spark.range(0, n, 1, par).select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(" ", words).alias("text"),
+            ),
+        )
+        return lambda: run_noop(
+            dedup.prefix_similarity_join(d, threshold=0.8),
+        )
+
+    def _top_items(n):
+        # 100 groups x 1000 hash-scattered items: one (g, item) hash agg
+        # collapses n rows to <=100k, the ranking window sorts only those
+        par = spark.sparkContext.defaultParallelism * 4
+        d = pin(
+            spark.range(0, n, 1, par).select(
+                (F.col("id") % 100).alias("g"),
+                F.pmod(F.hash(F.col("id").cast("string")), F.lit(1000))
+                .alias("item"),
+            ),
+        )
+        return lambda: run_noop(corpus.top_items_by(d, "g", "item", k=10))
+
+    def _colloc(n):
+        # two corpus-sized aggregates (bigram + unigram counts) + two
+        # vocabulary-sized joins; min_count prunes before the joins
+        d = pin(synth_docs(spark, n))
+        return lambda: run_noop(text.collocations(d, min_count=5))
+
+    def _bloom_join(n):
+        # n-row fact, 10k-key dimension, keys scattered over 160k values
+        # so ~15/16 of fact rows are definitely-absent and drop at the
+        # codegen probe BEFORE the shuffle; the join then runs on the
+        # surviving 1/16
+        par = spark.sparkContext.defaultParallelism * 4
+        fact = pin(
+            spark.range(0, n, 1, par).select(
+                F.pmod(F.hash(F.col("id").cast("string")), F.lit(160_000))
+                .alias("k"),
+                F.col("id").alias("v"),
+            ),
+        )
+        dim = pin(
+            spark.range(0, 10_000).select(
+                F.col("id").alias("k"), (F.col("id") % 7).alias("seg"),
+            ),
+        )
+        return lambda: run_noop(
+            sketch.bloom_reduced_join(fact, dim, "k", how="inner"),
+        )
+
     cases = [
         ("text_metrics (fused text scan)", [10**5, 10**6, 10**7], _text_metrics),
         ("dedup_exact (hash-groupBy)", [10**5, 10**6, 10**7], _dedup_exact),
@@ -827,6 +910,10 @@ def main() -> None:
         ("weighted_cap_sample (100 dom, cap 1k)", [10**6, 10**7, 10**8], _weighted_cap),
         ("random_project 64->16 + topk", [10**5, 10**6, 10**7], _rp),
         ("funnel_steps (3 steps, n/100 users)", [10**6, 10**7, 10**8], _funnel),
+        ("prefix_similarity_join (t=0.8)", [10**5, 10**6], _ppjoin),
+        ("top_items_by (100 grp, k=10)", [10**6, 10**7, 10**8], _top_items),
+        ("collocations (min_count=5)", [10**5, 10**6, 10**7], _colloc),
+        ("bloom_reduced_join (1/16 match)", [10**6, 10**7, 10**8], _bloom_join),
     ]
 
     # optional substring filters: `scaling_report.py bm25 pagerank` times
