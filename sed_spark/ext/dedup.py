@@ -406,6 +406,12 @@ def prefix_similarity_join(
     loosen a filter, never drop a qualifying pair. Returns
     ``(a_id, b_id, n_common, jaccard)`` — the same shape as
     :func:`jaccard_pairs`.
+
+    Output-size caveat: the ANSWER itself is quadratic in duplicate-group
+    size — k byte-identical documents have k·(k-1)/2 qualifying pairs,
+    and a lossless join must emit every one. Run :func:`exact_dedup`
+    first (as ``examples/training_data_pipeline.py`` does) so groups
+    collapse to one representative before the near-dup sweep.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")

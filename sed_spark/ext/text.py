@@ -971,21 +971,30 @@ def collocations(
     frequencies predict; a bigram of two corpus-dominating words scores
     near 1 no matter how often it appears.
 
-    Scale shape: the corpus collapses in two keyed hash aggregates
-    (bigram counts via :func:`~sed_spark.ext.vocab.bigram_counts`,
-    unigram tf via :func:`~sed_spark.ext.vocab.word_doc_freq`) —
+    Scale shape: the corpus collapses in two keyed hash aggregates —
+    bigram counts via :func:`~sed_spark.ext.vocab.bigram_counts`, and a
+    DIRECT per-word occurrence count (``word_doc_freq``'s tf without its
+    (doc, word)-keyed first stage: document frequency isn't needed here,
+    and the direct count's map-side partials collapse to vocabulary size
+    per task instead of shuffling one row per distinct (doc, word)) —
     ``min_count`` prunes the bigram tail BEFORE the two word-count
     joins; ``N`` rides in as a broadcast one-row aggregate. No windows,
     no driver collects. Returns ``(w1, w2, n_pair, n_w1, n_w2, lift)``.
     """
-    from sed_spark.ext.vocab import bigram_counts, word_doc_freq
+    from sed_spark.ext import scale_out
+    from sed_spark.ext.vocab import bigram_counts
 
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     bg = bigram_counts(df, id_col, text_col).filter(
         F.col("cnt") >= min_count,
     )
-    words = word_doc_freq(df, id_col, text_col).select("word", "tf")
+    words = (
+        scale_out(df)
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
     total = words.agg(F.sum("tf").cast("double").alias("__N"))
     split = F.split(F.col("g"), " ")
     pairs = bg.select(
