@@ -478,3 +478,28 @@ def test_prefix_similarity_join_is_equi_join_no_cartesian(spark):
     plan = _plan(prefix_similarity_join(docs, threshold=0.5))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_bloom_reduced_join_pass_through_branch_has_single_join(spark):
+    # the left_anti form unions the exact anti-join of the maybe-present
+    # slice with a pass-through filter of the definitely-absent slice —
+    # exactly ONE join operator in the whole plan (the pass-through
+    # branch must not join), and the probe is a literal-array expression,
+    # never a cartesian/nested-loop
+    import re
+
+    from sed_spark.ext.sketch import bloom_reduced_join
+    from sed_spark.suite.common import load
+
+    cust = load(spark, SF_DIR, "customer")
+    orders = load(spark, SF_DIR, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+    )
+    plan = _plan(
+        bloom_reduced_join(orders, cust.select("c_custkey"),
+                           "c_custkey", how="left_anti", m_bits=1 << 12),
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    n_joins = len(re.findall(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan))
+    assert n_joins == 1, f"expected exactly one join, saw {n_joins}"
