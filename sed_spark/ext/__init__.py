@@ -3,14 +3,19 @@
 Beyond the reference's physics vocabulary, this package provides the
 operators a 100 TB training-data pipeline needs: deduplication (exact,
 incremental, MinHash-LSH batch + incremental, SimHash, n-gram Jaccard,
-exact-substring spans, C4 line dedup, boilerplate), similarity search
-over embeddings (brute-force, batch Arrow, IVF with distributed k-means,
-hyperplane LSH, SemDeDup), text analysis (HTML extraction, language id,
-heuristic/classifier/LM/DSIR quality scoring, token counting,
-fingerprinting, chunking, packing), corpus management (URL/domain
-rollups, blocklists, hash splits, rate/cap/mixture/Gumbel/quantile
-sampling), tokenizer training (vocabulary stats, distributed BPE), and
-multimodal binary-column plumbing.
+prefix-filtered EXACT similarity join, exact-substring spans, C4 line
+dedup, boilerplate), similarity search over embeddings (brute-force,
+batch Arrow, IVF with distributed k-means, PQ/IVF-PQ/SQ8 and rerank,
+hyperplane LSH, SemDeDup, JL projection), text analysis (HTML
+extraction, language id, heuristic/classifier/LM/DSIR quality scoring,
+token counting, fingerprinting, chunking, packing, collocation mining,
+quality gates), corpus management (URL/domain rollups, blocklists,
+hash splits, rate/cap/mixture/Gumbel/quantile/weighted sampling,
+grouped percentile/robust/decayed stats, heavy hitters, corpus diff),
+tokenizer training (vocabulary stats, distributed BPE + unigram-LM +
+WordPiece), mergeable sketches (CMS, HLL, KMV, Bloom incl. bitmap
+semi-join reduction), graph ops (connected components, PageRank,
+triangles, LPA), and multimodal binary-column plumbing.
 
 All hot paths are JVM-side Column expressions (higher-order array
 functions); the only Python workers are vectorized Arrow stages with
