@@ -364,6 +364,7 @@ def prefix_similarity_join(
     shingle_n: int = 3,
     threshold: float = 0.5,
     positional: bool = True,
+    set_col: str | None = None,
 ) -> DataFrame:
     """EXACT Jaccard threshold self-join via prefix filtering — the
     AllPairs/PPJoin family (Bayardo et al., WWW'07; Xiao et al., WWW'08),
@@ -412,12 +413,26 @@ def prefix_similarity_join(
     and a lossless join must emit every one. Run :func:`exact_dedup`
     first (as ``examples/training_data_pipeline.py`` does) so groups
     collapse to one representative before the near-dup sweep.
+
+    ``set_col`` generalizes the join beyond text: name an
+    ``array<string>`` column (URL sets, feature bags, tag sets) and the
+    tokens are its distinct elements — ``text_col``/``shingle_n`` are
+    ignored and Jaccard is exact over those sets. NULL/empty sets have
+    no tokens and pair with nothing, matching the empty-document
+    behavior of the shingle path.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     eps = 1e-9
     t = float(threshold)
-    dg = exploded_shingles(df, id_col, text_col, shingle_n, distinct=True)
+    if set_col is not None:
+        dg = df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.col(set_col))).alias("g"),
+        )
+    else:
+        dg = exploded_shingles(df, id_col, text_col, shingle_n,
+                               distinct=True)
     freq = dg.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
     # (freq asc, token asc) IS the global order — sort structs directly
     docs = (

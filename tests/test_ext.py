@@ -1941,3 +1941,37 @@ def test_prefix_similarity_join_validation(spark):
     for bad in (0.0, -0.1, 1.5):
         with pt.raises(ValueError, match="threshold"):
             prefix_similarity_join(df, threshold=bad)
+
+
+def test_prefix_similarity_join_set_col_mode(spark):
+    # set_col names a precomputed array column (URL sets, feature bags):
+    # Jaccard is exact over the distinct elements, brute-force checked
+    import itertools
+    import random
+
+    from sed_spark.ext.dedup import prefix_similarity_join
+
+    rng = random.Random(11)
+    universe = [f"t{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        k = rng.randint(0, 8)
+        rows.append((i, rng.sample(universe, k)))
+    rows.append((40, None))  # NULL set pairs with nothing
+    df = spark.createDataFrame(rows, "doc_id int, tags array<string>")
+    for tau in (0.4, 0.8):
+        want = {}
+        for (i, a), (j, b) in itertools.combinations(rows[:40], 2):
+            sa, sb = set(a), set(b)
+            if not sa or not sb:
+                continue
+            c, u = len(sa & sb), len(sa | sb)
+            if u and c / u >= tau:
+                want[(i, j)] = c
+        got = {
+            (r["a_id"], r["b_id"]): r["n_common"]
+            for r in prefix_similarity_join(
+                df, set_col="tags", threshold=tau,
+            ).collect()
+        }
+        assert got == want, tau
