@@ -310,10 +310,10 @@ def main() -> None:
     n_exact_pairs = exact_pairs.count()
     # bloom semi-join reduction: the decontamination-shaped probe where
     # definitely-clean rows skip the shuffle entirely (row-identical to
-    # the plain semi join — Bloom filters have no false negatives)
+    # the plain semi join — Bloom filters have no false negatives);
+    # m_bits=None auto-sizes the bitmap from the HLL key-count estimate
     flagged = sketch.bloom_reduced_join(
         docs, bench.select("doc_id"), "doc_id", how="left_semi",
-        m_bits=1 << 12,
     )
     n_bloom_flagged = flagged.count()
     phrases = text.collocations(docs, min_count=5)

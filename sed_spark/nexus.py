@@ -291,7 +291,11 @@ def to_nexus(
     they feed :func:`nexus_tree` on the fallback path and are popped
     before the pynxtools ``convert(**kwds)`` call, so the same call
     signature behaves identically whether or not pynxtools is installed
-    (remaining kwds go to the converter/reader only).
+    (remaining kwds go to the converter/reader only). On the pynxtools
+    path the converter builds its own tree from the reader's metadata
+    flow, so tree-only kwargs cannot be threaded through — passing any
+    emits a loud warning (instead of silently vanishing from the
+    exported file).
     """
     tree_kwds = {
         k: kwds.pop(k)
@@ -316,6 +320,18 @@ def to_nexus(
             )
         write_nexus_h5(tree, faddr)
         return
+    if tree_kwds:
+        import warnings
+
+        warnings.warn(
+            "to_nexus: tree-building kwargs "
+            + ", ".join(sorted(tree_kwds))
+            + " are consumed by the dependency-free writer only; the "
+            "pynxtools converter path builds its tree from the reader's "
+            "metadata flow and these values will NOT reach the exported "
+            "file — pass them through the reader's metadata instead",
+            stacklevel=2,
+        )
     files = (input_files,) if isinstance(input_files, str) else tuple(input_files)
     convert(
         input_file=files,

@@ -447,13 +447,16 @@ def semi_anti_join(spark, sf_dir):
     # round 9: the same semi set through Bloom semi-join reduction
     # (sed_spark.ext.sketch.bloom_reduced_join) — definitely-absent keys
     # drop at the probe expression before any shuffle; no false
-    # negatives makes the rows exactly the plain semi-join's
+    # negatives makes the rows exactly the plain semi-join's. Round 10:
+    # the bitmap is auto-sized (m_bits=None) from the HLL estimate of
+    # the customer key count, exercising the sizing path the fixed
+    # default silently lacked.
     from sed_spark.ext.sketch import bloom_reduced_join
 
     bloom_semi = tag(
         bloom_reduced_join(
             ukeys, cust.select("c_custkey"), "c_custkey",
-            how="left_semi", m_bits=1 << 16,
+            how="left_semi",
         ).distinct(),
         "bloom_semi",
     )

@@ -152,19 +152,28 @@ def test_to_nexus_pops_tree_kwargs_before_pynxtools_convert(monkeypatch):
     monkeypatch.setitem(sys.modules, "pynxtools", pkg)
     monkeypatch.setitem(sys.modules, "pynxtools.dataconverter", dc)
     monkeypatch.setitem(sys.modules, "pynxtools.dataconverter.convert", cv)
-    nexus_mod.to_nexus(
-        _res(), "/tmp/ignored.nxs",
-        start_time="2026-08-16T00:00:00Z",
-        instrument={"beamline": "X"},
-        sample={"name": "WSe2"},
-        title="t",
-        units={"energy": "eV"},
-        metadata={"run": 1},
-        eln_data="converter-only.yml",
-    )
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        nexus_mod.to_nexus(
+            _res(), "/tmp/ignored.nxs",
+            start_time="2026-08-16T00:00:00Z",
+            instrument={"beamline": "X"},
+            sample={"name": "WSe2"},
+            title="t",
+            units={"energy": "eV"},
+            metadata={"run": 1},
+            eln_data="converter-only.yml",
+        )
     tree_only = {"start_time", "instrument", "sample", "title", "units",
                  "metadata"}
     assert tree_only.isdisjoint(seen)
+    # round 10: dropping caller metadata must be LOUD on the converter
+    # path — the values cannot be threaded into pynxtools' own tree
+    assert any(
+        "will NOT reach the exported file" in str(w.message) for w in caught
+    )
     assert seen["eln_data"] == "converter-only.yml"
     assert seen["nxdl"] == "NXmpes"
 

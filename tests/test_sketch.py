@@ -493,3 +493,63 @@ def test_bloom_reduced_join_validation(spark):
         bloom_reduced_join(df, df.select("k"), "k", how="right")
     with pt.raises(ValueError, match="multiple of 32"):
         bloom_bitmap(df, "k", m_bits=100)
+    # how="left" pads right columns by name onto the pass-through
+    # branch, so a shared non-key name must be rejected up front (a
+    # plain left join would keep both as ambiguous duplicates)
+    with pt.raises(ValueError, match="disjoint.*\\['v'\\]"):
+        bloom_reduced_join(df, df, "k", how="left")
+
+
+def test_bloom_m_bits_sizing_formula():
+    import math
+
+    import pytest as pt
+
+    from sed_spark.ext.sketch import bloom_m_bits
+
+    # the docstring formula, rounded up to the packed-word unit
+    want = 1e6 * -math.log(0.01) / (math.log(2.0) ** 2)
+    got = bloom_m_bits(1e6, fp_target=0.01)
+    assert got % 32 == 0 and 0 <= got - want < 32
+    # monotone in n; floored and capped at the documented budget
+    assert bloom_m_bits(1e6) > bloom_m_bits(1e4) > bloom_m_bits(10)
+    assert bloom_m_bits(10) == 1 << 14
+    assert bloom_m_bits(1e9) == 1 << 24
+    assert bloom_m_bits(1e6, max_m_bits=1 << 20) == 1 << 20
+    with pt.raises(ValueError, match="fp_target"):
+        bloom_m_bits(100, fp_target=1.5)
+    with pt.raises(ValueError, match="max_m_bits"):
+        bloom_m_bits(100, max_m_bits=1000)
+
+
+def test_bloom_reduced_join_auto_sizes_and_warns_on_saturation(spark):
+    # a 1e6-key right side must auto-size past the old fixed 2^20
+    # default (which would sit near fp 0.5 there) with no warning; an
+    # explicitly undersized bitmap fires the saturation warning — and
+    # both stay row-identical to the plain join (no false negatives)
+    import math
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from sed_spark.ext.sketch import bloom_m_bits, bloom_reduced_join
+
+    n_keys = 1_000_000
+    right = spark.range(0, n_keys).select((F.col("id") * 3).alias("k"))
+    left = spark.range(0, 3000).select(F.col("id").alias("k"))
+    auto_m = bloom_m_bits(n_keys)
+    assert auto_m > 1 << 20  # the r9 fixed default saturates at 1e6 keys
+    assert (1.0 - math.exp(-4 * n_keys / auto_m)) ** 4 < 0.05
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # auto sizing must NOT warn
+        got = bloom_reduced_join(left, right, "k", how="left_semi")
+    plain = left.join(right, ["k"], "left_semi")
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        [r["k"] for r in plain.collect()],
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        bloom_reduced_join(
+            left, right, "k", how="left_semi", m_bits=1 << 14,
+        )
+    assert any("prunes almost nothing" in str(w.message) for w in caught)
