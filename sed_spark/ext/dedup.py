@@ -390,23 +390,36 @@ def prefix_similarity_join(
        the global token ORDER is the (freq, token) tuple itself, so no
        rank assignment (and no global window) is ever needed;
     2. per-doc ``sort_array(collect_list(struct(freq, token)))``, slice
-       the prefix, keep the full sorted token array for verification;
-    3. prefix self-join on token with the Jaccard length filter
-       ``min(na, nb) >= t * max(na, nb)`` (a necessary condition, so a
-       pure pre-filter);
+       the prefixes, keep the full sorted token array for verification;
+    3. ASYMMETRIC prefix self-join (PPJoin, Xiao et al. Lemma 2 + the
+       size-ordered index reduction): each unordered pair is generated
+       exactly once with the size-SMALLER document (ties by id) on the
+       probe side. The probe side explodes only the mid-prefix
+       ``n - ceil(2tn/(1+t)) + 1`` — valid because its partner is at
+       least as large, so the required overlap ``alpha =
+       ceil(t(ns+nl)/(1+t))`` is at least ``ceil(2tns/(1+t))`` — while
+       the index side explodes the full prefix ``n - ceil(tn) + 1``
+       (valid since ``alpha >= ceil(t*nl)`` whenever ``ns >= t*nl``,
+       which the Jaccard length filter ``ns >= t * nl`` guarantees for
+       every qualifying pair). At t=0.8 the probe side shrinks from
+       ~20%% to ~11%% of each document's tokens — the candidate join's
+       row product drops with it, losslessly;
     4. per candidate pair, the PPJoin positional filter (``positional``):
-       a shared prefix token at sorted positions (ia, ib) bounds the
-       overlap by ``1 + min(na - ia, nb - ib)``; pairs whose best bound
-       misses the required overlap ``ceil(t * (na + nb) / (1 + t))``
-       drop before verification — a groupBy max, zero extra shuffles;
-    5. exact verify: ``array_intersect`` over the two full (distinct)
-       token arrays — O(candidates), never O(n²).
+       a shared prefix token at sorted positions (is, il) bounds the
+       overlap by ``1 + min(ns - is, nl - il)``; pairs whose best bound
+       misses ``alpha`` drop before verification — a groupBy max, zero
+       extra shuffles;
+    5. exact verify: the probe side CARRIES its full sorted token array
+       through the (short) mid-prefix explode, so verification needs
+       ONE id-keyed join-back (the index side's array) instead of two —
+       one fewer recomputation of the heavy per-doc aggregate in the
+       plan, then ``array_intersect`` — O(candidates), never O(n²).
 
     Float guard: the integer thresholds are computed with a 1e-9 slack
-    (``ceil(t*n - eps)``) so double rounding can only widen the prefix /
+    (``ceil(t*n - eps)``) so double rounding can only widen a prefix /
     loosen a filter, never drop a qualifying pair. Returns
-    ``(a_id, b_id, n_common, jaccard)`` — the same shape as
-    :func:`jaccard_pairs`.
+    ``(a_id, b_id, n_common, jaccard)`` with ``a_id < b_id`` — the same
+    shape as :func:`jaccard_pairs`.
 
     Output-size caveat: the ANSWER itself is quadratic in duplicate-group
     size — k byte-identical documents have k·(k-1)/2 qualifying pairs,
@@ -450,65 +463,77 @@ def prefix_similarity_join(
             F.transform(F.col("__ord"), lambda s: s["g"]).alias("__toks"),
         )
     )
-    # prefix length: n - ceil(t*n - eps) + 1, clamped to [1, n]
-    plen = F.greatest(
+    # index prefix n - ceil(t*n - eps) + 1 and PPJoin mid (probe) prefix
+    # n - ceil(2tn/(1+t) - eps) + 1, both clamped to [1, n]
+    p_idx = F.greatest(
         F.lit(1),
         F.col("__n") - F.ceil(F.lit(t) * F.col("__n") - F.lit(eps)) + 1,
     ).cast("int")
-    prefix = docs.select(
-        id_col,
-        "__n",
-        F.posexplode(F.slice(F.col("__toks"), F.lit(1), plen))
+    p_prb = F.greatest(
+        F.lit(1),
+        F.col("__n")
+        - F.ceil(F.lit(2.0 * t / (1.0 + t)) * F.col("__n") - F.lit(eps))
+        + 1,
+    ).cast("int")
+    # probe side = the size-smaller partner (ties by id); it explodes
+    # only the mid-prefix and CARRIES its full token array so the
+    # verify stage needs a single join-back
+    probe = docs.select(
+        F.col(id_col).alias("s_id"),
+        F.col("__n").alias("ns"),
+        F.col("__toks").alias("__ts"),
+        F.posexplode(F.slice(F.col("__toks"), F.lit(1), p_prb))
         .alias("__pos0", "g"),
     ).select(
-        id_col, "__n", (F.col("__pos0") + 1).alias("__pos"), "g",
+        "s_id", "ns", "__ts", (F.col("__pos0") + 1).alias("is_"), "g",
     )
-    a = prefix.select(
-        F.col(id_col).alias("a_id"), F.col("__n").alias("na"),
-        F.col("__pos").alias("ia"), "g",
+    index = docs.select(
+        F.col(id_col).alias("l_id"),
+        F.col("__n").alias("nl"),
+        F.posexplode(F.slice(F.col("__toks"), F.lit(1), p_idx))
+        .alias("__pos0", "g"),
+    ).select(
+        "l_id", "nl", (F.col("__pos0") + 1).alias("il"), "g",
     )
-    b = prefix.select(
-        F.col(id_col).alias("b_id"), F.col("__n").alias("nb"),
-        F.col("__pos").alias("ib"), "g",
+    pair_order = (F.col("ns") < F.col("nl")) | (
+        (F.col("ns") == F.col("nl")) & (F.col("s_id") < F.col("l_id"))
     )
+    # Jaccard length filter: ns >= t * nl (ns <= nl by construction)
     length_ok = (
-        F.least(F.col("na"), F.col("nb")).cast("double") + F.lit(eps)
-        >= F.lit(t) * F.greatest(F.col("na"), F.col("nb"))
+        F.col("ns").cast("double") + F.lit(eps)
+        >= F.lit(t) * F.col("nl")
     )
-    witnessed = a.join(
-        b, (a["g"] == b["g"]) & (F.col("a_id") < F.col("b_id")),
+    witnessed = probe.join(
+        index, (probe["g"] == index["g"]) & pair_order,
     ).filter(length_ok)
     ubound = F.lit(1) + F.least(
-        F.col("na") - F.col("ia"), F.col("nb") - F.col("ib"),
+        F.col("ns") - F.col("is_"), F.col("nl") - F.col("il"),
     )
-    cands = witnessed.groupBy("a_id", "b_id").agg(
-        F.first("na").alias("na"),
-        F.first("nb").alias("nb"),
+    cands = witnessed.groupBy("s_id", "l_id").agg(
+        F.first("ns").alias("ns"),
+        F.first("nl").alias("nl"),
+        F.first("__ts").alias("__ts"),
         F.max(ubound).alias("__ub"),
     )
     if positional:
         o_req = F.ceil(
-            F.lit(t) * (F.col("na") + F.col("nb")) / F.lit(1.0 + t)
+            F.lit(t) * (F.col("ns") + F.col("nl")) / F.lit(1.0 + t)
             - F.lit(eps),
         )
         cands = cands.filter(F.col("__ub") >= o_req)
-    ta = docs.select(
-        F.col(id_col).alias("a_id"), F.col("__toks").alias("__ta"),
+    tl = docs.select(
+        F.col(id_col).alias("l_id"), F.col("__toks").alias("__tl"),
     )
-    tb = docs.select(
-        F.col(id_col).alias("b_id"), F.col("__toks").alias("__tb"),
-    )
-    c = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+    c = F.size(F.array_intersect(F.col("__ts"), F.col("__tl")))
     return (
-        cands.join(ta, "a_id")
-        .join(tb, "b_id")
+        cands.join(tl, "l_id")
         .select(
-            "a_id",
-            "b_id",
+            F.least("s_id", "l_id").alias("a_id"),
+            F.greatest("s_id", "l_id").alias("b_id"),
             c.cast("long").alias("n_common"),
             (
                 c.cast("double")
-                / (F.col("na") + F.col("nb") - c)
+                / (F.col("ns") + F.col("nl") - c)
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
