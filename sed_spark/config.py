@@ -22,7 +22,59 @@ try:
 except ImportError:  # pragma: no cover
     BaseModel = None  # type: ignore[assignment]
 
-__all__ = ["parse_config", "complete_dictionary", "resolve_column_alias", "SedConfig"]
+__all__ = [
+    "parse_config",
+    "complete_dictionary",
+    "resolve_column_alias",
+    "read_env_var",
+    "save_env_var",
+    "SedConfig",
+]
+
+
+def _env_file_path() -> str:
+    """The user-level ``.env`` store (reference src/sed/core/config.py's
+    read_env_var/save_env_var persistence layer)."""
+    base = os.environ.get(
+        "XDG_CONFIG_HOME", os.path.join(os.path.expanduser("~"), ".config"),
+    )
+    return os.path.join(base, "sed_spark", ".env")
+
+
+def read_env_var(name: str) -> str | None:
+    """Resolve ``name`` from the process environment first, then from
+    the user ``.env`` file; None when unset in both."""
+    if name in os.environ:
+        return os.environ[name]
+    path = _env_file_path()
+    if not os.path.exists(path):
+        return None
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            key, _, value = line.partition("=")
+            if key.strip() == name:
+                return value.strip()
+    return None
+
+
+def save_env_var(name: str, value: str) -> None:
+    """Persist ``name=value`` to the user ``.env`` file (replacing any
+    existing entry), so e.g. an access token survives across sessions."""
+    path = _env_file_path()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    lines: list[str] = []
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as fh:
+            lines = [
+                ln for ln in fh.read().splitlines()
+                if ln.strip().partition("=")[0].strip() != name
+            ]
+    lines.append(f"{name}={value}")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
 
 
 def complete_dictionary(dictionary: dict, base_dictionary: dict) -> dict:
