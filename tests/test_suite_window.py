@@ -41,3 +41,25 @@ def test_every_suite_row_has_an_oracle_or_is_documented():
         f"suite rows without a DuckDB oracle: {missing} — add oracle SQL "
         "or document the exemption here"
     )
+
+
+def test_warm_fits_populates_every_trainer_cache(spark):
+    """warm_fits (round 10) must hit the same caches text_metrics reads,
+    so a bench rep after it measures operators, not trainer cold-start."""
+    from sed_spark.suite import ext as sx
+
+    secs = sx.warm_fits(spark, "/root/testdata/sf0.01")
+    assert set(secs) == {"bpe", "unigram", "wordpiece", "classifier", "dsir"}
+    assert all(v >= 0 for v in secs.values())
+    sf = "/root/testdata/sf0.01"
+    assert sf in sx._BPE_FIT_CACHE
+    assert sf in sx._UNIGRAM_FIT_CACHE
+    assert sf in sx._WORDPIECE_FIT_CACHE
+    assert sf in sx._TRAINED_CLS_CACHE
+    assert sf in sx._DSIR_FIT_CACHE
+    # a second call is pure cache hits — near-instant
+    import time
+
+    t0 = time.perf_counter()
+    sx.warm_fits(spark, sf)
+    assert time.perf_counter() - t0 < 5.0
