@@ -54,6 +54,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     reps_log: dict[str, list[float]] = {}
     canary_log: dict[str, list[float]] = {}
+    canary_bw_log: dict[str, list[float]] = {}
+    canary_lat_log: dict[str, list[float]] = {}
     load_log: dict[str, list[float]] = {}
 
     # contention canary: the SAME fixed single-threaded numpy workload
@@ -75,6 +77,48 @@ def main() -> None:
         _np.sort(_canary_buf[0], kind="mergesort")
         return round(time.perf_counter() - t0, 4)
 
+    # bandwidth canary (round 10): the sort canary's 16 MB working set
+    # is cache-resident, so it stays FLAT through this VM's worst noise
+    # mode — memory-bandwidth interference. Observed 2026-08-16: a run
+    # with sort band [0.252, 0.446] (gate green) recorded inv_dfield
+    # reps of [35.6, 17.5, 34.0, 42.5, 7.4] s on unchanged pure-numpy
+    # code — 5-30x, invisible to the sort. A streaming sum over a
+    # 512 MB buffer (quiet ~0.065-0.08 s here) IS slowed by that mode
+    # (25x observed), so the gate now watches both.
+    _bw_buf: list = []
+
+    def _canary_bw() -> float:
+        import numpy as _np
+
+        if not _bw_buf:
+            _bw_buf.append(_np.random.RandomState(1).rand(1 << 26))
+            _bw_buf[0].sum()  # absorb first-touch faulting outside timing
+        t0 = time.perf_counter()
+        _bw_buf[0].sum()
+        return round(time.perf_counter() - t0, 4)
+
+    # latency canary (round 10, the decisive one): 16M random gathers
+    # from a 256 MB array — LATENCY-bound (no prefetch), the access
+    # profile of inv_dfield's fancy-indexing kernel. Measured on this
+    # VM 2026-08-16 while BOTH other canaries read quiet: the probe
+    # swung 0.29 s → 16.3 s (55x) second-to-second, and inv_dfield
+    # tracked it (1-2 s quiet → 10-55 s). Streaming prefetch hides
+    # interference a dependent-load gather pays in full, so this is the
+    # band that actually certifies the phase-1 numbers.
+    _lat_buf: list = []
+
+    def _canary_lat() -> float:
+        import numpy as _np
+
+        if not _lat_buf:
+            rng = _np.random.RandomState(2)
+            _lat_buf.append(rng.rand(1 << 25))
+            _lat_buf.append(rng.permutation(1 << 25)[: 1 << 24])
+            _lat_buf[0][_lat_buf[1]].sum()  # absorb first touch
+        t0 = time.perf_counter()
+        _lat_buf[0][_lat_buf[1]].sum()
+        return round(time.perf_counter() - t0, 4)
+
     # canary GATE (round 10): BENCH_r09.json was recorded on a host
     # contended for most of the run (canary band [0.265, 2.97] — 11x
     # wide) in violation of the repo's own protocol, and every
@@ -86,29 +130,48 @@ def main() -> None:
     # exhausted; (2) the final record carries an explicit canary_ok
     # verdict so a contaminated artifact can never read as a clean one.
     CANARY_QUIET_ABS = float(os.environ.get("SPARK_GRAFT_CANARY_ABS", "0.45"))
+    CANARY_BW_ABS = float(os.environ.get("SPARK_GRAFT_CANARY_BW_ABS", "0.15"))
+    CANARY_LAT_ABS = float(os.environ.get("SPARK_GRAFT_CANARY_LAT_ABS", "0.6"))
     _wait_budget = [float(os.environ.get("SPARK_GRAFT_CANARY_WAIT", "900"))]
     _floor = [float("inf")]
+    _bw_floor = [float("inf")]
+    _lat_floor = [float("inf")]
 
-    def _canary_gated() -> float:
-        c = _canary()
-        _floor[0] = min(_floor[0], c)
-        gate = max(1.5 * _floor[0], CANARY_QUIET_ABS)
-        while c > gate and _wait_budget[0] > 0:
-            time.sleep(5.0)
-            _wait_budget[0] -= 5.0
-            c = _canary()
+    def _canary_gated() -> tuple[float, float, float]:
+        # the budget is decremented by REAL elapsed wall (sleep + probe
+        # time): a loud latency probe itself costs seconds, and a
+        # 5s-per-iteration accounting would let the nominal 900 s
+        # budget stretch to an hour of wall under sustained noise
+        c, b, l = _canary(), _canary_bw(), _canary_lat()
+        while True:
             _floor[0] = min(_floor[0], c)
-            gate = max(1.5 * _floor[0], CANARY_QUIET_ABS)
-        return c
+            _bw_floor[0] = min(_bw_floor[0], b)
+            _lat_floor[0] = min(_lat_floor[0], l)
+            ok = (
+                c <= max(1.5 * _floor[0], CANARY_QUIET_ABS)
+                and b <= max(1.5 * _bw_floor[0], CANARY_BW_ABS)
+                and l <= max(1.5 * _lat_floor[0], CANARY_LAT_ABS)
+            )
+            if ok or _wait_budget[0] <= 0:
+                return c, b, l
+            t0 = time.perf_counter()
+            time.sleep(5.0)
+            c, b, l = _canary(), _canary_bw(), _canary_lat()
+            _wait_budget[0] -= time.perf_counter() - t0
 
     def timed(name: str, fn, n: int = 1, jvm=None) -> None:
         import gc as _gc
 
         reps: list[float] = []
         cans: list[float] = []
+        bws: list[float] = []
+        lats: list[float] = []
         loads: list[float] = []
         for _ in range(n):
-            cans.append(_canary_gated())
+            c, b, l = _canary_gated()
+            cans.append(c)
+            bws.append(b)
+            lats.append(l)
             loads.append(round(os.getloadavg()[0], 2))
             t0 = time.perf_counter()
             fn()
@@ -127,6 +190,8 @@ def main() -> None:
         timings[name] = min(reps)
         reps_log[name] = reps
         canary_log[name] = cans
+        canary_bw_log[name] = bws
+        canary_lat_log[name] = lats
         load_log[name] = loads
 
     # -- phase 1: driver-side numpy metric, measured FIRST ----------------
@@ -379,19 +444,29 @@ def main() -> None:
     # whole round loses its headline bench (BENCH_r05.json parsed:null).
     # the canary verdict: ok iff the whole run stayed inside the
     # host-noise protocol's quiet band (max <= max(1.5x observed floor,
-    # the absolute quiet ceiling)). A false verdict means the numbers
-    # are contaminated by external load and MUST NOT anchor cross-round
+    # the absolute quiet ceiling)) on BOTH canaries — the CPU sort and
+    # the 512 MB bandwidth stream (either alone provably misses a noise
+    # mode on this VM). A false verdict means the numbers are
+    # contaminated by external load and MUST NOT anchor cross-round
     # comparisons — re-run on quiet load instead of trusting them.
     all_canary = [c for cs in canary_log.values() for c in cs]
-    canary_ok = bool(all_canary) and max(all_canary) <= max(
-        1.5 * min(all_canary), CANARY_QUIET_ABS,
+    all_bw = [b for bs in canary_bw_log.values() for b in bs]
+    all_lat = [x for xs in canary_lat_log.values() for x in xs]
+    canary_ok = (
+        bool(all_canary)
+        and max(all_canary) <= max(1.5 * min(all_canary), CANARY_QUIET_ABS)
+        and max(all_bw) <= max(1.5 * min(all_bw), CANARY_BW_ABS)
+        and max(all_lat) <= max(1.5 * min(all_lat), CANARY_LAT_ABS)
     )
     if not canary_ok:
         print(
             "bench: CANARY GATE FAILED — host was contended during the "
-            f"run (band [{min(all_canary):.3f}, {max(all_canary):.3f}], "
-            f"quiet ceiling {CANARY_QUIET_ABS}); numbers are NOT "
-            "comparable across rounds, re-run on quiet load",
+            f"run (sort band [{min(all_canary):.3f}, "
+            f"{max(all_canary):.3f}] vs ceiling {CANARY_QUIET_ABS}; "
+            f"bandwidth band [{min(all_bw):.3f}, {max(all_bw):.3f}] vs "
+            f"ceiling {CANARY_BW_ABS}; latency band [{min(all_lat):.3f}, "
+            f"{max(all_lat):.3f}] vs ceiling {CANARY_LAT_ABS}); numbers "
+            "are NOT comparable across rounds, re-run on quiet load",
             file=sys.stderr,
         )
 
@@ -411,6 +486,8 @@ def main() -> None:
                 # slow rep == external host load, flat canary == the
                 # measured code itself changed
                 "canary": canary_log,
+                "canary_bw": canary_bw_log,
+                "canary_lat": canary_lat_log,
                 "canary_ok": canary_ok,
                 "loadavg": load_log,
                 "duck": duck_timings,
@@ -448,6 +525,18 @@ def main() -> None:
                 "canary_band": [
                     round(min(all_canary), 3), round(max(all_canary), 3),
                 ] if all_canary else [],
+                # memory-bandwidth canary band (512 MB streaming sum,
+                # quiet ~0.065-0.08 s): catches the interference mode
+                # the cache-resident sort provably misses on this VM
+                "canary_bw_band": [
+                    round(min(all_bw), 3), round(max(all_bw), 3),
+                ] if all_bw else [],
+                # latency canary band (16M random gathers over 256 MB,
+                # quiet ~0.3 s): the dependent-load profile inv_dfield
+                # actually has; the band that certifies phase 1
+                "canary_lat_band": [
+                    round(min(all_lat), 3), round(max(all_lat), 3),
+                ] if all_lat else [],
                 # gate verdict: false = contended host, numbers not
                 # comparable across rounds (see stderr + full record)
                 "canary_ok": canary_ok,
