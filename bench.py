@@ -21,14 +21,26 @@ interleaved A/B runs — see SCALING.md "host variance"):
 
 Every metric records ALL rep times (``reps`` in the JSON), not just the
 best-of-N, so a noisy host is visible in the artifact itself. Round 10
-adds the CANARY GATE: each rep waits (bounded) for the contention canary
+added the CANARY GATE: each rep waits (bounded) for the contention canary
 to return to the quiet band before starting, and the record carries an
 explicit ``canary_ok`` verdict — a contaminated run can no longer read
-as a clean one (BENCH_r09.json's band was [0.265, 2.97] and its
-suite_total was 2.4x steady-state for host reasons alone).
+as a clean one.
+
+Round 11 makes the record RESUMABLE PER METRIC: the full record carries a
+``canary_ok_by_metric`` map (each metric's own reps judged against the
+quiet band), and ``SPARK_GRAFT_BENCH_ONLY=<names>`` re-runs just those
+metrics/phases and SPLICES them into the existing ``BENCH_full.json``
+(all other rows kept verbatim), recomputing totals + verdicts. Sustained
+host noise rarely spans a whole 900 s window AND a later quiet retry, so
+contaminated rows can be replaced one by one until every row is clean —
+``canary_ok`` is now simply "every metric's own band was quiet".
+Accepted tokens: any metric name (``inv_dfield``, ``binning_4d``,
+``q_asof_ops``, ...), the phase aliases ``synthetic`` (all four phase-2
+metrics), ``suite`` (every registered query), and ``duck`` (the DuckDB
+baseline sweep).
 
 Output: {"metric": "suite_total", "value": <sec>, "unit": "sec",
-         "queries": {...}, "reps": {...}, "duck": {...}, "sf": <sf>}
+         "queries": {...}, "canary_ok": bool, "sf": <sf>}
 """
 
 from __future__ import annotations
@@ -39,6 +51,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SYNTH_METRICS = ("binning_1d", "binning_4d", "workflow_1d", "workflow_4d")
 
 
 def main() -> None:
@@ -51,12 +65,71 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "5"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
-    timings: dict[str, float] = {}
-    reps_log: dict[str, list[float]] = {}
-    canary_log: dict[str, list[float]] = {}
-    canary_bw_log: dict[str, list[float]] = {}
-    canary_lat_log: dict[str, list[float]] = {}
-    load_log: dict[str, list[float]] = {}
+    from sed_spark import suite
+
+    # -- resume selection ---------------------------------------------------
+    # SPARK_GRAFT_BENCH_ONLY: run only the named metrics/phases, splice
+    # into the prior BENCH_full.json. Unset/empty = full run from scratch.
+    only_raw = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_full.json")
+    base: dict = {}
+    selected: set[str] | None = None  # None = everything
+    run_duck = True
+    if only_raw:
+        tokens = [t.strip() for t in only_raw.split(",") if t.strip()]
+        selected = set()
+        run_duck = False
+        for tok in tokens:
+            if tok == "synthetic":
+                selected.update(SYNTH_METRICS)
+            elif tok == "suite":
+                selected.update(f"q_{n}" for n in suite.REGISTRY)
+            elif tok == "duck":
+                run_duck = True
+            elif tok in ("inv_dfield", *SYNTH_METRICS) or (
+                tok.startswith("q_") and tok[2:] in suite.REGISTRY
+            ):
+                selected.add(tok)
+            else:
+                raise SystemExit(
+                    f"bench: unknown SPARK_GRAFT_BENCH_ONLY token {tok!r} "
+                    "(metric name, 'synthetic', 'suite', or 'duck')",
+                )
+        if not os.path.exists(full_path):
+            raise SystemExit(
+                "bench: SPARK_GRAFT_BENCH_ONLY set but no BENCH_full.json "
+                "to splice into — run the full bench first",
+            )
+        with open(full_path) as fh:
+            base = json.load(fh)
+        if base.get("sf") != sf or base.get("synthetic_rows") != n_synth:
+            raise SystemExit(
+                "bench: prior BENCH_full.json was recorded at "
+                f"sf={base.get('sf')}/n={base.get('synthetic_rows')} but "
+                f"this run is sf={sf}/n={n_synth} — splicing across scales "
+                "would fabricate a record; run the full bench instead",
+            )
+
+    def _want(name: str) -> bool:
+        return selected is None or name in selected
+
+    timings: dict[str, float] = dict(base.get("queries", {}))
+    # pre-r11 records kept fit_* inside queries; migrate them to the
+    # first-class fit_secs block on splice
+    for k in [k for k in timings if k.startswith("fit_")]:
+        timings.pop(k)
+    reps_log: dict[str, list[float]] = dict(base.get("reps", {}))
+    canary_log: dict[str, list[float]] = dict(base.get("canary", {}))
+    canary_bw_log: dict[str, list[float]] = dict(base.get("canary_bw", {}))
+    canary_lat_log: dict[str, list[float]] = dict(base.get("canary_lat", {}))
+    load_log: dict[str, list[float]] = dict(base.get("loadavg", {}))
+    fit_secs_log: dict[str, float] = dict(base.get("fit_secs", {}))
+    fit_secs_log.update(
+        {k[4:]: v for k, v in base.get("queries", {}).items()
+         if k.startswith("fit_") and k != "fit_total"},
+    )
+    duck_timings: dict[str, float] = dict(base.get("duck", {}))
 
     # contention canary: the SAME fixed single-threaded numpy workload
     # (sort of 2^21 pinned floats, ~0.23-0.31 s on this host unloaded)
@@ -119,16 +192,13 @@ def main() -> None:
         _lat_buf[0][_lat_buf[1]].sum()
         return round(time.perf_counter() - t0, 4)
 
-    # canary GATE (round 10): BENCH_r09.json was recorded on a host
-    # contended for most of the run (canary band [0.265, 2.97] — 11x
-    # wide) in violation of the repo's own protocol, and every
-    # cross-round comparison against it was noise. Two defenses now:
-    # (1) wait-for-quiet — before each rep, if the canary exceeds
-    # max(1.5x the run's quiet floor, CANARY_QUIET_ABS) the rep WAITS
-    # (5 s steps) until the host calms down or a bounded wall budget
-    # (SPARK_GRAFT_CANARY_WAIT, default 900 s across the whole run) is
-    # exhausted; (2) the final record carries an explicit canary_ok
-    # verdict so a contaminated artifact can never read as a clean one.
+    # canary GATE: (1) wait-for-quiet — before each rep, if the canary
+    # exceeds max(1.5x the run's quiet floor, CANARY_*_ABS) the rep
+    # WAITS (5 s steps) until the host calms down or a bounded wall
+    # budget (SPARK_GRAFT_CANARY_WAIT, default 900 s across the whole
+    # run) is exhausted; (2) the record carries per-metric + overall
+    # canary verdicts so a contaminated artifact can never read as a
+    # clean one, and contaminated rows can be individually re-run.
     CANARY_QUIET_ABS = float(os.environ.get("SPARK_GRAFT_CANARY_ABS", "0.45"))
     CANARY_BW_ABS = float(os.environ.get("SPARK_GRAFT_CANARY_BW_ABS", "0.15"))
     CANARY_LAT_ABS = float(os.environ.get("SPARK_GRAFT_CANARY_LAT_ABS", "0.6"))
@@ -203,18 +273,19 @@ def main() -> None:
     # isolation too (benchmark_sed.py).
     import numpy as np
 
-    from sed_spark.calibrator.momentum_estimation import generate_inverse_dfield
+    if _want("inv_dfield"):
+        from sed_spark.calibrator.momentum_estimation import (
+            generate_inverse_dfield,
+        )
 
-    g2 = np.arange(2048, dtype=np.float64)
-    gx2, gy2 = np.meshgrid(g2, g2, indexing="ij")
-    rdef = gx2 + 5.0 * np.sin(gy2 / 300.0)
-    cdef = gy2 + 5.0 * np.sin(gx2 / 300.0)
-    timed("inv_dfield", lambda: generate_inverse_dfield(rdef, cdef), repeats)
+        g2 = np.arange(2048, dtype=np.float64)
+        gx2, gy2 = np.meshgrid(g2, g2, indexing="ij")
+        rdef = gx2 + 5.0 * np.sin(gy2 / 300.0)
+        cdef = gy2 + 5.0 * np.sin(gx2 / 300.0)
+        timed("inv_dfield", lambda: generate_inverse_dfield(rdef, cdef),
+              repeats)
 
     # -- phase 2: baseline-parity synthetic workload, dedicated session ----
-    from pyspark.sql import functions as F
-
-    from sed_spark.binning import bin_dataframe
     from sed_spark.session import get_spark
 
     session_conf = {
@@ -223,151 +294,169 @@ def main() -> None:
         "spark.log.level": "ERROR",
     }
 
-    spark = get_spark(
-        app_name="sed-spark-bench-synthetic",
-        master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus) * 2,
-        extra_conf=session_conf,
-    )
+    if any(_want(m) for m in SYNTH_METRICS):
+        from pyspark.sql import functions as F
 
-    # mirrors reference benchmark_sed.py:24-34: uniform X/Y/t/ADC, seeded
-    ranges = {"X": (0.0, 2048.0), "Y": (0.0, 2048.0),
-              "t": (60000.0, 120000.0), "ADC": (2000.0, 20000.0)}
-    base = spark.range(0, n_synth, 1, int(cpus) * 4)
-    synth = base.select(
-        *[
-            (F.rand(seed=42 + i) * (hi - lo) + lo).alias(col)
-            for i, (col, (lo, hi)) in enumerate(ranges.items())
-        ],
-    ).persist()
-    synth.count()  # materialize like the reference's in-memory dask frame
+        from sed_spark.binning import bin_dataframe
 
-    # codegen/JIT warmup on a small slice so the timed reps measure the
-    # steady-state plan, not first-compile (reference benchmark_sed.py
-    # equally reports timeit best-of on a warm worker pool)
-    bin_dataframe(
-        synth.limit(100_000), [10, 10, 10, 10], ["X", "Y", "t", "ADC"],
-        [(0.0, 2048.0), (0.0, 2048.0), (60000.0, 120000.0), (2000.0, 20000.0)],
-    )
+        spark = get_spark(
+            app_name="sed-spark-bench-synthetic",
+            master=f"local[{cpus}]",
+            shuffle_partitions=int(cpus) * 2,
+            extra_conf=session_conf,
+        )
 
-    jvm = spark.sparkContext._jvm
-    timed(
-        "binning_1d",
-        lambda: bin_dataframe(synth, [1000], ["t"], [(60000.0, 120000.0)]),
-        repeats,
-        jvm=jvm,
-    )
-    timed(
-        "binning_4d",
-        lambda: bin_dataframe(
-            synth, [100, 100, 100, 100], ["X", "Y", "t", "ADC"],
-            [(0.0, 2048.0), (0.0, 2048.0), (60000.0, 120000.0), (2000.0, 20000.0)],
-        ),
-        repeats,
-        jvm=jvm,
-    )
+        # mirrors reference benchmark_sed.py:24-34: uniform X/Y/t/ADC, seeded
+        ranges = {"X": (0.0, 2048.0), "Y": (0.0, 2048.0),
+                  "t": (60000.0, 120000.0), "ADC": (2000.0, 20000.0)}
+        base_df = spark.range(0, n_synth, 1, int(cpus) * 4)
+        synth = base_df.select(
+            *[
+                (F.rand(seed=42 + i) * (hi - lo) + lo).alias(col)
+                for i, (col, (lo, hi)) in enumerate(ranges.items())
+            ],
+        ).persist()
+        synth.count()  # materialize like the reference's in-memory dask frame
 
-    # workflow chain (lazy — re-executed per compute, like the reference)
-    from sed_spark.calibrator import delay as delay_cal
-    from sed_spark.calibrator import energy as energy_cal
-    from sed_spark.calibrator import momentum as momentum_cal
-    from sed_spark.dfops import apply_jitter
+        # codegen/JIT warmup on a small slice so the timed reps measure the
+        # steady-state plan, not first-compile (reference benchmark_sed.py
+        # equally reports timeit best-of on a warm worker pool)
+        bin_dataframe(
+            synth.limit(100_000), [10, 10, 10, 10], ["X", "Y", "t", "ADC"],
+            [(0.0, 2048.0), (0.0, 2048.0), (60000.0, 120000.0),
+             (2000.0, 20000.0)],
+        )
 
-    # synthetic smooth inverse deformation field (identity + ripple);
-    # scipy-free stand-in for the spline-warp estimate, same lookup cost
-    g = np.linspace(0, 2048, 256)
-    gx, gy = np.meshgrid(g, g, indexing="ij")
-    dfield = np.stack(
-        [
-            gx + 5.0 * np.sin(gy / 300.0),
-            gy + 5.0 * np.sin(gx / 300.0),
-        ],
-    ).astype(np.float64)
+        jvm = spark.sparkContext._jvm
+        if _want("binning_1d"):
+            timed(
+                "binning_1d",
+                lambda: bin_dataframe(synth, [1000], ["t"],
+                                      [(60000.0, 120000.0)]),
+                repeats,
+                jvm=jvm,
+            )
+        if _want("binning_4d"):
+            timed(
+                "binning_4d",
+                lambda: bin_dataframe(
+                    synth, [100, 100, 100, 100], ["X", "Y", "t", "ADC"],
+                    [(0.0, 2048.0), (0.0, 2048.0), (60000.0, 120000.0),
+                     (2000.0, 20000.0)],
+                ),
+                repeats,
+                jvm=jvm,
+            )
 
-    wf = apply_jitter(
-        synth, ["X", "Y", "t", "ADC"], cols_jittered=["X", "Y", "t", "ADC"], seed=1,
-    )
-    wf = momentum_cal.apply_dfield(
-        wf, dfield, new_x_column="Xm", new_y_column="Ym",
-        detector_ranges=((0.0, 2048.0), (0.0, 2048.0)),
-    )
-    wf = momentum_cal.append_k_axis(
-        wf, x_column="Xm", y_column="Ym",
-        r_start=0.0, c_start=0.0, r_center=1024.0, c_center=1024.0,
-        r_conversion=0.00195, c_conversion=0.00195, r_step=1.0, c_step=1.0,
-    )
-    wf = energy_cal.apply_energy_correction(
-        wf, correction_type="spherical", center=(1024.0, 1024.0),
-        amplitude=2.0, diameter=3000.0,
-    )
-    wf = energy_cal.append_energy_axis(
-        wf, calibration_type="poly", coeffs=[1.0 / 3000.0], E0=-30.0,
-    )
-    wf = delay_cal.append_delay_axis(
-        wf, adc_range=(2000.0, 20000.0), delay_range=(-500.0, 1500.0),
-    )
+        if _want("workflow_1d") or _want("workflow_4d"):
+            # workflow chain (lazy — re-executed per compute, like the
+            # reference)
+            from sed_spark.calibrator import delay as delay_cal
+            from sed_spark.calibrator import energy as energy_cal
+            from sed_spark.calibrator import momentum as momentum_cal
+            from sed_spark.dfops import apply_jitter
 
-    timed(
-        "workflow_1d",
-        lambda: bin_dataframe(wf, [1000], ["energy"], [(-10.0, 10.0)]),
-        repeats,
-        jvm=jvm,
-    )
-    timed(
-        "workflow_4d",
-        lambda: bin_dataframe(
-            wf, [100, 100, 100, 100], ["kx", "ky", "energy", "delay"],
-            [(-2.0, 2.0), (-2.0, 2.0), (-10.0, 10.0), (-1000.0, 1000.0)],
-        ),
-        repeats,
-        jvm=jvm,
-    )
-    synth.unpersist()
-    # tear the synthetic session down completely: the suite phase gets a
-    # fresh SparkContext and cannot inherit cached blocks / shuffle files
-    spark.stop()
+            # synthetic smooth inverse deformation field (identity +
+            # ripple); scipy-free stand-in for the spline-warp estimate,
+            # same lookup cost
+            g = np.linspace(0, 2048, 256)
+            gx, gy = np.meshgrid(g, g, indexing="ij")
+            dfield = np.stack(
+                [
+                    gx + 5.0 * np.sin(gy / 300.0),
+                    gy + 5.0 * np.sin(gx / 300.0),
+                ],
+            ).astype(np.float64)
+
+            wf = apply_jitter(
+                synth, ["X", "Y", "t", "ADC"],
+                cols_jittered=["X", "Y", "t", "ADC"], seed=1,
+            )
+            wf = momentum_cal.apply_dfield(
+                wf, dfield, new_x_column="Xm", new_y_column="Ym",
+                detector_ranges=((0.0, 2048.0), (0.0, 2048.0)),
+            )
+            wf = momentum_cal.append_k_axis(
+                wf, x_column="Xm", y_column="Ym",
+                r_start=0.0, c_start=0.0, r_center=1024.0, c_center=1024.0,
+                r_conversion=0.00195, c_conversion=0.00195,
+                r_step=1.0, c_step=1.0,
+            )
+            wf = energy_cal.apply_energy_correction(
+                wf, correction_type="spherical", center=(1024.0, 1024.0),
+                amplitude=2.0, diameter=3000.0,
+            )
+            wf = energy_cal.append_energy_axis(
+                wf, calibration_type="poly", coeffs=[1.0 / 3000.0], E0=-30.0,
+            )
+            wf = delay_cal.append_delay_axis(
+                wf, adc_range=(2000.0, 20000.0), delay_range=(-500.0, 1500.0),
+            )
+
+            if _want("workflow_1d"):
+                timed(
+                    "workflow_1d",
+                    lambda: bin_dataframe(wf, [1000], ["energy"],
+                                          [(-10.0, 10.0)]),
+                    repeats,
+                    jvm=jvm,
+                )
+            if _want("workflow_4d"):
+                timed(
+                    "workflow_4d",
+                    lambda: bin_dataframe(
+                        wf, [100, 100, 100, 100],
+                        ["kx", "ky", "energy", "delay"],
+                        [(-2.0, 2.0), (-2.0, 2.0), (-10.0, 10.0),
+                         (-1000.0, 1000.0)],
+                    ),
+                    repeats,
+                    jvm=jvm,
+                )
+        synth.unpersist()
+        # tear the synthetic session down completely: the suite phase gets a
+        # fresh SparkContext and cannot inherit cached blocks / shuffle files
+        spark.stop()
 
     # -- phase 3: suite queries on parquet, second session -----------------
-    from sed_spark import suite
+    wanted_queries = [n for n in suite.REGISTRY if _want(f"q_{n}")]
+    if wanted_queries:
+        spark = get_spark(
+            app_name="sed-spark-bench-suite",
+            master=f"local[{cpus}]",
+            shuffle_partitions=int(cpus) * 2,
+            extra_conf=session_conf,
+        )
 
-    spark = get_spark(
-        app_name="sed-spark-bench-suite",
-        master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus) * 2,
-        extra_conf=session_conf,
-    )
+        def run_noop(df) -> None:
+            df.write.mode("overwrite").format("noop").save()
 
-    def run_noop(df) -> None:
-        df.write.mode("overwrite").format("noop").save()
-
-    # pre-warm the trainer fit caches (BPE / unigram / WordPiece /
-    # classifier / DSIR) so q_text_metrics times the OPERATORS, not
-    # trainer cold-start (round 9 recorded both reps paying ~30 s of
-    # fits). Fit cost stays visible as its own per-trainer metrics
-    # (fit_* below, excluded from suite_total by the q_ prefix rule).
-    try:
-        from sed_spark.suite.ext import warm_fits
-
-        fit_secs = warm_fits(spark, sf_dir)
-        for fname, fsec in fit_secs.items():
-            timings[f"fit_{fname}"] = fsec
-        timings["fit_total"] = round(sum(fit_secs.values()), 4)
-    except Exception as exc:  # a fit failure must not kill the bench
-        print(f"bench: warm_fits failed: {exc}", file=sys.stderr)
-
-    # best-of-2 so a query's recorded time is its executed plan, not its
-    # first-run Catalyst/codegen compile (the reference's timings are
-    # equally min-of-N on a warm pool, benchmark_sed.py:58-63)
-    for name, spec in suite.REGISTRY.items():
+        # pre-warm the trainer fit caches (BPE / unigram / WordPiece /
+        # classifier / DSIR) so q_text_metrics times the OPERATORS, not
+        # trainer cold-start (round 9 recorded both reps paying ~30 s of
+        # fits). Fit cost stays visible as the first-class ``fit_secs``
+        # block in BENCH_full.json (excluded from suite_total).
         try:
-            timed(
-                f"q_{name}",
-                lambda spec=spec: run_noop(spec["spark"](spark, sf_dir)),
-                n=2,
-            )
-        except Exception as exc:  # a failing query must not kill the bench
-            timings[f"q_{name}"] = -1.0
-            print(f"bench: query {name} failed: {exc}", file=sys.stderr)
+            from sed_spark.suite.ext import warm_fits
+
+            fit_secs_log.update(warm_fits(spark, sf_dir))
+        except Exception as exc:  # a fit failure must not kill the bench
+            print(f"bench: warm_fits failed: {exc}", file=sys.stderr)
+
+        # best-of-2 so a query's recorded time is its executed plan, not
+        # its first-run Catalyst/codegen compile (the reference's timings
+        # are equally min-of-N on a warm pool, benchmark_sed.py:58-63)
+        for name in wanted_queries:
+            spec = suite.REGISTRY[name]
+            try:
+                timed(
+                    f"q_{name}",
+                    lambda spec=spec: run_noop(spec["spark"](spark, sf_dir)),
+                    n=2,
+                )
+            except Exception as exc:  # one bad query must not kill the bench
+                timings[f"q_{name}"] = -1.0
+                print(f"bench: query {name} failed: {exc}", file=sys.stderr)
 
     # suite queries only (q_ prefix) — phase-1/2 synthetic metrics
     # (inv_dfield etc.) are separate headline numbers, not suite members
@@ -380,98 +469,112 @@ def main() -> None:
     # LLM-pipeline operators get their 2x bar from DuckDB running the SAME
     # oracle SQL on the SAME parquet at the SAME sf (best-of-2, matching
     # the Spark side). -1 = error, -2 = 300 s cap interrupted.
-    duck_timings: dict[str, float] = {}
-    try:
-        import threading
+    if run_duck:
+        try:
+            import threading
 
-        import duckdb
+            import duckdb
 
-        from sed_spark.suite import ext as _suite_ext
+            from sed_spark.suite import ext as _suite_ext
 
-        con = duckdb.connect()
-        for t in ("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events", "documents", "embeddings"):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'",
-            )
-        for name, spec in _suite_ext.QUERIES.items():
-            sql = spec.get("sql")
-            if not sql:
-                continue
-            best = float("inf")
-            for _ in range(2):
-                fired: list[int] = []
+            con = duckdb.connect()
+            for t in ("region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "events", "documents",
+                      "embeddings"):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'",
+                )
+            for name, spec in _suite_ext.QUERIES.items():
+                sql = spec.get("sql")
+                if not sql:
+                    continue
+                best = float("inf")
+                for _ in range(2):
+                    fired: list[int] = []
 
-                def _interrupt(fired=fired):
-                    fired.append(1)
-                    con.interrupt()
+                    def _interrupt(fired=fired):
+                        fired.append(1)
+                        con.interrupt()
 
-                timer = threading.Timer(300.0, _interrupt)
-                timer.start()
-                t0 = time.perf_counter()
-                try:
-                    con.execute(sql).fetchall()
-                    best = min(best, time.perf_counter() - t0)
-                except duckdb.InterruptException:
-                    # keep an earlier successful rep's time; -2 only when
-                    # no rep ever finished inside the cap
-                    if best == float("inf"):
-                        best = -2.0
-                    break
-                except Exception as exc:
-                    print(f"bench: duckdb {name} failed: {exc}", file=sys.stderr)
-                    if best == float("inf"):
-                        best = -1.0
-                    break
-                finally:
-                    timer.cancel()
-                    if fired:
-                        # timer fired in the window between fetchall()
-                        # returning and cancel(): absorb the pending
-                        # interrupt so it can't abort the NEXT query
-                        try:
-                            con.execute("SELECT 1").fetchall()
-                        except duckdb.InterruptException:
-                            pass
-            duck_timings[f"q_{name}"] = round(best, 4)
-        con.close()
-    except Exception as exc:  # duckdb trouble must not kill the bench
-        print(f"bench: duckdb baseline skipped: {exc}", file=sys.stderr)
+                    timer = threading.Timer(300.0, _interrupt)
+                    timer.start()
+                    t0 = time.perf_counter()
+                    try:
+                        con.execute(sql).fetchall()
+                        best = min(best, time.perf_counter() - t0)
+                    except duckdb.InterruptException:
+                        # keep an earlier successful rep's time; -2 only when
+                        # no rep ever finished inside the cap
+                        if best == float("inf"):
+                            best = -2.0
+                        break
+                    except Exception as exc:
+                        print(f"bench: duckdb {name} failed: {exc}",
+                              file=sys.stderr)
+                        if best == float("inf"):
+                            best = -1.0
+                        break
+                    finally:
+                        timer.cancel()
+                        if fired:
+                            # timer fired in the window between fetchall()
+                            # returning and cancel(): absorb the pending
+                            # interrupt so it can't abort the NEXT query
+                            try:
+                                con.execute("SELECT 1").fetchall()
+                            except duckdb.InterruptException:
+                                pass
+                duck_timings[f"q_{name}"] = round(best, 4)
+            con.close()
+        except Exception as exc:  # duckdb trouble must not kill the bench
+            print(f"bench: duckdb baseline skipped: {exc}", file=sys.stderr)
+
+    # -- verdicts -----------------------------------------------------------
+    # per-metric canary verdict: a metric's reps are trustworthy iff its
+    # own canary samples sat in the quiet band — min must touch the
+    # absolute quiet ceiling (an all-loud metric must not self-certify
+    # via a relative band around an inflated floor) and max must stay
+    # within 1.5x of that quiet floor (or the ceiling, whichever is
+    # larger). Evaluated per metric so a spliced record's verdicts stay
+    # local to each metric's own run.
+    def _band_ok(vals: list[float], abs_ceiling: float) -> bool:
+        return (
+            bool(vals)
+            and min(vals) <= abs_ceiling
+            and max(vals) <= max(1.5 * min(vals), abs_ceiling)
+        )
+
+    canary_ok_by_metric: dict[str, bool] = {}
+    for name in canary_log:
+        canary_ok_by_metric[name] = (
+            _band_ok(canary_log.get(name, []), CANARY_QUIET_ABS)
+            and _band_ok(canary_bw_log.get(name, []), CANARY_BW_ABS)
+            and _band_ok(canary_lat_log.get(name, []), CANARY_LAT_ABS)
+        )
+    contaminated = sorted(
+        n for n, ok in canary_ok_by_metric.items() if not ok
+    )
+    canary_ok = bool(canary_ok_by_metric) and not contaminated
+    if not canary_ok:
+        print(
+            "bench: CANARY GATE FAILED on "
+            f"{len(contaminated)}/{len(canary_ok_by_metric)} metrics "
+            f"({', '.join(contaminated[:8])}"
+            f"{', ...' if len(contaminated) > 8 else ''}) — those rows ran "
+            "on a contended host and are NOT comparable across rounds; "
+            "re-run just them on quiet load via "
+            f"SPARK_GRAFT_BENCH_ONLY={','.join(contaminated[:8])}",
+            file=sys.stderr,
+        )
+
+    all_canary = [c for cs in canary_log.values() for c in cs]
+    all_bw = [b for bs in canary_bw_log.values() for b in bs]
+    all_lat = [x for xs in canary_lat_log.values() for x in xs]
 
     # Full record (per-query timings, per-rep samples, duck baselines) goes
     # to a sidecar file: round 5 proved that putting the reps dict on the
     # stdout line pushes it past the driver's 2000-char tail capture and the
     # whole round loses its headline bench (BENCH_r05.json parsed:null).
-    # the canary verdict: ok iff the whole run stayed inside the
-    # host-noise protocol's quiet band (max <= max(1.5x observed floor,
-    # the absolute quiet ceiling)) on BOTH canaries — the CPU sort and
-    # the 512 MB bandwidth stream (either alone provably misses a noise
-    # mode on this VM). A false verdict means the numbers are
-    # contaminated by external load and MUST NOT anchor cross-round
-    # comparisons — re-run on quiet load instead of trusting them.
-    all_canary = [c for cs in canary_log.values() for c in cs]
-    all_bw = [b for bs in canary_bw_log.values() for b in bs]
-    all_lat = [x for xs in canary_lat_log.values() for x in xs]
-    canary_ok = (
-        bool(all_canary)
-        and max(all_canary) <= max(1.5 * min(all_canary), CANARY_QUIET_ABS)
-        and max(all_bw) <= max(1.5 * min(all_bw), CANARY_BW_ABS)
-        and max(all_lat) <= max(1.5 * min(all_lat), CANARY_LAT_ABS)
-    )
-    if not canary_ok:
-        print(
-            "bench: CANARY GATE FAILED — host was contended during the "
-            f"run (sort band [{min(all_canary):.3f}, "
-            f"{max(all_canary):.3f}] vs ceiling {CANARY_QUIET_ABS}; "
-            f"bandwidth band [{min(all_bw):.3f}, {max(all_bw):.3f}] vs "
-            f"ceiling {CANARY_BW_ABS}; latency band [{min(all_lat):.3f}, "
-            f"{max(all_lat):.3f}] vs ceiling {CANARY_LAT_ABS}); numbers "
-            "are NOT comparable across rounds, re-run on quiet load",
-            file=sys.stderr,
-        )
-
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_full.json")
     with open(full_path, "w") as fh:
         json.dump(
             {
@@ -480,20 +583,28 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "reps": reps_log,
-                # per-rep contention canary (same fixed single-threaded
-                # numpy sort before every rep, ~0.045 s unloaded) and
-                # 1-min load average at rep start: canary inflation on a
-                # slow rep == external host load, flat canary == the
-                # measured code itself changed
+                # per-rep contention canaries (fixed numpy sort /
+                # 512 MB streaming sum / 16M random gathers before every
+                # rep) and 1-min load average at rep start: canary
+                # inflation on a slow rep == external host load, flat
+                # canary == the measured code itself changed
                 "canary": canary_log,
                 "canary_bw": canary_bw_log,
                 "canary_lat": canary_lat_log,
                 "canary_ok": canary_ok,
+                "canary_ok_by_metric": canary_ok_by_metric,
+                "contaminated": contaminated,
                 "loadavg": load_log,
+                # trainer warm-up cost (BPE/unigram/WordPiece/classifier/
+                # DSIR fits), first-class so fit-vs-apply cost is
+                # auditable across rounds; excluded from suite_total
+                "fit_secs": fit_secs_log,
                 "duck": duck_timings,
                 "sf": sf,
                 "synthetic_rows": n_synth,
-                "phase_order": "inv_dfield -> synthetic (own session) -> suite -> duckdb",
+                "phase_order": "inv_dfield -> synthetic (own session) -> "
+                               "suite -> duckdb",
+                "spliced_only": sorted(selected) if selected else [],
             },
             fh,
             indent=1,
@@ -518,28 +629,24 @@ def main() -> None:
                 "duck_total": duck_total,
                 "sf": sf,
                 "synthetic_rows": n_synth,
-                # host-contention summary: the fixed canary workload's
-                # [min, max] over the whole run (~0.045 s unloaded; a max
-                # several x the min means the slow reps ran on a loaded
-                # host — per-rep detail in BENCH_full.json)
+                # host-contention summary: each canary workload's
+                # [min, max] over the whole (possibly spliced) record —
+                # per-rep and per-metric detail in BENCH_full.json
                 "canary_band": [
                     round(min(all_canary), 3), round(max(all_canary), 3),
                 ] if all_canary else [],
-                # memory-bandwidth canary band (512 MB streaming sum,
-                # quiet ~0.065-0.08 s): catches the interference mode
-                # the cache-resident sort provably misses on this VM
                 "canary_bw_band": [
                     round(min(all_bw), 3), round(max(all_bw), 3),
                 ] if all_bw else [],
-                # latency canary band (16M random gathers over 256 MB,
-                # quiet ~0.3 s): the dependent-load profile inv_dfield
-                # actually has; the band that certifies phase 1
                 "canary_lat_band": [
                     round(min(all_lat), 3), round(max(all_lat), 3),
                 ] if all_lat else [],
-                # gate verdict: false = contended host, numbers not
-                # comparable across rounds (see stderr + full record)
+                # gate verdict: true = EVERY metric's own canary band was
+                # quiet; false = the listed count of metrics ran contended
+                # (re-run them via SPARK_GRAFT_BENCH_ONLY to splice clean
+                # numbers — see BENCH_full.json "contaminated")
                 "canary_ok": canary_ok,
+                "n_contaminated": len(contaminated),
                 "full_record": "BENCH_full.json",
             },
         ),

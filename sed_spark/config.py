@@ -62,9 +62,19 @@ def read_env_var(name: str) -> str | None:
 
 def save_env_var(name: str, value: str) -> None:
     """Persist ``name=value`` to the user ``.env`` file (replacing any
-    existing entry), so e.g. an access token survives across sessions."""
+    existing entry), so e.g. an access token survives across sessions.
+
+    The file can hold bearer tokens (e.g. ``SCICAT_TOKEN`` via
+    :class:`~sed_spark.loader.metadata.MetadataRetriever`), so it is
+    written 0600 and its directory 0700 — never group/world readable
+    (the reference leaves it at umask default, a token-store flaw)."""
     path = _env_file_path()
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    parent = os.path.dirname(path)
+    os.makedirs(parent, exist_ok=True)
+    try:
+        os.chmod(parent, 0o700)
+    except OSError:
+        pass  # e.g. foreign-owned dir; the file mode below still holds
     lines: list[str] = []
     if os.path.exists(path):
         with open(path, encoding="utf-8") as fh:
@@ -73,8 +83,10 @@ def save_env_var(name: str, value: str) -> None:
                 if ln.strip().partition("=")[0].strip() != name
             ]
     lines.append(f"{name}={value}")
-    with open(path, "w", encoding="utf-8") as fh:
+    fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+    with os.fdopen(fd, "w", encoding="utf-8") as fh:
         fh.write("\n".join(lines) + "\n")
+    os.chmod(path, 0o600)  # O_CREAT mode doesn't apply to existing files
 
 
 def complete_dictionary(dictionary: dict, base_dictionary: dict) -> dict:

@@ -164,6 +164,7 @@ class Dataset:
     def __init__(self) -> None:
         self._datasets = DatasetsManager.load_datasets_dict()
         self._data_name: str | None = None
+        self._source_level: str = "user"
         self._state: dict = {}
         self._dir: str | None = None
         self.dir: str | None = None
@@ -188,12 +189,34 @@ class Dataset:
             )
         self._data_name = value
         self._state = dict(self._datasets[value])
+        # which writable layer resolved this entry: recorded state
+        # (files/data_path) must be written back to the SAME layer,
+        # otherwise a folder-level declaration shadows the user-level
+        # record and every get() re-downloads / remove() sees no copies.
+        # Built-in entries record into the user layer (user > built-in
+        # in the merge, so the record is seen next time).
+        self._source_level = "user"
+        for level in ("folder", "user"):  # folder wins the merge
+            if value in DatasetsManager._load_json(
+                DatasetsManager.json_path(level),
+            ):
+                self._source_level = level
+                break
 
     @property
     def existing_data_paths(self) -> list[str]:
         if not self._data_name:
             raise ValueError("Data name not set.")
         return list(self._state.get("data_path", []))
+
+    def _record_state(self) -> None:
+        """Persist the entry's recorded state (files / data_path) into
+        the registry layer it was RESOLVED from — writing it anywhere
+        lower would be shadowed on the next merge (folder > user)."""
+        path = DatasetsManager.json_path(self._source_level)
+        registry = DatasetsManager._load_json(path)
+        registry[str(self._data_name)] = self._state
+        DatasetsManager._save_json(path, registry)
 
     def _set_data_dir(self, root_dir: str | None, use_existing: bool) -> None:
         existing = self.existing_data_paths
@@ -257,19 +280,37 @@ class Dataset:
                 "re-run get() to re-download",
             )
 
+    def _sanitized_target(self, filename: str) -> str:
+        """Where ``zipfile.extract`` will actually place ``filename``:
+        it sanitizes archive names (drops drive prefixes, leading
+        separators, and ``..`` segments), so a raw
+        ``os.path.join(self._dir, filename)`` can point OUTSIDE the
+        cache dir for a hostile entry — the skip/utime logic must
+        consult the sanitized path, never the raw join."""
+        assert self._dir is not None
+        parts = [
+            p
+            for p in filename.replace("\\", "/").split("/")
+            if p not in ("", ".", "..") and ":" not in p
+        ]
+        return os.path.join(self._dir, *parts) if parts else self._dir
+
     def _extract(self, zip_path: str, remove_zip: bool) -> None:
         assert self._dir is not None
         with zipfile.ZipFile(zip_path) as zf:
             for info in zf.infolist():
-                target = os.path.join(self._dir, info.filename)
+                target = self._sanitized_target(info.filename)
                 if (
-                    os.path.exists(target)
+                    os.path.isfile(target)
                     and os.path.getsize(target) == info.file_size
                 ):
                     continue
-                zf.extract(info, self._dir)
-                ts = datetime(*info.date_time).timestamp()
-                os.utime(target, (ts, ts))
+                # extract() returns the real (sanitized) path — trust
+                # it over our prediction for the timestamp restore
+                target = zf.extract(info, self._dir)
+                if os.path.isfile(target):
+                    ts = datetime(*info.date_time).timestamp()
+                    os.utime(target, (ts, ts))
         if remove_zip:
             os.remove(zip_path)
 
@@ -317,10 +358,7 @@ class Dataset:
             paths = set(self._state.get("data_path", []))
             paths.add(self._dir)
             self._state["data_path"] = sorted(paths)
-            user_path = DatasetsManager.json_path("user")
-            registry = DatasetsManager._load_json(user_path)
-            registry[data_name] = self._state
-            DatasetsManager._save_json(user_path, registry)
+            self._record_state()
         self.subdirs = [
             os.path.join(str(self._dir), s)
             for s in self._state.get("subdirs", [])
@@ -348,10 +386,7 @@ class Dataset:
                 shutil.rmtree(path)
             existing.remove(path)
         self._state["data_path"] = existing
-        user_path = DatasetsManager.json_path("user")
-        registry = DatasetsManager._load_json(user_path)
-        registry[data_name] = self._state
-        DatasetsManager._save_json(user_path, registry)
+        self._record_state()
 
 
 #: module-level singleton, mirroring ``from sed.dataset import dataset``

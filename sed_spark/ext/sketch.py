@@ -575,6 +575,7 @@ def bloom_reduced_join(
     salt: str = "bloomjoin",
     fp_target: float = 0.01,
     max_m_bits: int = 1 << 24,
+    check_saturation: bool | None = None,
 ) -> DataFrame:
     """Semi-join reduction: rows of ``left`` whose key is DEFINITELY
     absent from ``right`` (Bloom filters have no false negatives) never
@@ -602,10 +603,16 @@ def bloom_reduced_join(
     bits = a 2 MiB literal array, a documented driver/plan budget). A
     fixed bitmap silently loses its reason to exist when the key count
     outgrows it (the fp rate → 1 and nothing prunes — correctness is
-    unaffected, Bloom filters have no false negatives), so whether
-    sized automatically or explicitly, the implied fp rate
-    ``(1 - e^(-k·n/m))^k`` is checked against the estimate and a
-    warning fires when it exceeds 0.5.
+    unaffected, Bloom filters have no false negatives), so on the
+    auto-sizing path the implied fp rate ``(1 - e^(-k·n/m))^k`` is
+    checked against the estimate and a warning fires when it exceeds
+    0.5. The HLL estimate is one extra (sketch-sized) pass over the
+    right side; callers who pass ``m_bits`` explicitly have pre-sized
+    the filter and do NOT pay it — the function stays lazy for them.
+    Pass ``check_saturation=True`` to force the estimate + warning
+    even with an explicit ``m_bits`` (or ``False`` to suppress it on
+    the auto path — sizing then falls back to the same estimate, so
+    the scan still runs, only the warning is muted).
 
     NULL left keys never equi-join, so they route to the pass-through
     branch (kept for ``left``/``left_anti``, dropped for
@@ -636,27 +643,34 @@ def bloom_reduced_join(
                 "ambiguous duplicates).",
             )
     keys = right.select(on).filter(F.col(on).isNotNull())
-    # one sketch-sized aggregate over the (small) right side: the same
-    # altitude as the bitmap build itself
-    n_est = max(
-        1.0,
-        float(
-            hll_estimate(hll_registers(keys, on, p=12), p=12)
-            .collect()[0]["estimate"],
-        ),
-    )
+    # the sketch-sized HLL pass runs only when needed: always for
+    # auto-sizing (m_bits=None), otherwise only on explicit opt-in —
+    # an explicit m_bits keeps the function lazy and single-pass
+    need_estimate = m_bits is None or check_saturation is True
+    n_est = None
+    if need_estimate:
+        n_est = max(
+            1.0,
+            float(
+                hll_estimate(hll_registers(keys, on, p=12), p=12)
+                .collect()[0]["estimate"],
+            ),
+        )
     if m_bits is None:
         m_bits = bloom_m_bits(n_est, fp_target, max_m_bits)
-    implied_fp = (1.0 - math.exp(-k_hashes * n_est / m_bits)) ** k_hashes
-    if implied_fp > 0.5:
-        warnings.warn(
-            f"bloom_reduced_join: ~{n_est:.0f} distinct right keys "
-            f"saturate a {m_bits}-bit filter (implied fp "
-            f"{implied_fp:.2f}) — the join stays correct but the probe "
-            "prunes almost nothing; raise m_bits/max_m_bits or skip the "
-            "reduction",
-            stacklevel=2,
-        )
+    if n_est is not None and check_saturation is not False:
+        implied_fp = (
+            1.0 - math.exp(-k_hashes * n_est / m_bits)
+        ) ** k_hashes
+        if implied_fp > 0.5:
+            warnings.warn(
+                f"bloom_reduced_join: ~{n_est:.0f} distinct right keys "
+                f"saturate a {m_bits}-bit filter (implied fp "
+                f"{implied_fp:.2f}) — the join stays correct but the "
+                "probe prunes almost nothing; raise m_bits/max_m_bits "
+                "or skip the reduction",
+                stacklevel=2,
+            )
     words = bloom_bitmap(keys, on, m_bits, k_hashes, salt)
     probe = bloom_probe_expr(F.col(on), words, k_hashes, salt)
     maybe = left.filter(F.coalesce(probe, F.lit(False)))

@@ -99,6 +99,58 @@ def test_remove_deletes_copies_and_updates_registry(env):
     assert reg["Gone"]["data_path"] == []
 
 
+def test_folder_layer_entry_records_state_in_folder_layer(env):
+    # an entry DECLARED at folder level must get its recorded state
+    # (files/data_path) written back to the folder file — writing it to
+    # the user layer would be shadowed by the folder merge, so every
+    # get() would re-download and remove() would see no copies
+    dsm, tmp_path, url, sha = env
+    dsm.DatasetsManager.add(
+        "FolderDS", {"url": url, "sha256": sha}, levels=("folder",),
+    )
+    d = dsm.Dataset()
+    got = d.get("FolderDS", root_dir=str(tmp_path / "cache5"))
+    folder_reg = json.load(open(dsm.DatasetsManager.json_path("folder")))
+    assert got in folder_reg["FolderDS"]["data_path"]
+    assert folder_reg["FolderDS"]["files"]
+    # and the record is actually SEEN: a fresh instance reuses the cache
+    d2 = dsm.Dataset()
+    d2._download = None  # would raise if touched
+    assert d2.get("FolderDS") == got
+    # remove() sees the copies and clears the folder-layer record
+    d2.remove("FolderDS")
+    assert not os.path.exists(got)
+    folder_reg = json.load(open(dsm.DatasetsManager.json_path("folder")))
+    assert folder_reg["FolderDS"]["data_path"] == []
+
+
+def test_extract_sanitizes_hostile_archive_names(env):
+    # zipfile.extract strips absolute paths and '..' segments; the
+    # skip/utime bookkeeping must follow the SANITIZED path, never the
+    # raw join (which for '/etc/x' discards the cache dir entirely)
+    dsm, tmp_path, _url, _sha = env
+    evil = tmp_path / "evil.zip"
+    with zipfile.ZipFile(evil, "w") as zf:
+        zf.writestr("/abs/esc.txt", "escape")
+        zf.writestr("../up.txt", "up")
+        zf.writestr("ok/inner.txt", "fine")
+    sha = hashlib.sha256(evil.read_bytes()).hexdigest()
+    dsm.DatasetsManager.add(
+        "Evil", {"url": evil.as_uri(), "sha256": sha},
+    )
+    d = dsm.Dataset()
+    got = d.get("Evil", root_dir=str(tmp_path / "cache6"))
+    # every extracted file landed INSIDE the cache dir
+    assert open(os.path.join(got, "abs", "esc.txt")).read() == "escape"
+    assert open(os.path.join(got, "up.txt")).read() == "up"
+    assert open(os.path.join(got, "ok", "inner.txt")).read() == "fine"
+    assert not os.path.exists(tmp_path / "up.txt")
+    reg = json.load(open(dsm.DatasetsManager.json_path("user")))
+    assert sorted(reg["Evil"]["files"]) == [
+        "abs/esc.txt", "ok/inner.txt", "up.txt",
+    ]
+
+
 def test_registry_validation(env):
     dsm, _tmp, url, _sha = env
     with pytest.raises(ValueError, match="url"):

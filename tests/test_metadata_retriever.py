@@ -84,6 +84,23 @@ def test_token_persisted_and_reloaded_from_env_store(env_store):
     assert r.token == "persist-me"
 
 
+def test_token_store_is_owner_only(env_store):
+    # the .env file holds bearer tokens — it must never be group/world
+    # readable (0600 file, 0700 dir), including after a rewrite of an
+    # existing file (O_CREAT mode doesn't retighten an existing one)
+    import os
+    import stat
+
+    from sed_spark.config import _env_file_path, save_env_var
+
+    save_env_var("SCICAT_TOKEN", "secret-1")
+    path = _env_file_path()
+    os.chmod(path, 0o644)  # simulate a pre-fix loose file
+    save_env_var("SCICAT_TOKEN", "secret-2")
+    assert stat.S_IMODE(os.stat(path).st_mode) == 0o600
+    assert stat.S_IMODE(os.stat(os.path.dirname(path)).st_mode) == 0o700
+
+
 def test_validation_errors(env_store):
     from sed_spark.loader.metadata import MetadataRetriever
 

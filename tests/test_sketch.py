@@ -523,10 +523,16 @@ def test_bloom_m_bits_sizing_formula():
 
 
 def test_bloom_reduced_join_auto_sizes_and_warns_on_saturation(spark):
-    # a 1e6-key right side must auto-size past the old fixed 2^20
-    # default (which would sit near fp 0.5 there) with no warning; an
-    # explicitly undersized bitmap fires the saturation warning — and
-    # both stay row-identical to the plain join (no false negatives)
+    # a 120k-key right side must auto-size past the old fixed 2^20
+    # default (which would sit near fp 0.5 at the old 1e6-key fixture —
+    # 120k keys still need >2^20 bits at fp 0.01, proving the same
+    # claim at ~1/8 the session cost; the 1e6-key form OOM'd the shared
+    # session's broadcast budget when run late in the full suite) with
+    # no warning; an explicitly undersized bitmap with
+    # check_saturation=True fires the saturation warning; an explicit
+    # m_bits WITHOUT the flag skips the HLL pass entirely (stays lazy,
+    # so no warning even though saturated) — and every form stays
+    # row-identical to the plain join (no false negatives)
     import math
     import warnings
 
@@ -534,22 +540,32 @@ def test_bloom_reduced_join_auto_sizes_and_warns_on_saturation(spark):
 
     from sed_spark.ext.sketch import bloom_m_bits, bloom_reduced_join
 
-    n_keys = 1_000_000
+    n_keys = 120_000
     right = spark.range(0, n_keys).select((F.col("id") * 3).alias("k"))
     left = spark.range(0, 3000).select(F.col("id").alias("k"))
     auto_m = bloom_m_bits(n_keys)
-    assert auto_m > 1 << 20  # the r9 fixed default saturates at 1e6 keys
+    assert auto_m > 1 << 20  # the r9 fixed default is too small here
     assert (1.0 - math.exp(-4 * n_keys / auto_m)) ** 4 < 0.05
     with warnings.catch_warnings():
         warnings.simplefilter("error")  # auto sizing must NOT warn
         got = bloom_reduced_join(left, right, "k", how="left_semi")
     plain = left.join(right, ["k"], "left_semi")
-    assert sorted(r["k"] for r in got.collect()) == sorted(
-        [r["k"] for r in plain.collect()],
-    )
+    expect = sorted(r["k"] for r in plain.collect())
+    assert sorted(r["k"] for r in got.collect()) == expect
+    # explicit m_bits + opt-in check: saturated 2^14 bitmap warns
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        bloom_reduced_join(
-            left, right, "k", how="left_semi", m_bits=1 << 14,
+        small = bloom_reduced_join(
+            left, right, "k", how="left_semi",
+            m_bits=1 << 14, check_saturation=True,
         )
     assert any("prunes almost nothing" in str(w.message) for w in caught)
+    assert sorted(r["k"] for r in small.collect()) == expect
+    # explicit m_bits, no flag: lazy — the HLL pass is skipped, so the
+    # same saturated bitmap raises nothing even under error-filters
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        lazy = bloom_reduced_join(
+            left, right, "k", how="left_semi", m_bits=1 << 14,
+        )
+    assert sorted(r["k"] for r in lazy.collect()) == expect
