@@ -55,6 +55,101 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SYNTH_METRICS = ("binning_1d", "binning_4d", "workflow_1d", "workflow_4d")
 
 
+def band_ok(vals: list[float], abs_ceiling: float) -> bool:
+    """Per-metric canary verdict: a metric's reps are trustworthy iff its
+    own canary samples sat in the quiet band — min must touch the
+    absolute quiet ceiling (an all-loud metric must not self-certify via
+    a relative band around an inflated floor) and max must stay within
+    1.5x of that quiet floor (or the ceiling, whichever is larger)."""
+    return (
+        bool(vals)
+        and min(vals) <= abs_ceiling
+        and max(vals) <= max(1.5 * min(vals), abs_ceiling)
+    )
+
+
+def parse_only(raw: str, registry_names) -> tuple[set[str] | None, bool]:
+    """Parse ``SPARK_GRAFT_BENCH_ONLY`` into (selected metric set, run
+    duckdb?). Empty/unset → (None, True) = full run. Tokens: metric
+    names, ``synthetic`` (all four phase-2 metrics), ``suite`` (every
+    registered query), ``duck``."""
+    raw = (raw or "").strip()
+    if not raw:
+        return None, True
+    selected: set[str] = set()
+    run_duck = False
+    for tok in (t.strip() for t in raw.split(",")):
+        if not tok:
+            continue
+        if tok == "synthetic":
+            selected.update(SYNTH_METRICS)
+        elif tok == "suite":
+            selected.update(f"q_{n}" for n in registry_names)
+        elif tok == "duck":
+            run_duck = True
+        elif tok in ("inv_dfield", *SYNTH_METRICS) or (
+            tok.startswith("q_") and tok[2:] in registry_names
+        ):
+            selected.add(tok)
+        else:
+            raise SystemExit(
+                f"bench: unknown SPARK_GRAFT_BENCH_ONLY token {tok!r} "
+                "(metric name, 'synthetic', 'suite', or 'duck')",
+            )
+    return selected, run_duck
+
+
+def min_rep_flanked_ok(
+    reps: list[float],
+    canaries: list[list[float]],
+    ceilings: tuple[float, ...],
+) -> bool:
+    """Certify a best-of-N metric: its RECORDED value is min(reps), so
+    what must be quiet is the canary sampling that FLANKS that min rep —
+    the sample taken just before it and (when recorded) the one taken
+    just after (each canary list may carry one trailing post-run sample,
+    so rep i is flanked by samples i and i+1). Quiet = at or under the
+    absolute ceiling for that canary kind; other reps may have run loud
+    without invalidating the min. A mid-rep noise pulse invisible to
+    both flanking samples remains the residual risk — the same limit the
+    manual quiet-flank adjudication protocol has."""
+    if not reps or any(not c for c in canaries):
+        return False
+    i = reps.index(min(reps))
+    for samples, ceiling in zip(canaries, ceilings):
+        if i >= len(samples) or samples[i] > ceiling:
+            return False
+        if i + 1 < len(samples) and samples[i + 1] > ceiling:
+            return False
+    return True
+
+
+def compute_verdicts(
+    reps_log: dict,
+    canary_log: dict,
+    canary_bw_log: dict,
+    canary_lat_log: dict,
+    ceilings: tuple[float, float, float],
+) -> tuple[dict[str, bool], list[str], bool]:
+    """Per-metric + overall canary verdicts over (possibly spliced)
+    canary sample logs. Evaluated per metric so a spliced record's
+    verdicts stay local to each metric's own run."""
+    by_metric = {
+        name: min_rep_flanked_ok(
+            reps_log.get(name, []),
+            [
+                canary_log.get(name, []),
+                canary_bw_log.get(name, []),
+                canary_lat_log.get(name, []),
+            ],
+            ceilings,
+        )
+        for name in canary_log
+    }
+    contaminated = sorted(n for n, ok in by_metric.items() if not ok)
+    return by_metric, contaminated, bool(by_metric) and not contaminated
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count())
@@ -74,28 +169,8 @@ def main() -> None:
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_full.json")
     base: dict = {}
-    selected: set[str] | None = None  # None = everything
-    run_duck = True
-    if only_raw:
-        tokens = [t.strip() for t in only_raw.split(",") if t.strip()]
-        selected = set()
-        run_duck = False
-        for tok in tokens:
-            if tok == "synthetic":
-                selected.update(SYNTH_METRICS)
-            elif tok == "suite":
-                selected.update(f"q_{n}" for n in suite.REGISTRY)
-            elif tok == "duck":
-                run_duck = True
-            elif tok in ("inv_dfield", *SYNTH_METRICS) or (
-                tok.startswith("q_") and tok[2:] in suite.REGISTRY
-            ):
-                selected.add(tok)
-            else:
-                raise SystemExit(
-                    f"bench: unknown SPARK_GRAFT_BENCH_ONLY token {tok!r} "
-                    "(metric name, 'synthetic', 'suite', or 'duck')",
-                )
+    selected, run_duck = parse_only(only_raw, suite.REGISTRY)
+    if selected is not None:
         if not os.path.exists(full_path):
             raise SystemExit(
                 "bench: SPARK_GRAFT_BENCH_ONLY set but no BENCH_full.json "
@@ -257,6 +332,13 @@ def main() -> None:
                     jvm.System.gc()
                 except Exception:
                     pass
+        # one ungated post-run sample so the LAST rep has an after-flank:
+        # the min-rep verdict needs quiet samples on both sides of the
+        # recorded rep, and without this the final rep would only ever
+        # have its before-sample
+        cans.append(_canary())
+        bws.append(_canary_bw())
+        lats.append(_canary_lat())
         timings[name] = min(reps)
         reps_log[name] = reps
         canary_log[name] = cans
@@ -530,31 +612,10 @@ def main() -> None:
             print(f"bench: duckdb baseline skipped: {exc}", file=sys.stderr)
 
     # -- verdicts -----------------------------------------------------------
-    # per-metric canary verdict: a metric's reps are trustworthy iff its
-    # own canary samples sat in the quiet band — min must touch the
-    # absolute quiet ceiling (an all-loud metric must not self-certify
-    # via a relative band around an inflated floor) and max must stay
-    # within 1.5x of that quiet floor (or the ceiling, whichever is
-    # larger). Evaluated per metric so a spliced record's verdicts stay
-    # local to each metric's own run.
-    def _band_ok(vals: list[float], abs_ceiling: float) -> bool:
-        return (
-            bool(vals)
-            and min(vals) <= abs_ceiling
-            and max(vals) <= max(1.5 * min(vals), abs_ceiling)
-        )
-
-    canary_ok_by_metric: dict[str, bool] = {}
-    for name in canary_log:
-        canary_ok_by_metric[name] = (
-            _band_ok(canary_log.get(name, []), CANARY_QUIET_ABS)
-            and _band_ok(canary_bw_log.get(name, []), CANARY_BW_ABS)
-            and _band_ok(canary_lat_log.get(name, []), CANARY_LAT_ABS)
-        )
-    contaminated = sorted(
-        n for n, ok in canary_ok_by_metric.items() if not ok
+    canary_ok_by_metric, contaminated, canary_ok = compute_verdicts(
+        reps_log, canary_log, canary_bw_log, canary_lat_log,
+        (CANARY_QUIET_ABS, CANARY_BW_ABS, CANARY_LAT_ABS),
     )
-    canary_ok = bool(canary_ok_by_metric) and not contaminated
     if not canary_ok:
         print(
             "bench: CANARY GATE FAILED on "
@@ -653,5 +714,53 @@ def main() -> None:
     )
 
 
+def _auto_retry() -> None:
+    """Self-healing pass: after a FULL run, re-run any canary-contaminated
+    metrics in fresh subprocesses (``SPARK_GRAFT_BENCH_ONLY`` splice mode)
+    until every row is quiet or the retry budget is spent. A fresh process
+    per retry keeps phase-1 pristine (no JVM has ever existed in it) and
+    gives every phase a cold session, exactly like the primary run. Each
+    retry prints the spliced record's compact summary as the new LAST
+    stdout line, so the driver's tail capture always reads the most
+    up-to-date verdict."""
+    import subprocess
+
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_full.json")
+    retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRY", "2"))
+    for attempt in range(retries):
+        try:
+            with open(full_path) as fh:
+                contaminated = json.load(fh).get("contaminated", [])
+        except Exception:
+            return
+        if not contaminated:
+            return
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(contaminated)
+        env["SPARK_GRAFT_BENCH_RETRY"] = "0"
+        print(
+            f"bench: retry {attempt + 1}/{retries} for "
+            f"{len(contaminated)} contaminated metric(s): "
+            f"{', '.join(contaminated[:8])}"
+            f"{', ...' if len(contaminated) > 8 else ''}",
+            file=sys.stderr,
+        )
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True,
+        )
+        sys.stderr.write(proc.stderr)
+        lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+        if proc.returncode != 0 or not lines:
+            print(f"bench: retry subprocess failed (rc={proc.returncode})",
+                  file=sys.stderr)
+            return
+        print(lines[-1])
+
+
 if __name__ == "__main__":
     main()
+    # a targeted ONLY run is already a retry — never recurse
+    if not os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip():
+        _auto_retry()
