@@ -365,6 +365,7 @@ def prefix_similarity_join(
     threshold: float = 0.5,
     positional: bool = True,
     set_col: str | None = None,
+    freq_head: int = 1 << 17,
 ) -> DataFrame:
     """EXACT Jaccard threshold self-join via prefix filtering — the
     AllPairs/PPJoin family (Bayardo et al., WWW'07; Xiao et al., WWW'08),
@@ -386,11 +387,32 @@ def prefix_similarity_join(
 
     Stages (every join key-partitioned; no cartesian, no windows):
 
-    1. distinct (doc, shingle) + one groupBy for document frequencies —
-       the global token ORDER is the (freq, token) tuple itself, so no
-       rank assignment (and no global window) is ever needed;
+    1. distinct (doc, shingle) + one groupBy for document frequencies.
+       The prefix lemma holds for ANY fixed total token order —
+       frequency order only minimizes the candidate count, and only the
+       FREQUENT HEAD of the distribution matters for that (every rare
+       token is an equally good prefix member). So instead of shuffle-
+       joining all (doc, token) rows against the full frequency table
+       (round 10 this was ~80 of the 76+ s at 1e6 docs — a string-keyed
+       sort-merge join of every (doc, token) row), only tokens with
+       ``df >= T`` keep their real frequency, where T is the smallest
+       df whose tail fits the ``freq_head`` broadcast budget. T comes
+       from the df HISTOGRAM — a dimension-sized collect (<= #distinct
+       df values, the one eager job this operator runs, same altitude
+       as the bloom/HLL sketch collects). Everything below T ties at
+       df = 1, ordered by token value; the head is BROADCAST, so order
+       assignment is a map-side lookup and no full shuffle (and no
+       global top-k sort) ever runs. Identical output by the lemma at
+       any T; a Zipf head wider than ``freq_head`` only inflates
+       candidates, never the answer, and the broadcast stays bounded by
+       construction at any corpus size;
     2. per-doc ``sort_array(collect_list(struct(freq, token)))``, slice
-       the prefixes, keep the full sorted token array for verification;
+       the prefixes, keep the full sorted token array for verification.
+       This table feeds four consumers and Catalyst's per-branch column
+       pruning provably defeats exchange reuse between them, so it is
+       PERSISTED (MEMORY_AND_DISK) and materialized here — this
+       operator is eager (one histogram collect + one cached build),
+       the same trade Spark MLlib's MinHashLSH makes;
     3. ASYMMETRIC prefix self-join (PPJoin, Xiao et al. Lemma 2 + the
        size-ordered index reduction): each unordered pair is generated
        exactly once with the size-SMALLER document (ties by id) on the
@@ -409,11 +431,13 @@ def prefix_similarity_join(
        overlap by ``1 + min(ns - is, nl - il)``; pairs whose best bound
        misses ``alpha`` drop before verification — a groupBy max, zero
        extra shuffles;
-    5. exact verify: the probe side CARRIES its full sorted token array
-       through the (short) mid-prefix explode, so verification needs
-       ONE id-keyed join-back (the index side's array) instead of two —
-       one fewer recomputation of the heavy per-doc aggregate in the
-       plan, then ``array_intersect`` — O(candidates), never O(n²).
+    5. exact verify: two id-keyed join-backs attach both sides' full
+       sorted token arrays to the collapsed candidate pairs, then
+       ``array_intersect`` — O(candidates), never O(n²). The docs side
+       is already hash-partitioned by id from its aggregate (no extra
+       exchange), and the candidate side is output-sized, so AQE
+       typically turns these into broadcast joins. Arrays deliberately
+       do NOT ride the candidate join itself (see stage 3).
 
     Float guard: the integer thresholds are computed with a 1e-9 slack
     (``ceil(t*n - eps)``) so double rounding can only widen a prefix /
@@ -438,6 +462,8 @@ def prefix_similarity_join(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     eps = 1e-9
     t = float(threshold)
+    from pyspark import StorageLevel
+
     if set_col is not None:
         dg = df.select(
             F.col(id_col),
@@ -446,10 +472,51 @@ def prefix_similarity_join(
     else:
         dg = exploded_shingles(df, id_col, text_col, shingle_n,
                                distinct=True)
+    # the exploded (doc, token) rows feed three passes below (histogram,
+    # head build, docs aggregate) before being released — cache them for
+    # the duration of this call
+    dg = dg.persist(StorageLevel.MEMORY_AND_DISK)
+    # frequent-head table: real df only for tokens with df >= T, where T
+    # is the smallest frequency whose tail (#tokens with df >= T) fits
+    # the freq_head broadcast budget — found from the df HISTOGRAM
+    # (one groupBy over the freq table collapsed to <= #distinct df
+    # values, a dimension-sized collect like the bloom/HLL sketches).
+    # Every token below T ties at df = 1 and is ordered by its value.
+    # No global top-k sort is ever planned (orderBy+limit over millions
+    # of tied freq rows measured minutes of single-task merge), and the
+    # broadcast stays bounded by construction at any corpus size.
     freq = dg.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+    hist = sorted(
+        (
+            (r["__df"], r["n"])
+            for r in freq.groupBy("__df")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ),
+        reverse=True,
+    )
+    cum, head_df = 0, None
+    for df_val, n_toks in hist:
+        if df_val < 2 or cum + n_toks > int(freq_head):
+            break
+        cum += n_toks
+        head_df = df_val
+    if head_df is None:
+        # no head fits (or nothing repeats): pure token order — still a
+        # total order, so the prefix lemma (and the exact output) holds
+        ordered = dg.select(
+            F.col(id_col), F.col("g"), F.lit(1).alias("__df"),
+        )
+    else:
+        head = freq.filter(F.col("__df") >= F.lit(int(head_df)))
+        ordered = dg.join(F.broadcast(head), "g", "left").select(
+            F.col(id_col),
+            F.col("g"),
+            F.coalesce(F.col("__df"), F.lit(1)).alias("__df"),
+        )
     # (freq asc, token asc) IS the global order — sort structs directly
     docs = (
-        dg.join(freq, "g")
+        ordered
         .groupBy(id_col)
         .agg(
             F.sort_array(
@@ -463,6 +530,21 @@ def prefix_similarity_join(
             F.transform(F.col("__ord"), lambda s: s["g"]).alias("__toks"),
         )
     )
+    # the docs table feeds FOUR consumers (probe, index, and both verify
+    # join-backs). Catalyst cannot share the subtree between them:
+    # column pruning rewrites each consumer's aggregate differently
+    # (verified: the count-only branch loses the collect_list), so the
+    # exchanges never canonicalize equal and exchange reuse NEVER fires
+    # — without a cache the whole explode+aggregate pipeline runs four
+    # times (measured 2.5x the full operator at 1e6 docs). Persisting
+    # the multi-consumer table is the same pattern Spark MLlib's own
+    # MinHashLSH uses; MEMORY_AND_DISK spills rather than evicts at
+    # corpus scale, and the eager count() lets the (bigger) exploded
+    # token cache be dropped immediately instead of living until the
+    # caller's first action.
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    dg.unpersist()
     # index prefix n - ceil(t*n - eps) + 1 and PPJoin mid (probe) prefix
     # n - ceil(2tn/(1+t) - eps) + 1, both clamped to [1, n]
     p_idx = F.greatest(
@@ -476,16 +558,24 @@ def prefix_similarity_join(
         + 1,
     ).cast("int")
     # probe side = the size-smaller partner (ties by id); it explodes
-    # only the mid-prefix and CARRIES its full token array so the
-    # verify stage needs a single join-back
+    # only the mid-prefix. NO token array rides the candidate join:
+    # round 10 carried the probe's full array here to save one verify
+    # join-back, which was right while the verify target (the docs
+    # aggregate) cost a full shuffle join to rebuild — but with the
+    # order-assignment join gone the docs subtree is cheap, and
+    # dragging an n-token array per exploded row through the g-keyed
+    # shuffle + sort-merge + candidate groupBy measured ~3x the whole
+    # rest of the pipeline at 1e6 docs. Both sides' arrays now arrive
+    # by id-keyed join-backs AFTER candidates collapse (the docs side
+    # is already partitioned by id from its aggregate, and the
+    # candidate side is output-sized, so AQE typically broadcasts it).
     probe = docs.select(
         F.col(id_col).alias("s_id"),
         F.col("__n").alias("ns"),
-        F.col("__toks").alias("__ts"),
         F.posexplode(F.slice(F.col("__toks"), F.lit(1), p_prb))
         .alias("__pos0", "g"),
     ).select(
-        "s_id", "ns", "__ts", (F.col("__pos0") + 1).alias("is_"), "g",
+        "s_id", "ns", (F.col("__pos0") + 1).alias("is_"), "g",
     )
     index = docs.select(
         F.col(id_col).alias("l_id"),
@@ -512,7 +602,6 @@ def prefix_similarity_join(
     cands = witnessed.groupBy("s_id", "l_id").agg(
         F.first("ns").alias("ns"),
         F.first("nl").alias("nl"),
-        F.first("__ts").alias("__ts"),
         F.max(ubound).alias("__ub"),
     )
     if positional:
@@ -521,12 +610,16 @@ def prefix_similarity_join(
             - F.lit(eps),
         )
         cands = cands.filter(F.col("__ub") >= o_req)
+    ts = docs.select(
+        F.col(id_col).alias("s_id"), F.col("__toks").alias("__ts"),
+    )
     tl = docs.select(
         F.col(id_col).alias("l_id"), F.col("__toks").alias("__tl"),
     )
     c = F.size(F.array_intersect(F.col("__ts"), F.col("__tl")))
-    return (
-        cands.join(tl, "l_id")
+    out = (
+        cands.join(ts, "s_id")
+        .join(tl, "l_id")
         .select(
             F.least("s_id", "l_id").alias("a_id"),
             F.greatest("s_id", "l_id").alias("b_id"),
@@ -538,6 +631,21 @@ def prefix_similarity_join(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # tie the docs cache's lifetime to the returned DataFrame: repeated
+    # calls would otherwise accumulate one persisted copy per call for
+    # the life of the session. Dropping the cache after the caller lets
+    # go of the result is safe — lineage recomputes docs if a derived
+    # plan is still executed later (slower, never wrong).
+    import weakref
+
+    def _drop(d=docs):
+        try:
+            d.unpersist()
+        except Exception:
+            pass  # session already stopped
+
+    weakref.finalize(out, _drop)
+    return out
 
 
 def benchmark_contamination(
