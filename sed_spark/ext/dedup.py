@@ -357,6 +357,22 @@ def jaccard_pairs(
     )
 
 
+def _pick_head_df(hist: list[tuple[int, int]], budget: int) -> int | None:
+    """Smallest document frequency T such that the tokens with df >= T
+    still fit ``budget`` rows — from a (df, n_tokens) histogram. Walks
+    frequencies descending, stopping at df = 1 (a df-1 token is
+    indistinguishable from the implicit default order) or at the first
+    bucket that would overflow; None = no head fits / nothing repeats,
+    and the caller falls back to pure token order."""
+    cum, head_df = 0, None
+    for df_val, n_toks in sorted(hist, reverse=True):
+        if df_val < 2 or cum + n_toks > int(budget):
+            break
+        cum += n_toks
+        head_df = df_val
+    return head_df
+
+
 def prefix_similarity_join(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -486,21 +502,13 @@ def prefix_similarity_join(
     # of tied freq rows measured minutes of single-task merge), and the
     # broadcast stays bounded by construction at any corpus size.
     freq = dg.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
-    hist = sorted(
-        (
-            (r["__df"], r["n"])
-            for r in freq.groupBy("__df")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        ),
-        reverse=True,
-    )
-    cum, head_df = 0, None
-    for df_val, n_toks in hist:
-        if df_val < 2 or cum + n_toks > int(freq_head):
-            break
-        cum += n_toks
-        head_df = df_val
+    hist = [
+        (r["__df"], r["n"])
+        for r in freq.groupBy("__df")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    head_df = _pick_head_df(hist, freq_head)
     if head_df is None:
         # no head fits (or nothing repeats): pure token order — still a
         # total order, so the prefix lemma (and the exact output) holds

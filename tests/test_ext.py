@@ -1943,6 +1943,24 @@ def test_prefix_similarity_join_validation(spark):
             prefix_similarity_join(df, threshold=bad)
 
 
+def test_pick_head_df_threshold_selection():
+    from sed_spark.ext.dedup import _pick_head_df
+
+    # greedy from the most frequent down; stops before the bucket that
+    # overflows the budget
+    assert _pick_head_df([(4, 100), (3, 3000), (2, 9_000_000),
+                          (1, 5_000_000)], 1 << 17) == 3
+    # everything with df >= 2 fits
+    assert _pick_head_df([(5, 10), (2, 50), (1, 1000)], 100) == 2
+    # head bucket alone overflows -> no head, pure token order
+    assert _pick_head_df([(2, 10**9), (1, 10)], 1 << 17) is None
+    # nothing repeats
+    assert _pick_head_df([(1, 42)], 1 << 17) is None
+    assert _pick_head_df([], 1 << 17) is None
+    # unsorted input is handled (the operator feeds raw collect rows)
+    assert _pick_head_df([(1, 9), (3, 5), (2, 7)], 100) == 2
+
+
 def test_prefix_similarity_join_set_col_mode(spark):
     # set_col names a precomputed array column (URL sets, feature bags):
     # Jaccard is exact over the distinct elements, brute-force checked

@@ -910,7 +910,7 @@ def main() -> None:
         ("weighted_cap_sample (100 dom, cap 1k)", [10**6, 10**7, 10**8], _weighted_cap),
         ("random_project 64->16 + topk", [10**5, 10**6, 10**7], _rp),
         ("funnel_steps (3 steps, n/100 users)", [10**6, 10**7, 10**8], _funnel),
-        ("prefix_similarity_join (t=0.8)", [10**5, 10**6], _ppjoin),
+        ("prefix_similarity_join (t=0.8)", [10**5, 10**6, 10**7], _ppjoin),
         ("top_items_by (100 grp, k=10)", [10**6, 10**7, 10**8], _top_items),
         ("collocations (min_count=5)", [10**5, 10**6, 10**7, 10**8], _colloc),
         ("bloom_reduced_join (1/16 match)", [10**6, 10**7, 10**8], _bloom_join),
