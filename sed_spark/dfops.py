@@ -557,10 +557,40 @@ def asof_join(
     by: str | None = None,
     direction: str = "backward",
     suffix: str = "",
+    tolerance: float | None = None,
+    allow_exact_matches: bool = True,
+    matched_on: str | None = None,
 ) -> DataFrame:
     """Distributed as-of join: for every left row, the latest right row
     with ``right.on <= left.on`` (``backward``; ``forward`` = earliest
-    with ``>=``), optionally per ``by`` key.
+    with ``>=``; ``nearest`` = whichever of the two candidates is closer
+    in absolute distance, ties to backward), optionally per ``by`` key.
+
+    The parameter surface matches ``pandas.merge_asof`` (the de-facto
+    as-of API; the reference's time-stamped-data attachment at
+    ``core/dfops.py:388-455`` is the backward special case):
+
+    * ``tolerance`` — maximum |left.on − matched right.on| (in ``on``'s
+      numeric units; timestamp columns compare in seconds). Candidates
+      beyond it are discarded BEFORE the nearest pick, exactly like
+      pandas: a backward match at distance 7 with tolerance 5 yields
+      null even when no forward match exists.
+    * ``allow_exact_matches=False`` — strict inequalities on the search
+      (backward ``<``, forward ``>``, nearest both), implemented purely
+      as the tie-sort order of the union spine: the left row sorts
+      BEFORE equal-time right rows, so the running carry cannot see
+      them. No extra pass in any path.
+    * ``matched_on`` — optional output column carrying the matched right
+      ``on`` value (null when unmatched / outside tolerance); also the
+      internal mechanism for tolerance and nearest, so requesting it is
+      free.
+
+    ``nearest`` with ``by`` stays ONE shuffle: both directional carries
+    are window functions over the same ``by`` partitioning (two in-
+    partition sorts, no second exchange). Keyless ``nearest`` runs the
+    bucketed fill once per direction over a row-id'd left (persisted,
+    released via finalizer when the result is dropped) and joins the two
+    on the row id — see :func:`_asof_join_nearest_keyless`.
 
     Spark has no native as-of join; the scalable formulation is the
     union-and-fill pattern (same as :func:`add_time_stamped_data`, but
@@ -590,10 +620,35 @@ def asof_join(
     """
     from pyspark.sql import Window
 
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
+    if tolerance is not None and not float(tolerance) >= 0.0:
+        raise ValueError(
+            f"tolerance must be non-negative, got {tolerance!r}",
+        )
+    if matched_on is not None and matched_on in left.columns:
+        raise ValueError(
+            f"matched_on column {matched_on!r} collides with left columns",
+        )
+    if direction == "nearest" and by is None:
+        return _asof_join_nearest_keyless(
+            left, right, on, suffix, tolerance, allow_exact_matches,
+            matched_on,
+        )
+    tcol = matched_on if matched_on is not None else "__asof_t"
+    need_t = (
+        matched_on is not None
+        or tolerance is not None
+        or direction == "nearest"
+    )
+    if need_t:
+        if tcol in right.columns or tcol == on:
+            raise ValueError(
+                f"matched_on column {tcol!r} collides with right columns",
+            )
+        right = right.withColumn(tcol, F.col(on))
     value_cols = [c for c in right.columns if c not in {on, by}]
-    out_vals = [c + suffix for c in value_cols]
+    out_vals = [c + suffix if c != tcol else c for c in value_cols]
     clash = sorted(set(out_vals) & set(left.columns))
     if clash:
         raise ValueError(
@@ -618,22 +673,176 @@ def asof_join(
 
     u = l_tag.unionByName(r_tag)
     backward = direction == "backward"
+    # tie order at equal ``on``: right(0) before left(1) makes exact-time
+    # right rows visible to the carry (allow_exact_matches=True, the
+    # merge_asof default); left-first hides them (strict inequality)
+    def _side_ord():
+        return (
+            F.col("__side").asc() if allow_exact_matches
+            else F.col("__side").desc()
+        )
+
     if by:
-        if backward:
-            w = Window.partitionBy(by).orderBy(
-                F.col(on).asc(), F.col("__side").asc(),
+        def _w(asc: bool):
+            return Window.partitionBy(by).orderBy(
+                F.col(on).asc() if asc else F.col(on).desc(), _side_ord(),
             ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        else:
-            w = Window.partitionBy(by).orderBy(
-                F.col(on).desc(), F.col("__side").asc(),
-            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+        if direction == "nearest":
+            # both directional carries over the SAME partitioning: one
+            # exchange, two in-partition sorts
+            filled = u.select(
+                *[c for c in left.columns],
+                F.col("__side"),
+                *[F.last(o, ignorenulls=True).over(_w(True)).alias(o)
+                  for o in out_vals],
+                *[F.last(o, ignorenulls=True).over(_w(False))
+                  .alias("__f_" + o) for o in out_vals],
+            )
+            rows = filled.filter(F.col("__side") == 1).drop("__side")
+            return _asof_pick_nearest(
+                rows, on,
+                [o for o in out_vals if o != tcol],
+                tcol, "__f_" + tcol, tolerance, matched_on,
+                keep_cols=list(left.columns),
+            )
         filled = u.select(
             *[c for c in left.columns],
             F.col("__side"),
-            *[F.last(o, ignorenulls=True).over(w).alias(o) for o in out_vals],
+            *[F.last(o, ignorenulls=True).over(_w(backward)).alias(o)
+              for o in out_vals],
         )
-        return filled.filter(F.col("__side") == 1).drop("__side")
-    return _asof_fill_keyless(u, left.columns, on, out_vals, backward)
+        rows = filled.filter(F.col("__side") == 1).drop("__side")
+        if tolerance is not None:
+            rows = _asof_tolerance_mask(rows, on, out_vals, tcol, tolerance)
+        if need_t and matched_on is None:
+            rows = rows.drop(tcol)
+        return rows
+    rows = _asof_fill_keyless(
+        u, left.columns, on, out_vals, backward,
+        exact=allow_exact_matches,
+    )
+    if tolerance is not None:
+        rows = _asof_tolerance_mask(rows, on, out_vals, tcol, tolerance)
+    if need_t and matched_on is None:
+        rows = rows.drop(tcol)
+    return rows
+
+
+def _asof_tolerance_mask(
+    df: DataFrame,
+    on: str,
+    out_vals: Sequence[str],
+    tcol: str,
+    tolerance: float,
+) -> DataFrame:
+    """Null out every matched value (including the matched-on column
+    itself) where the matched right time is farther than ``tolerance``
+    from the left time — merge_asof tolerance semantics. Single select,
+    all conditions against the ORIGINAL ``tcol`` values."""
+    ok = F.col(tcol).isNotNull() & (
+        F.abs(F.col(on).cast("double") - F.col(tcol).cast("double"))
+        <= F.lit(float(tolerance))
+    )
+    masked = {o: F.when(ok, F.col(o)).alias(o) for o in out_vals}
+    return df.select(
+        *[masked.get(c, F.col(c)) for c in df.columns],
+    )
+
+
+def _asof_pick_nearest(
+    df: DataFrame,
+    on: str,
+    val_out: Sequence[str],
+    bt: str,
+    ft: str,
+    tolerance: float | None,
+    matched_on: str | None,
+    keep_cols: Sequence[str],
+) -> DataFrame:
+    """merge_asof ``nearest`` resolution over pre-computed backward
+    (plain-named values + ``bt`` time) and forward (``__f_``-prefixed
+    values + ``ft`` time) carries: mask each candidate by tolerance
+    FIRST, then pick the closer one, ties to backward. Pure column
+    expressions — no extra shuffle."""
+    lref = F.col(on).cast("double")
+    db = lref - F.col(bt).cast("double")
+    dfw = F.col(ft).cast("double") - lref
+    b_ok = F.col(bt).isNotNull()
+    f_ok = F.col(ft).isNotNull()
+    if tolerance is not None:
+        tol = F.lit(float(tolerance))
+        b_ok = b_ok & (db <= tol)
+        f_ok = f_ok & (dfw <= tol)
+    # never null: b_ok false short-circuits; b_ok&f_ok => both distances
+    # non-null
+    use_b = b_ok & (~f_ok | (db <= dfw))
+    use_f = f_ok & ~use_b
+    picked = [
+        F.when(use_b, F.col(o)).when(use_f, F.col("__f_" + o)).alias(o)
+        for o in val_out
+    ]
+    extras = (
+        [F.when(use_b, F.col(bt)).when(use_f, F.col(ft)).alias(matched_on)]
+        if matched_on is not None else []
+    )
+    return df.select(
+        *[F.col(c) for c in keep_cols], *picked, *extras,
+    )
+
+
+def _asof_join_nearest_keyless(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    suffix: str,
+    tolerance: float | None,
+    exact: bool,
+    matched_on: str | None,
+) -> DataFrame:
+    """Keyless ``nearest``: the bucketed boundary-carry fill is a
+    directional running scan, so nearest needs one fill per direction.
+    The left side gets a row id and is persisted (both fills read the
+    same cached blocks; a finalizer drops the cache with the result —
+    recompute-on-eviction is safe for deterministic inputs, the same
+    contract :func:`_asof_fill_keyless` already documents), then the two
+    directional matches join back on the row id and resolve via
+    :func:`_asof_pick_nearest`. Cost: two bucketed fills + one row-id
+    equi-join — still no cartesian, no driver materialization."""
+    import weakref
+
+    rid = "__asof_rid"
+    if rid in left.columns:
+        raise ValueError(f"left column {rid!r} collides with internal name")
+    bt, ft = "__asof_bt", "__asof_ft"
+    l2 = left.withColumn(rid, F.monotonically_increasing_id()).persist()
+    b = asof_join(
+        l2, right, on, by=None, direction="backward", suffix=suffix,
+        allow_exact_matches=exact, matched_on=bt,
+    )
+    f = asof_join(
+        l2.select(rid, on), right, on, by=None, direction="forward",
+        suffix=suffix, allow_exact_matches=exact, matched_on=ft,
+    )
+    val_out = [c for c in b.columns if c not in l2.columns and c != bt]
+    f2 = f.select(
+        F.col(rid), F.col(ft),
+        *[F.col(o).alias("__f_" + o) for o in val_out],
+    )
+    joined = b.join(f2, rid)
+    out = _asof_pick_nearest(
+        joined, on, val_out, bt, ft, tolerance, matched_on,
+        keep_cols=list(left.columns),
+    )
+
+    def _drop(d=l2):
+        try:
+            d.unpersist()
+        except Exception:
+            pass  # session already stopped
+
+    weakref.finalize(out, _drop)
+    return out
 
 
 def _asof_fill_keyless(
@@ -642,6 +851,7 @@ def _asof_fill_keyless(
     on: str,
     out_vals: Sequence[str],
     backward: bool,
+    exact: bool = True,
 ) -> DataFrame:
     """Distributed keyless as-of fill: deterministic range buckets →
     in-bucket running carry → boundary-carry seam join.
@@ -710,9 +920,14 @@ def _asof_fill_keyless(
             F.floor((F.col(on).cast("double") - F.lit(float(lo))) / F.lit(width)),
             F.lit(nbuckets - 1),
         ).cast("int")
-    order = [F.col("__bkt").asc(), F.col(on).asc(), F.col("__side").asc()] \
+    # equal-``on`` ties: right(0) before left(1) => exact matches visible
+    # to the carry; reversed for allow_exact_matches=False (cross-bucket
+    # seams never tie — equal ``on`` values share a bucket by
+    # construction, so the boundary-carry table is exactness-agnostic)
+    side_ord = F.col("__side").asc() if exact else F.col("__side").desc()
+    order = [F.col("__bkt").asc(), F.col(on).asc(), side_ord] \
         if backward else \
-        [F.col("__bkt").asc(), F.col(on).desc(), F.col("__side").asc()]
+        [F.col("__bkt").asc(), F.col(on).desc(), side_ord]
     part = (
         u.withColumn("__bkt", bucket)
         .repartition(min(nbuckets, 1024), "__bkt")

@@ -954,6 +954,11 @@ sql("flagship_momentum", _flagship_sql())
 #: attribution window length for the asof_ops range-join branch (µs)
 _RJ_WIN_US = 3_600_000_000
 
+#: tolerance for the asof_ops merge_asof-tolerance branch (1 day in µs —
+#: wide enough to keep most matches, narrow enough that the null band is
+#: populated, so both sides of the mask are exercised)
+_ASOF_TOL_US = 86_400_000_000
+
 
 @q("asof_ops")
 def asof_ops(spark, sf_dir):
@@ -1025,9 +1030,29 @@ def asof_ops(spark, sf_dir):
         F.count(F.lit(1)).alias("n_windows_hit"),
         F.min("iv_id").alias("first_window_id"),
     )
+    # merge_asof parameter surface (round 11): keyless NEAREST against
+    # the global signup series (exercises the two-directional bucketed
+    # fill + row-id resolution) and keyed backward with TOLERANCE
+    # (exercises the candidate mask) — pandas.merge_asof semantics,
+    # oracle'd via window CASE-pick / ASOF JOIN + distance filter
+    near = dfops.asof_join(
+        left.select("event_id", "ts_d"),
+        gright.withColumnRenamed("gmark", "near_gmark"),
+        on="ts_d",
+        direction="nearest",
+    ).select("event_id", "near_gmark")
+    tol = dfops.asof_join(
+        left.select("event_id", "user_id", "ts_d"),
+        right.withColumnRenamed("mark", "tol_mark"),
+        on="ts_d",
+        by="user_id",
+        tolerance=float(_ASOF_TOL_US),
+    ).select("event_id", "tol_mark")
     return (
         interp.join(per_user, "event_id")
         .join(glob, "event_id")
+        .join(near, "event_id")
+        .join(tol, "event_id")
         .join(in_windows, "event_id", "left")
         .withColumn(
             "n_windows_hit", F.coalesce("n_windows_hit", F.lit(0)),
@@ -1095,11 +1120,32 @@ rj AS (
   FROM l JOIN iv ON iv.iv_user = l.user_id
     AND l.ts_d >= iv.iv_lo AND l.ts_d < iv.iv_hi
   GROUP BY l.event_id
+),
+-- merge_asof NEAREST against the global series: the w CTE already
+-- carries the backward (x0,y0) and forward (x1,y1) candidates; at an
+-- exact hit x0 = x (distance 0) wins via the tie-to-backward rule, so
+-- x1's excluded-exact frame is immaterial
+g_near AS (
+  SELECT event_id, CASE
+      WHEN x0 IS NOT NULL AND (x1 IS NULL OR x - x0 <= x1 - x) THEN y0
+      WHEN x1 IS NOT NULL THEN y1 END AS near_gmark
+  FROM w WHERE is_ev
+),
+-- merge_asof TOLERANCE: backward match is unique, so the mask is a
+-- post-filter on the matched distance
+per_user_tol AS (
+  SELECT l.event_id,
+    CASE WHEN r.ts_d IS NOT NULL AND l.ts_d - r.ts_d <= 86400000000.0
+         THEN r.mark END AS tol_mark
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_d >= r.ts_d
 )
 SELECT i.event_id, i.interp_v, p.user_id, p.mark, g.gmark,
+  gn.near_gmark, pt.tol_mark,
   COALESCE(rj.n_windows_hit, 0) AS n_windows_hit, rj.first_window_id
 FROM interp i JOIN per_user p ON i.event_id = p.event_id
 JOIN g_asof g ON i.event_id = g.event_id
+JOIN g_near gn ON i.event_id = gn.event_id
+JOIN per_user_tol pt ON i.event_id = pt.event_id
 LEFT JOIN rj ON rj.event_id = i.event_id
 """)
 

@@ -336,6 +336,150 @@ def test_asof_join_keyless_rejects_array_value(spark):
     assert got[0]["v"] == [1, 2]
 
 
+def _asof_parity_case(seed, n_left=80, n_right=18, keyed=True):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "ts": np.sort(np.round(rng.uniform(0, 100, n_left), 1)),
+            "lid": np.arange(n_left),
+        },
+    )
+    right = pd.DataFrame(
+        {
+            "ts": np.round(rng.uniform(0, 100, n_right), 1),
+            "v": np.round(rng.normal(size=n_right), 6),
+        },
+    ).drop_duplicates(["ts"])
+    if keyed:
+        left["k"] = rng.integers(0, 3, len(left))
+        right["k"] = rng.integers(0, 3, len(right))
+        right = right.drop_duplicates(["k", "ts"])
+    return left, right
+
+
+@pytest.mark.parametrize("keyed", [True, False])
+@pytest.mark.parametrize(
+    ("direction", "tolerance", "exact"),
+    [
+        ("nearest", None, True),
+        ("nearest", 5.0, True),
+        ("nearest", None, False),
+        ("backward", 5.0, True),
+        ("backward", None, False),
+        ("forward", 5.0, True),
+        ("forward", None, False),
+    ],
+)
+def test_asof_join_merge_asof_parity_extended(
+    spark, keyed, direction, tolerance, exact,
+):
+    # pandas.merge_asof is the semantics oracle for the full parameter
+    # surface: direction=nearest (ties -> backward), tolerance (masks
+    # each candidate BEFORE the nearest pick), allow_exact_matches=False
+    # (strict inequalities on both search directions). The 0.1-grid ts
+    # values make exact collisions and equidistant ties common, so the
+    # tie rules are actually exercised.
+    from sed_spark.dfops import asof_join
+
+    left, right = _asof_parity_case(
+        seed=hash((direction, tolerance, exact, keyed)) % (2 ** 31),
+        keyed=keyed,
+    )
+    by = "k" if keyed else None
+    got = (
+        asof_join(
+            spark.createDataFrame(left).repartition(7),
+            spark.createDataFrame(right).repartition(3),
+            on="ts",
+            by=by,
+            direction=direction,
+            tolerance=tolerance,
+            allow_exact_matches=exact,
+        )
+        .orderBy("lid")
+        .toPandas()
+    )
+    want = pd.merge_asof(
+        left,
+        right.sort_values("ts"),
+        on="ts",
+        by=by,
+        direction=direction,
+        tolerance=tolerance,
+        allow_exact_matches=exact,
+    ).sort_values("lid")
+    label = f"{direction}/tol={tolerance}/exact={exact}/keyed={keyed}"
+    np.testing.assert_array_equal(
+        got["v"].isna().to_numpy(), want["v"].isna().to_numpy(), label,
+    )
+    np.testing.assert_allclose(
+        got["v"].dropna().to_numpy(), want["v"].dropna().to_numpy(),
+        err_msg=label,
+    )
+
+
+def test_asof_join_matched_on_column(spark):
+    # matched_on exposes the matched right-side timestamp (null when no
+    # match / outside tolerance) for both the keyed-window and the
+    # keyless bucketed paths
+    from sed_spark.dfops import asof_join
+
+    left = pd.DataFrame({"ts": [1.0, 5.0, 20.0], "lid": [0, 1, 2]})
+    right = pd.DataFrame({"ts": [4.0, 6.0], "v": ["a", "b"]})
+    got = (
+        asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            on="ts", direction="nearest", tolerance=3.0, matched_on="mts",
+        )
+        .orderBy("lid")
+        .toPandas()
+    )
+    # ts=1: forward 4.0 at distance 3 <= tolerance (inclusive, like
+    # pandas); ts=5: 4.0/6.0 equidistant -> backward; ts=20: nothing
+    # within tolerance
+    assert [None if pd.isna(x) else x for x in got["mts"]] == [4.0, 4.0, None]
+    assert [None if pd.isna(x) else x for x in got["v"]] == ["a", "a", None]
+    lk = left.assign(k=1)
+    rk = right.assign(k=1)
+    got_k = (
+        asof_join(
+            spark.createDataFrame(lk), spark.createDataFrame(rk),
+            on="ts", by="k", matched_on="mts",
+        )
+        .orderBy("lid")
+        .toPandas()
+    )
+    assert [None if pd.isna(x) else x for x in got_k["mts"]] == [None, 4.0, 6.0]
+    # matched_on name clashes with a left column -> loud error
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            on="ts", matched_on="lid",
+        )
+
+
+def test_asof_join_nearest_tie_prefers_backward(spark):
+    # equidistant candidates resolve to the backward one, matching
+    # pandas.merge_asof(direction="nearest") tie behavior
+    from sed_spark.dfops import asof_join
+
+    left = spark.createDataFrame(pd.DataFrame({"ts": [10.0]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"ts": [5.0, 15.0], "v": ["lo", "hi"]}),
+    )
+    assert asof_join(left, right, on="ts", direction="nearest") \
+        .collect()[0]["v"] == "lo"
+
+
+def test_asof_join_rejects_bad_tolerance(spark):
+    from sed_spark.dfops import asof_join
+
+    left = spark.createDataFrame([(1.0,)], "ts double")
+    right = spark.createDataFrame([(0.5, 1)], "ts double, v int")
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join(left, right, on="ts", tolerance=-1.0)
+
+
 def test_content_keyed_jitter_partition_invariant(spark):
     # seed_column jitter is a pure function of the row key: identical
     # results under any partition layout (rand-based jitter is not)

@@ -503,3 +503,28 @@ def test_bloom_reduced_join_pass_through_branch_has_single_join(spark):
     assert "BroadcastNestedLoop" not in plan
     n_joins = len(re.findall(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan))
     assert n_joins == 1, f"expected exactly one join, saw {n_joins}"
+
+
+def test_asof_nearest_keyed_single_exchange_two_sorts(spark):
+    # keyed nearest computes BOTH directional carries as window functions
+    # over the same user_id hash partitioning: exactly one Exchange for
+    # the window stage (plus the two input scans' none), never a second
+    # shuffle for the reverse-order carry, and no cartesian anywhere
+    from sed_spark.dfops import asof_join
+    from sed_spark.suite.common import load
+
+    ev = load(spark, SF_DIR, "events").select(
+        "event_id", "user_id", F.col("value").alias("ts"),
+    )
+    right = ev.groupBy("user_id", "ts").agg(F.min("event_id").alias("m"))
+    plan = _plan(
+        asof_join(ev, right, on="ts", by="user_id", direction="nearest",
+                  suffix="_r"),
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # windows over the union: every hash Exchange partitions on user_id
+    # (the aggregate pre-shuffle shares the same key set)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "user_id" in line, line
