@@ -282,12 +282,33 @@ def main() -> None:
     _bw_floor = [float("inf")]
     _lat_floor = [float("inf")]
 
+    # transient-vs-sustained disambiguation (round 11): a memory-heavy
+    # query (the ANN/embedding rows; also bare JVM spawn) leaves the
+    # probe buffers' pages reclaimed/compacted, so the FIRST sample
+    # after it reads ~3x loud while the very next one is quiet again —
+    # measured on an idle host (loadavg 0.09): lat probe 0.95/1.02
+    # immediately after q_ann_batch_topk / q_embedding_near_dup, then
+    # 0.29-0.33 on every following sample. That one-shot self-churn is
+    # not host contention and was permanently failing those two rows'
+    # flanking verdicts. Real contention SUSTAINS across consecutive
+    # probes, so: when a sample exceeds its quiet ceiling, re-probe once
+    # and keep the min — a transient collapses to the quiet value, a
+    # contended host stays loud. (Noise pulsing faster than two
+    # back-to-back probes remains the documented residual risk.)
+    def _resample(fn, ceiling: float) -> float:
+        v = fn()
+        return min(v, fn()) if v > ceiling else v
+
     def _canary_gated() -> tuple[float, float, float]:
         # the budget is decremented by REAL elapsed wall (sleep + probe
         # time): a loud latency probe itself costs seconds, and a
         # 5s-per-iteration accounting would let the nominal 900 s
         # budget stretch to an hour of wall under sustained noise
-        c, b, l = _canary(), _canary_bw(), _canary_lat()
+        c, b, l = (
+            _resample(_canary, CANARY_QUIET_ABS),
+            _resample(_canary_bw, CANARY_BW_ABS),
+            _resample(_canary_lat, CANARY_LAT_ABS),
+        )
         while True:
             _floor[0] = min(_floor[0], c)
             _bw_floor[0] = min(_bw_floor[0], b)
@@ -301,7 +322,11 @@ def main() -> None:
                 return c, b, l
             t0 = time.perf_counter()
             time.sleep(5.0)
-            c, b, l = _canary(), _canary_bw(), _canary_lat()
+            c, b, l = (
+                _resample(_canary, CANARY_QUIET_ABS),
+                _resample(_canary_bw, CANARY_BW_ABS),
+                _resample(_canary_lat, CANARY_LAT_ABS),
+            )
             _wait_budget[0] -= time.perf_counter() - t0
 
     def timed(name: str, fn, n: int = 1, jvm=None) -> None:
@@ -336,9 +361,9 @@ def main() -> None:
         # the min-rep verdict needs quiet samples on both sides of the
         # recorded rep, and without this the final rep would only ever
         # have its before-sample
-        cans.append(_canary())
-        bws.append(_canary_bw())
-        lats.append(_canary_lat())
+        cans.append(_resample(_canary, CANARY_QUIET_ABS))
+        bws.append(_resample(_canary_bw, CANARY_BW_ABS))
+        lats.append(_resample(_canary_lat, CANARY_LAT_ABS))
         timings[name] = min(reps)
         reps_log[name] = reps
         canary_log[name] = cans
