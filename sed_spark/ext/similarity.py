@@ -26,6 +26,7 @@ __all__ = [
     "embedding_near_dup",
     "kmeans_fit",
     "semantic_dedup",
+    "semantic_dedup_multi",
     "semantic_contamination",
     "ivf_assign",
     "ivf_topk",
@@ -711,6 +712,94 @@ def semantic_dedup(
             F.col("__dropped").isNull().cast("int").alias("is_kept"),
         )
     )
+
+
+def semantic_dedup_multi(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keeps: Sequence[str] = ("min_id", "far_from_centroid"),
+    round_decimals: int = 6,
+) -> dict[str, DataFrame]:
+    """:func:`semantic_dedup` under SEVERAL keep policies in ONE pass —
+    a shared-scan optimization, not a new semantics: each returned
+    DataFrame is row-identical to ``semantic_dedup(df, ..., keep=p)``.
+
+    Calling :func:`semantic_dedup` per policy repeats the three heavy
+    stages — centroid assignment, the within-cluster pair join, and the
+    pairwise cosine — once per policy. Here they run once: pairs are
+    generated UNORDERED (``a_id < b_id``) so the cosine is evaluated
+    once per pair (each per-policy call evaluated it once per *ordered*
+    dominance pair, ~the same volume EACH), and every policy's dropped
+    id is derived from the same pair row — under ``min_id`` the higher
+    id is dropped; under ``far_from_centroid`` the member closer to its
+    centroid (ties to the higher id) is dropped. The qualifying-pair
+    fact table is checkpointed so the per-policy verdicts are cheap
+    re-reads, not re-joins.
+    """
+    for keep in keeps:
+        if keep not in ("min_id", "far_from_centroid"):
+            raise ValueError(f"unknown keep policy {keep!r}")
+    want_far = "far_from_centroid" in keeps
+    assigned = ivf_assign(
+        df, centroids, id_col=id_col, vec_col=vec_col,
+        round_decimals=round_decimals,
+    )
+    if want_far:
+        sims = _centroid_sims_expr(vec_col, centroids, round_decimals)
+        assigned = assigned.withColumn(
+            "__cent_sim", F.element_at(sims, F.col("bucket")),
+        )
+    assigned = assigned.localCheckpoint(eager=True)
+
+    prio = ["__cent_sim"] if want_far else []
+    a = assigned.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "bucket",
+        *[F.col(c).alias(f"a{c}") for c in prio],
+    )
+    b = assigned.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "bucket",
+        *[F.col(c).alias(f"b{c}") for c in prio],
+    )
+    sim = F.round(cosine_expr(F.col("a_vec"), F.col("b_vec")), round_decimals)
+    facts_cols = []
+    if "min_id" in keeps:
+        # for an unordered pair the lower id always dominates: b dropped
+        facts_cols.append(F.col("b_id").alias("__drop_min_id"))
+    if want_far:
+        # the member with LOWER centroid cosine survives; ties to the
+        # lower id — with a_id < b_id the tie drops b
+        facts_cols.append(
+            F.when(
+                F.col("b__cent_sim") < F.col("a__cent_sim"), F.col("a_id"),
+            ).otherwise(F.col("b_id")).alias("__drop_far_from_centroid"),
+        )
+    facts = (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(sim >= threshold)
+        .select(*facts_cols)
+        .localCheckpoint(eager=True)
+    )
+    out: dict[str, DataFrame] = {}
+    for keep in keeps:
+        dropped = (
+            facts.select(F.col(f"__drop_{keep}").alias(id_col))
+            .distinct()
+            .withColumn("__dropped", F.lit(1))
+        )
+        out[keep] = (
+            assigned.select(id_col, F.col("bucket").alias("cluster"))
+            .join(dropped, id_col, "left")
+            .select(
+                id_col,
+                "cluster",
+                F.col("__dropped").isNull().cast("int").alias("is_kept"),
+            )
+        )
+    return out
 
 
 def ivf_topk(

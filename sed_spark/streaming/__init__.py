@@ -24,6 +24,9 @@ lets this run indefinitely on a cluster.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -317,6 +320,29 @@ def streaming_exact_dedup(
     )
 
 
+def _fast_checkpoint_dir() -> str | None:
+    """A tmpfs-backed checkpoint parent for short-lived drains, or None.
+
+    Every micro-batch commits offsets + per-partition state-store deltas
+    as individual file writes/renames under the checkpoint location; for
+    an availableNow drain whose lifetime is seconds, that metadata I/O on
+    a spinning/virtual disk dominates the query. RAM-backed tmpfs removes
+    it (same reasoning as the session's spark.local.dir choice). A real
+    deployment needs a DURABLE checkpoint (the whole point of it is
+    surviving the driver) — this parent is only used for the throwaway
+    checkpoints of drain-and-stop replays, which are deleted on exit.
+    """
+    base = "/dev/shm/sed-spark-local"
+    if not os.path.isdir("/dev/shm"):
+        return None
+    path = os.path.join(base, f"{os.getpid()}-ckpt")
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError:
+        return None
+    return path
+
+
 def run_available_now(
     stream: DataFrame, query_name: str, output_mode: str = "complete",
 ) -> None:
@@ -324,15 +350,24 @@ def run_available_now(
     stop — the batch-equivalence harness used by the tests (a production
     deployment would use a real sink + continuous trigger). ``complete``
     emits open windows too; use ``append`` to observe watermark eviction."""
-    q = (
+    writer = (
         stream.writeStream.format("memory")
         .queryName(query_name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
-    q.stop()
+    ckpt_parent = _fast_checkpoint_dir()
+    ckpt = None
+    if ckpt_parent is not None:
+        ckpt = tempfile.mkdtemp(prefix=f"{query_name}-", dir=ckpt_parent)
+        writer = writer.option("checkpointLocation", ckpt)
+    q = writer.start()
+    try:
+        q.awaitTermination()
+        q.stop()
+    finally:
+        if ckpt is not None:
+            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def streaming_enrich(

@@ -1253,8 +1253,23 @@ def sessionization(spark, sf_dir):
     batch oracle. The streaming gap is ``_SESSION_GAP_US + 1``:
     ``session_window`` merges on ``diff < gap`` while the batch rule
     opens a session on ``diff > gap`` — for integer-microsecond
-    timestamps the two predicates coincide exactly at that offset."""
-    from sed_spark.streaming import run_available_now, streaming_sessionize
+    timestamps the two predicates coincide exactly at that offset.
+
+    Round 11: the two availableNow replays (session_window aggregate,
+    stream-static enrich rollup) drain CONCURRENTLY and under
+    ``spark.sql.shuffle.partitions=8`` (restored afterwards) — the same
+    state-store-per-partition reasoning measured on the
+    ``stream_dedup_replay`` row; batch branches are unaffected (they
+    plan at action time, after the conf is restored)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    from sed_spark.streaming import (
+        run_available_now,
+        streaming_enrich,
+        streaming_sessionize,
+    )
 
     df = load(spark, sf_dir, "events")
     df = df.withColumn("ts_d", ts_us(df).cast("double"))
@@ -1269,14 +1284,47 @@ def sessionization(spark, sf_dir):
     )
 
     ev = load(spark, sf_dir, "events")
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .parquet(f"{sf_dir}/events*.parquet")
-        .withColumn("__event_time", F.timestamp_micros(ts_us(ev)))
-    )
-    sess = streaming_sessionize(stream, gap_us=int(_SESSION_GAP_US) + 1)
-    spark.catalog.dropTempView("stream_session_sink")
-    run_available_now(sess, "stream_session_sink", output_mode="complete")
+
+    def drain_session():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .parquet(f"{sf_dir}/events*.parquet")
+            .withColumn("__event_time", F.timestamp_micros(ts_us(ev)))
+        )
+        sess = streaming_sessionize(stream, gap_us=int(_SESSION_GAP_US) + 1)
+        spark.catalog.dropTempView("stream_session_sink")
+        run_available_now(sess, "stream_session_sink", output_mode="complete")
+
+    def drain_enrich():
+        # stream-static enrichment (round 7): the live event stream
+        # left-joined against the broadcast customer dimension
+        # (streaming_enrich — no join state, static side probed per
+        # batch), rolled up per market segment.
+        dim = load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        stream2 = spark.readStream.schema(ev.schema).parquet(
+            f"{sf_dir}/events*.parquet",
+        )
+        enriched = streaming_enrich(stream2, dim, "user_id", how="left")
+        rollup = enriched.groupBy("segment").agg(
+            F.count(F.lit(1)).alias("n"),
+        )
+        spark.catalog.dropTempView("stream_enrich_sink")
+        run_available_now(rollup, "stream_enrich_sink", output_mode="complete")
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(
+                inheritable_thread_target(lambda f: f()),
+                [drain_session, drain_enrich],
+            ))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
     live = spark.table("stream_session_sink").select(
         F.lit("stream").alias("part"),
         F.col("user_id").alias("k1"),
@@ -1314,27 +1362,10 @@ def sessionization(spark, sf_dir):
             F.col("n_overlaps").cast("long").alias("v"),
         )
     )
-    # stream-static enrichment branch (round 7): the live event stream
-    # left-joined against the broadcast customer dimension
-    # (streaming_enrich — no join state, static side probed per batch),
-    # rolled up per market segment. k1 = first letter of the segment
-    # (A/B/F/H/M are distinct; 0 = stream rows with no dimension match),
-    # so the branch pins the JOIN result, not just the rollup.
-    from sed_spark.streaming import streaming_enrich
-
-    dim = load(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("user_id"),
-        F.col("c_mktsegment").alias("segment"),
-    )
-    stream2 = spark.readStream.schema(ev.schema).parquet(
-        f"{sf_dir}/events*.parquet",
-    )
-    enriched = streaming_enrich(stream2, dim, "user_id", how="left")
-    rollup = enriched.groupBy("segment").agg(
-        F.count(F.lit(1)).alias("n"),
-    )
-    spark.catalog.dropTempView("stream_enrich_sink")
-    run_available_now(rollup, "stream_enrich_sink", output_mode="complete")
+    # stream-static enrichment branch rollup (drained above). k1 =
+    # first letter of the segment (A/B/F/H/M are distinct; 0 = stream
+    # rows with no dimension match), so the branch pins the JOIN result,
+    # not just the rollup.
     enrich = spark.table("stream_enrich_sink").select(
         F.lit("enrich").alias("part"),
         F.coalesce(

@@ -675,6 +675,31 @@ def test_semantic_dedup_rejects_unknown_policy(emb_df):
     df, _ = emb_df
     with pytest.raises(ValueError, match="keep policy"):
         similarity.semantic_dedup(df, [[1.0] * 16], keep="nope")
+    with pytest.raises(ValueError, match="keep policy"):
+        similarity.semantic_dedup_multi(df, [[1.0] * 16], keeps=("nope",))
+
+
+def test_semantic_dedup_multi_matches_per_policy(emb_df):
+    # the shared-pass variant must be row-identical to per-policy
+    # semantic_dedup under BOTH policies (it is an optimization of the
+    # pair join, not a different dominance rule)
+    df, _ = emb_df
+    cents = similarity.deterministic_planes(4, 16, seed=5)
+    multi = similarity.semantic_dedup_multi(
+        df, cents, threshold=0.9, keeps=("min_id", "far_from_centroid"),
+    )
+    for keep in ("min_id", "far_from_centroid"):
+        single = {
+            r["vec_id"]: (r["cluster"], r["is_kept"])
+            for r in similarity.semantic_dedup(
+                df, cents, threshold=0.9, keep=keep,
+            ).collect()
+        }
+        shared = {
+            r["vec_id"]: (r["cluster"], r["is_kept"])
+            for r in multi[keep].collect()
+        }
+        assert shared == single
 
 
 def test_semantic_contamination_flags_and_argmax(spark):

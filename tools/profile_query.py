@@ -62,22 +62,27 @@ def main() -> None:
 
     for name in args.queries:
         spec = suite.REGISTRY[name]
-        df = spec["spark"](spark, sf_dir)
-        if not args.no_plan:
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted")
-            path = os.path.join(plans_dir, f"{name}_{args.suffix}.txt")
-            with open(path, "w") as fh:
-                fh.write(plan)
-            n_exch = plan.count("Exchange")
-            print(f"{name}: plan -> {path} ({n_exch} Exchange)")
         reps = []
-        for _ in range(args.reps):
-            spark.sparkContext.setJobDescription(f"profile:{name}")
+        for i in range(args.reps):
+            spark.sparkContext.setJobDescription(f"profile:{name}:build")
             t0 = time.perf_counter()
+            df = spec["spark"](spark, sf_dir)
+            t1 = time.perf_counter()
+            if i == 0 and not args.no_plan:
+                plan = df._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted")
+                path = os.path.join(plans_dir, f"{name}_{args.suffix}.txt")
+                with open(path, "w") as fh:
+                    fh.write(plan)
+                n_exch = plan.count("Exchange")
+                print(f"{name}: plan -> {path} ({n_exch} Exchange)")
+            spark.sparkContext.setJobDescription(f"profile:{name}:exec")
+            t2 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
-            reps.append(round(time.perf_counter() - t0, 3))
-        print(f"{name}: reps={reps} min={min(reps)}")
+            t3 = time.perf_counter()
+            reps.append((round(t1 - t0, 3), round(t3 - t2, 3)))
+        tot = [round(b + e, 3) for b, e in reps]
+        print(f"{name}: (build,exec) reps={reps} total_min={min(tot)}")
     spark.stop()
 
 
