@@ -24,9 +24,38 @@ documented justification.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
 
-__all__ = ["scale_out"]
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["scale_out", "lit_double_array", "lit_long_array"]
+
+
+def lit_double_array(values) -> Column:
+    """Literal ``array<double>`` built via ONE SQL parse instead of
+    per-element ``F.lit`` py4j calls — ``F.lit(list)`` converts element
+    by element over the gateway (measured 2.4 s for a 4.5k-element
+    bitmap vs 8 ms for the parsed text), and literal arrays of
+    centroids/planes/codebooks/bitmaps are everywhere in the expression-
+    only operators. Values must be finite (falls back to the per-element
+    path otherwise); ``{v!r}D`` round-trips every finite IEEE double
+    through the SQL parser bit-exactly."""
+    vals = [float(v) for v in values]
+    if not vals:
+        return F.lit([]).cast("array<double>")
+    if all(math.isfinite(v) for v in vals):
+        return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
+    return F.array(*[F.lit(v) for v in vals])
+
+
+def lit_long_array(values) -> Column:
+    """Literal ``array<bigint>`` via one SQL parse (see
+    :func:`lit_double_array`)."""
+    vals = [int(v) for v in values]
+    if not vals:
+        return F.lit([]).cast("array<bigint>")
+    return F.expr("array(" + ",".join(f"{v}L" for v in vals) + ")")
 
 
 def scale_out(df: DataFrame, factor: int = 1) -> DataFrame:

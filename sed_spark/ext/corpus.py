@@ -675,7 +675,9 @@ def quantile_by(
             F.col(value_col), ps, max(1, int(1.0 / relative_error)),
         )
     grouped = df.groupBy(*keys).agg(agg.alias("__qs"))
-    probs_lit = F.array(*[F.lit(p) for p in ps])
+    from sed_spark.ext import lit_double_array
+
+    probs_lit = lit_double_array(ps)
     out = grouped.select(
         *keys,
         F.posexplode("__qs").alias("__i", "q"),

@@ -96,10 +96,10 @@ def _expr_cached(sql: str) -> Column:
 
 def _lit_arr(values) -> Column:
     """Literal double-array Column, memoized on the float values."""
+    from sed_spark.ext import lit_double_array
+
     vals = tuple(float(v) for v in values)
-    return _col_cached(
-        ("arr", vals), lambda: F.array(*[F.lit(v) for v in vals]),
-    )
+    return _col_cached(("arr", vals), lambda: lit_double_array(vals))
 
 
 def _sum(arr: Column) -> Column:

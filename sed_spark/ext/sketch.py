@@ -525,11 +525,15 @@ def bloom_probe_expr(
     word index and the bit mask (measured ~30%% faster than the
     inlined-twice form at 2e7 rows, identical rows).
     """
+    from sed_spark.ext import lit_long_array
+
     words = list(words)
     m_bits = len(words) * 32
     if m_bits == 0 or k_hashes < 1:
         raise ValueError("words must be non-empty and k_hashes >= 1")
-    arr = F.lit(words)
+    # one SQL parse, not len(words) py4j literal calls (measured 2.4 s
+    # of pure driver time at the 4.5k-word auto-sized bitmap)
+    arr = lit_long_array(words)
     k = key.cast("string")
     positions = F.array(
         *[_hash32(k, f"{salt}:{j}") % m_bits for j in range(k_hashes)],

@@ -8,6 +8,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sed_spark.ext import lit_double_array
 from sed_spark.ext.dedup import shingles_from_words
 
 __all__ = [
@@ -295,7 +296,7 @@ def classifier_score(
         F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_decimals,
     )
     if engine == "literal":
-        wlit = F.array(*[F.lit(float(w)) for w in weights])
+        wlit = lit_double_array(weights)
         # element_at is 1-based; NULL-safe because h(token) < dim always
         total = F.aggregate(
             toks,
@@ -378,7 +379,7 @@ def classifier_fit(
     weights = [0.0] * dim
     bias = 0.0
     for _ in range(n_iter):
-        wlit = F.array(*[F.lit(w) for w in weights])
+        wlit = lit_double_array(weights)
         total = F.aggregate(
             toks,
             F.lit(0.0),
@@ -614,7 +615,7 @@ def dsir_score(
     from sed_spark.ext import scale_out
 
     dim = len(logratios)
-    lit = F.array(*[F.lit(float(v)) for v in logratios])
+    lit = lit_double_array(logratios)
     words = scale_out(df).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__words"),
     )

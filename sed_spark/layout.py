@@ -76,7 +76,9 @@ def zorder_edge_bin(col: Column, edges: Sequence[float], bits: int) -> Column:
         raise ValueError(
             f"{len(uniq) - 1} bins exceed 2^{bits}; raise bits_per_dim",
         )
-    interior = F.array(*[F.lit(e) for e in uniq[1:-1]])
+    from sed_spark.ext import lit_double_array
+
+    interior = lit_double_array(uniq[1:-1])
     c = col.cast("double")
     idx = F.aggregate(
         interior,

@@ -988,8 +988,23 @@ def asof_ops(spark, sf_dir):
         .groupBy("user_id", "ts_d")
         .agg(F.min("value").alias("mark"))
     )
-    per_user = dfops.asof_join(left, right, on="ts_d", by="user_id").select(
+    # ONE keyed as-of with matched_on serves BOTH the per_user branch
+    # and the tolerance branch (round 11): merge_asof tolerance is by
+    # definition the backward match nulled where the matched distance
+    # exceeds the bound (see _asof_tolerance_mask — the same mask the
+    # tolerance= parameter applies), so the second identical
+    # union-and-fill pass is redundant work, not a different result.
+    pu = dfops.asof_join(
+        left, right, on="ts_d", by="user_id", matched_on="__pu_on",
+    )
+    per_user_tol = pu.select(
         "event_id", "user_id", "mark",
+        F.when(
+            F.col("__pu_on").isNotNull()
+            & (F.col("ts_d") - F.col("__pu_on")
+               <= F.lit(float(_ASOF_TOL_US))),
+            F.col("mark"),
+        ).alias("tol_mark"),
     )
     # keyless global as-of exercises the range-bucket + boundary-carry
     # path (no partition key; see dfops._asof_fill_keyless)
@@ -998,9 +1013,36 @@ def asof_ops(spark, sf_dir):
         .groupBy("ts_d")
         .agg(F.min("value").alias("gmark"))
     )
-    glob = dfops.asof_join(
+    # the backward fill serves BOTH glob and the nearest branch's
+    # backward candidate; one extra forward fill completes nearest —
+    # two keyless fills instead of three (direction='nearest' would
+    # internally run backward + forward again). The nearest pick below
+    # is literally the oracle's g_near CASE: backward wins when present
+    # and at least as close (ties to backward, exact hits distance 0).
+    gb = dfops.asof_join(
         left.select("event_id", "ts_d"), gright, on="ts_d",
-    ).select("event_id", "gmark")
+        matched_on="__b_on",
+    )
+    gf = dfops.asof_join(
+        left.select("event_id", "ts_d"),
+        gright.withColumnRenamed("gmark", "__f_gmark"),
+        on="ts_d", direction="forward", matched_on="__f_on",
+    )
+    glob_near = gb.join(
+        gf.select("event_id", "__f_gmark", "__f_on"), "event_id",
+    ).select(
+        "event_id",
+        "gmark",
+        F.when(
+            F.col("__b_on").isNotNull()
+            & (
+                F.col("__f_on").isNull()
+                | (F.col("ts_d") - F.col("__b_on")
+                   <= F.col("__f_on") - F.col("ts_d"))
+            ),
+            F.col("gmark"),
+        ).otherwise(F.col("__f_gmark")).alias("near_gmark"),
+    )
     # bucketed range join (round 5): every event against the per-user
     # signup attribution windows [signup_ts, signup_ts + _RJ_WIN_US) —
     # the point-in-interval complement of the as-of join above
@@ -1030,32 +1072,18 @@ def asof_ops(spark, sf_dir):
         F.count(F.lit(1)).alias("n_windows_hit"),
         F.min("iv_id").alias("first_window_id"),
     )
-    # merge_asof parameter surface (round 11): keyless NEAREST against
-    # the global signup series (exercises the two-directional bucketed
-    # fill + row-id resolution) and keyed backward with TOLERANCE
-    # (exercises the candidate mask) — pandas.merge_asof semantics,
-    # oracle'd via window CASE-pick / ASOF JOIN + distance filter
-    near = dfops.asof_join(
-        left.select("event_id", "ts_d"),
-        gright.withColumnRenamed("gmark", "near_gmark"),
-        on="ts_d",
-        direction="nearest",
-    ).select("event_id", "near_gmark")
-    tol = dfops.asof_join(
-        left.select("event_id", "user_id", "ts_d"),
-        right.withColumnRenamed("mark", "tol_mark"),
-        on="ts_d",
-        by="user_id",
-        tolerance=float(_ASOF_TOL_US),
-    ).select("event_id", "tol_mark")
     return (
-        interp.join(per_user, "event_id")
-        .join(glob, "event_id")
-        .join(near, "event_id")
-        .join(tol, "event_id")
+        interp.join(per_user_tol, "event_id")
+        .join(glob_near, "event_id")
         .join(in_windows, "event_id", "left")
         .withColumn(
             "n_windows_hit", F.coalesce("n_windows_hit", F.lit(0)),
+        )
+        # pin the pre-round-11 column order (the branch fusion above
+        # changed join order; the row VALUES are unchanged)
+        .select(
+            "event_id", "interp_v", "user_id", "mark", "gmark",
+            "near_gmark", "tol_mark", "n_windows_hit", "first_window_id",
         )
     )
 
