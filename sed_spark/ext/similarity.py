@@ -1663,6 +1663,42 @@ def rp_component_sql(
     return out
 
 
+def _rp_component_hof_sql(
+    vec_col: str,
+    signs_row: Sequence[int],
+    scale: float,
+    round_decimals: int | None = 6,
+) -> str:
+    """The Spark-side twin of :func:`rp_component_sql` expressed as a
+    fold instead of an unrolled sum. Bit-identical by IEEE-754: the
+    aggregate starts at the same ``0.0``, visits elements in the same
+    left-to-right order, and ``acc + (x * s)`` with ``s`` exactly
+    ``±1.0`` equals ``acc ± x`` bit-for-bit (multiplication by ±1.0 is
+    exact; ``a - b`` is defined as ``a + (-b)``).
+
+    Why not keep the unrolled text: 16 components × 64 terms fused into
+    the scan's whole-stage codegen produce a ``processNext()`` that
+    janino rejects with "Code grows beyond 64 KB" (the projection sits
+    on codegen local variables, so Spark cannot split it into helper
+    methods). Every action then pays two ~2-3 s failed compiles before
+    falling back — measured 5.4-7.2 s per run vs 1.3 s without the
+    doomed compile. Higher-order functions are codegen-fallback
+    expressions, so this form keeps the projection out of whole-stage
+    codegen from the start and the rest of the stage compiled."""
+    signs = ", ".join(
+        "1.0D" if s > 0 else "-1.0D" for s in signs_row
+    )
+    out = (
+        f"(aggregate(zip_with({vec_col}, array({signs}),"
+        f" (x, s) -> CAST(x AS DOUBLE) * s),"
+        f" 0.0D, (acc, x) -> acc + x)"
+        f" * CAST('{float(scale)!r}' AS DOUBLE))"
+    )
+    if round_decimals is not None:
+        out = f"round({out}, {int(round_decimals)})"
+    return out
+
+
 def random_project(
     df: DataFrame,
     in_dim: int,
@@ -1697,8 +1733,8 @@ def random_project(
         signs = rp_sign_matrix(in_dim, out_dim, salt)
         scale = 1.0 / math.sqrt(float(out_dim))
         comps = [
-            _expr_cached(rp_component_sql(vec_col, row, scale,
-                                          round_decimals=round_decimals))
+            _expr_cached(_rp_component_hof_sql(vec_col, row, scale,
+                                               round_decimals=round_decimals))
             for row in signs
         ]
         # fail LOUDLY on a dimension mismatch: out-of-range array
