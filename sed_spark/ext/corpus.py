@@ -500,6 +500,7 @@ def gumbel_topk(
     key_col: str = "gumbel_key",
     keep_col: str = "is_sampled",
     round_decimals: int = 6,
+    threshold_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic Gumbel-top-k sampling without replacement,
     proportional to ``exp(weight_col)`` (the Gumbel-max trick over
@@ -516,6 +517,18 @@ def gumbel_topk(
     broadcast scalar. Deliberately NOT a global window rank, which would
     funnel the corpus through one task. Exact-k caveat: rounded-key ties
     AT the threshold are all kept.
+
+    ``threshold_frame``: the key depends only on ``(id_col, weight_col)``,
+    but the threshold job executes ``df``'s WHOLE plan — inner joins
+    cannot be pruned even when every branch is a 1:1 per-id enrichment
+    of the same base table, so a wide pipeline recomputes all of its
+    branches just to rank one column. When the caller KNOWS a cheaper
+    frame carries the identical ``(id_col, weight_col)`` multiset (e.g.
+    the single scoring branch before it was joined into the pipeline),
+    passing it here runs the threshold job on that frame instead; the
+    flag projection over ``df`` is unchanged, so the result is
+    row-identical. The contract is the caller's to uphold — a frame
+    with a different id/weight multiset silently shifts the threshold.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -535,8 +548,9 @@ def gumbel_topk(
     gumbel = -F.log(-F.log(F.when(u.isNotNull(), clamped)))
     key = F.round(F.col(weight_col) + gumbel, round_decimals)
     keyed = df.withColumn(key_col, key)
+    thr_source = df if threshold_frame is None else threshold_frame
     kth = (
-        keyed.select(key_col)
+        thr_source.select(key.alias(key_col))
         .orderBy(F.col(key_col).desc())
         .limit(k)
         .agg(F.min(key_col))

@@ -2116,13 +2116,19 @@ def text_metrics(spark, sf_dir):
             docs, _dsir_fit_cached(docs, sf_dir), shingle_n=_DSIR_N,
         )
         # the DSIR resample itself: Gumbel-top-k over the log-weights
-        # (md5 variant so the oracle reproduces the noise bit-for-bit)
+        # (md5 variant so the oracle reproduces the noise bit-for-bit).
+        # threshold_frame=dsir: every join into `out` is a 1:1 per-doc
+        # enrichment of the same documents scan, so `dsir` alone carries
+        # the identical (doc_id, dsir_logweight) multiset — the
+        # threshold job then skips recomputing pack/classifier/BM25/
+        # TF-IDF just to rank one column
         out = corpus.gumbel_topk(
             out.join(dsir, "doc_id"),
             "dsir_logweight",
             k=_DSIR_K,
             salt=_DSIR_SALT,
             method="md5",
+            threshold_frame=dsir,
         )
     if BPE_COUNTS_SF0_01 is not None:
         if _bpe_pin_applies(docs, sf_dir):

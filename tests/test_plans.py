@@ -214,6 +214,29 @@ def test_gumbel_topk_uses_take_ordered_not_global_window(spark):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_gumbel_topk_threshold_frame_is_row_identical(spark):
+    # a slim threshold_frame carrying the same (id, weight) multiset must
+    # yield exactly the flags of the default full-frame threshold pass
+    from sed_spark.ext.corpus import gumbel_topk
+    from sed_spark.suite.common import load
+
+    docs = load(spark, SF_DIR, "documents")
+    slim = docs.select("doc_id", F.length("text").alias("w"))
+    # an expensive-looking 1:1 enrichment joined on top of the scoring frame
+    wide = slim.join(
+        docs.select("doc_id", F.md5("text").alias("extra")), "doc_id",
+    )
+    base = gumbel_topk(wide, "w", k=7).select(
+        "doc_id", "gumbel_key", "is_sampled",
+    )
+    slimmed = gumbel_topk(wide, "w", k=7, threshold_frame=slim).select(
+        "doc_id", "gumbel_key", "is_sampled",
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, slimmed.collect()),
+    )
+
+
 def test_bpe_token_counts_joins_on_word_key(spark):
     # the corpus is tokenized through the vocabulary join: every hash
     # Exchange partitions on word or doc_id, never an unkeyed shuffle
