@@ -37,8 +37,27 @@ def configure(spark: SparkSession) -> None:
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    configure(spark)
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    """Scan DataFrame for one testdata table, memoized per session.
+
+    ``spark.read.parquet`` costs ~0.1 s of driver work (schema read +
+    relation resolution over py4j) per call, and a suite build opens the
+    same handful of tables again and again — semi_anti_join alone calls
+    this 7 times. A DataFrame is an immutable logical plan, so handing
+    back the same object is pure query-syntax memoization: every action
+    still scans the parquet itself. The cache lives on the session
+    object, so a stopped/replaced session (the bench uses several) drops
+    its entries with it, and `configure` runs once per session for the
+    same reason."""
+    cache = getattr(spark, "_sed_load_cache", None)
+    if cache is None:
+        cache = {}
+        spark._sed_load_cache = cache
+        configure(spark)
+    key = (sf_dir, table)
+    df = cache.get(key)
+    if df is None:
+        df = cache[key] = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return df
 
 
 def ts_us(df: DataFrame, col: str = "ts"):

@@ -673,7 +673,11 @@ def simhash(spark, sf_dir):
     oracle hash). All sketch branches are bit-exact cross-engine: md5
     bucketing, integer counters, and a dyadic-exact harmonic sum."""
     docs = load(spark, sf_dir, "documents")
-    sh = dedup.simhash16(docs).select(
+    # built ONCE and shared with the pairs branch below: the 16 bit-sum
+    # expressions cost ~0.9 s of driver-side construction per build, and
+    # the shared frame keeps both subtrees identical for exchange reuse
+    sh_tbl = dedup.simhash16(docs)
+    sh = sh_tbl.select(
         F.lit("simhash").alias("method"),
         F.col("doc_id").alias("key_a"),
         F.lit(None).cast("long").alias("key_b"),
@@ -772,7 +776,6 @@ def simhash(spark, sf_dir):
     # pigeonhole banding generates candidates (never all-pairs); the
     # oracle verifies the SEMANTIC pair set with a brute-force
     # bit_count self-join — asymmetric strategies, identical result
-    sh_tbl = dedup.simhash16(docs)
     pair_rows = dedup.simhash_pairs(sh_tbl, max_hamming=_SIMHASH_MAXD).select(
         F.lit("pairs").alias("method"),
         F.col("a_id").alias("key_a"),
