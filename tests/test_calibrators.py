@@ -188,10 +188,12 @@ def test_apply_dfield_join_matches_udf_and_numpy(spark):
     pdf = pd.DataFrame(
         {
             "X": np.concatenate(
-                [rng.uniform(-100, 2200, 400), [0.0, 2048.0, -1e-9, 2048.0 + 1e-9]],
+                [rng.uniform(-100, 2200, 400),
+                 [0.0, 2048.0, -1e-9, 2048.0 + 1e-9, np.nan, np.inf, 1.0, 1e300]],
             ),
             "Y": np.concatenate(
-                [rng.uniform(-100, 2200, 400), [2048.0, 0.0, -5.0, 2060.0]],
+                [rng.uniform(-100, 2200, 400),
+                 [2048.0, 0.0, -5.0, 2060.0, 1.0, 1.0, np.nan, -1e300]],
             ),
         },
     )
