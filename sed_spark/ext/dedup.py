@@ -662,6 +662,7 @@ def benchmark_contamination(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 8,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Test-set decontamination: flag corpus documents sharing any word
     n-gram with a benchmark/eval set (the GPT-3/Llama-style 13-gram
@@ -674,6 +675,11 @@ def benchmark_contamination(
     document key, and there is no corpus-vs-corpus pair generation at
     all. Returns one row per corpus document: distinct-shingle count,
     hit count, hit fraction, and the contamination flag.
+
+    ``grams`` accepts the corpus's precomputed ``(id, g)``-distinct
+    shingle table (:func:`exploded_shingles` with ``distinct=True``) so a
+    caller that also runs :func:`boilerplate_stats` at the same
+    ``shingle_n`` pays the explode once (checkpoint it for that).
     """
     bench_grams = (
         exploded_shingles(benchmark, id_col, text_col, shingle_n, distinct=True)
@@ -681,7 +687,10 @@ def benchmark_contamination(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    grams = exploded_shingles(corpus, id_col, text_col, shingle_n, distinct=True)
+    if grams is None:
+        grams = exploded_shingles(
+            corpus, id_col, text_col, shingle_n, distinct=True,
+        )
     # ONE corpus pass: broadcast left join marks hits, a single per-doc
     # aggregate counts both totals and hits
     per_doc = (
@@ -720,6 +729,7 @@ def boilerplate_stats(
     text_col: str = "text",
     shingle_n: int = 5,
     min_docs: int = 5,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-internal boilerplate detection: word n-grams occurring in
     ≥ ``min_docs`` DISTINCT documents are boilerplate (navigation chrome,
@@ -735,10 +745,15 @@ def boilerplate_stats(
     ubiquitous grams before the shuffle), and one equi-join back on the
     gram key. The gram table is checkpointed so the explode runs once,
     not once per branch. No step is ever quadratic in documents.
+
+    ``grams`` accepts a precomputed (ideally already-checkpointed)
+    ``(id, g)``-distinct shingle table to share with
+    :func:`benchmark_contamination` (see there).
     """
-    grams = exploded_shingles(
-        corpus, id_col, text_col, shingle_n, distinct=True,
-    ).localCheckpoint(eager=True)
+    if grams is None:
+        grams = exploded_shingles(
+            corpus, id_col, text_col, shingle_n, distinct=True,
+        ).localCheckpoint(eager=True)
     # grams is (doc, g)-distinct, so count(*) per g = document frequency
     bp = (
         grams.groupBy("g")
@@ -835,12 +850,12 @@ def strip_boilerplate(
     )
 
 
-def _span_islands(
+def span_islands(
     corpus: DataFrame,
-    id_col: str,
-    text_col: str,
-    window: int,
-    min_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+    min_docs: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared core of :func:`duplicate_spans` / :func:`strip_duplicate_spans`:
     returns ``(words, dup_pos)`` where ``words`` is the tokenized corpus
@@ -915,6 +930,7 @@ def duplicate_spans(
     text_col: str = "text",
     window: int = 5,
     min_docs: int = 2,
+    islands: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Exact-substring duplicate-span statistics (Lee et al.,
     "Deduplicating Training Data Makes Language Models Better",
@@ -938,8 +954,13 @@ def duplicate_spans(
     never corpus-sized; replaced the round-5 window-function islands and
     their sort-based exchange). No pair join, no global order, every
     stage keyed or document-local.
+
+    ``islands`` accepts a precomputed :func:`span_islands` result so a
+    caller running BOTH the measuring and stripping variants over the
+    same corpus pays the tokenize+hash explode once (checkpoint the
+    ``dup_pos`` half too to also share the frequency aggregate).
     """
-    words, dup_pos = _span_islands(
+    words, dup_pos = islands if islands is not None else span_islands(
         corpus, id_col, text_col, window, min_docs,
     )
     n_tok = F.size("__words")
@@ -993,6 +1014,7 @@ def strip_duplicate_spans(
     text_col: str = "text",
     window: int = 5,
     min_docs: int = 2,
+    islands: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """REMOVE exact-substring duplicate spans (the action Lee et al.
     arXiv:2107.06499 actually take — :func:`duplicate_spans` is the
@@ -1001,14 +1023,17 @@ def strip_duplicate_spans(
     Returns ``(id_col, text_col)``; fully-duplicated documents survive
     with empty text.
 
-    Scale design: on top of the :func:`_span_islands` dataflow, the merged
+    ``islands`` shares a precomputed :func:`span_islands` result (see
+    :func:`duplicate_spans`).
+
+    Scale design: on top of the :func:`span_islands` dataflow, the merged
     intervals are built PER DOCUMENT by one ordered fold over the sorted
     duplicated-position array (document-sized, never corpus-sized),
     joined back on the id key, and the removal is one expression — an
     index-aware ``filter`` over the token array testing membership
     against the interval list. No second explode, no window functions.
     """
-    words, dup_pos = _span_islands(
+    words, dup_pos = islands if islands is not None else span_islands(
         corpus, id_col, text_col, window, min_docs,
     )
     # fold the sorted positions into merged [s, e) intervals: extend the

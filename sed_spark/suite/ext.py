@@ -271,6 +271,12 @@ def lsh_pairs(spark, sf_dir):
     carry the -1 sentinel — so the row pins candidate generation AND the
     verify decision in one hash."""
     docs = load(spark, sf_dir, "documents")
+    # NOTE(r11): the signature subtree appears 8x in this plan (the
+    # even/odd filters push below the aggregate and defeat exchange
+    # reuse); checkpointing it once was tried and measured SLOWER at both
+    # local[32] and local[4] — the eager materialization serializes the
+    # build while the duplicate aggregates overlap as parallel stages.
+    # See OPTIMIZATION_r11.md "Negative results".
     sigs = dedup.minhash_signatures(docs, n_bands=4)
     pairs = dedup.lsh_candidate_pairs(sigs, n_bands=4)
     batch = dedup.verify_pairs_editdist(
@@ -2554,9 +2560,14 @@ def _lines_expr(text):
 def decontamination(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
-    cont = dedup.benchmark_contamination(docs, bench, shingle_n=3)
+    # both operators need the corpus's distinct 3-gram table — explode it
+    # once, checkpoint, and share (each used to pay its own full pass)
+    grams3 = dedup.exploded_shingles(
+        docs, n=3, distinct=True,
+    ).localCheckpoint(eager=True)
+    cont = dedup.benchmark_contamination(docs, bench, shingle_n=3, grams=grams3)
     bp = dedup.boilerplate_stats(
-        docs, shingle_n=3, min_docs=_BP_MIN_DOCS,
+        docs, shingle_n=3, min_docs=_BP_MIN_DOCS, grams=grams3,
     ).select("doc_id", "n_bp", "bp_frac")
     # C4 line dedup: lines shared by >= _LINE_MIN_DOCS distinct docs are
     # stripped from every doc; the surviving text's digest + kept-line
@@ -2669,6 +2680,10 @@ _COLLOC_MIN = 5
 def repetition(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     rep = text.repetition_stats(docs)
+    # NOTE(r11): checkpointing v (used by vocab_doc_stats AND
+    # bpe_pair_counts) was tried and measured slower at local[32] and
+    # local[4] — same serialized-build effect as lsh_pairs; see
+    # OPTIMIZATION_r11.md "Negative results".
     v = vocab.word_doc_freq(docs)
     vd = vocab.vocab_doc_stats(docs, v)
     pc = vocab.bpe_pair_counts(docs, vocab=v)
@@ -3167,12 +3182,20 @@ def fingerprints(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     fp = text.fingerprint(docs)
     wn = text.winnow_fingerprint(docs, k=8, w=4)
-    ds = dedup.duplicate_spans(docs, window=_SPAN_WINDOW, min_docs=2).select(
+    # the measuring and stripping span variants run over the same corpus
+    # with the same (window, min_docs): compute the islands core once and
+    # checkpoint its dup_pos half so the tokenize+hash explode AND the
+    # window-frequency aggregate are paid once, not twice
+    words, dup_pos = dedup.span_islands(docs, window=_SPAN_WINDOW, min_docs=2)
+    islands = (words, dup_pos.localCheckpoint(eager=True))
+    ds = dedup.duplicate_spans(
+        docs, window=_SPAN_WINDOW, min_docs=2, islands=islands,
+    ).select(
         "doc_id", "n_windows", "n_dup_windows", "covered_tokens",
         "dup_span_frac",
     )
     stripped = dedup.strip_duplicate_spans(
-        docs, window=_SPAN_WINDOW, min_docs=2,
+        docs, window=_SPAN_WINDOW, min_docs=2, islands=islands,
     ).select("doc_id", F.md5("text").alias("span_stripped_md5"))
     ch = text.chunk_documents(
         docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP,

@@ -2018,3 +2018,46 @@ def test_prefix_similarity_join_set_col_mode(spark):
             ).collect()
         }
         assert got == want, tau
+
+
+def test_shared_grams_and_islands_row_identical(spark):
+    """The r11 sharing hooks must not change any row: passing a
+    precomputed (checkpointed) gram table to benchmark_contamination /
+    boilerplate_stats, or a precomputed span_islands pair to
+    duplicate_spans / strip_duplicate_spans, is plan reuse only."""
+    from sed_spark.ext import dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog the quick brown fox"),
+            (1, "quick brown fox runs away from everything here yes indeed today"),
+            (2, "completely unrelated text with no overlap at all whatsoever done"),
+            (3, ""),
+            (4, "the quick brown fox jumps over the lazy dog again and again"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = corpus.filter("doc_id % 2 = 0")
+
+    grams = dedup.exploded_shingles(
+        corpus, n=3, distinct=True,
+    ).localCheckpoint(eager=True)
+    base_cont = dedup.benchmark_contamination(corpus, bench, shingle_n=3)
+    shared_cont = dedup.benchmark_contamination(
+        corpus, bench, shingle_n=3, grams=grams,
+    )
+    key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    assert key(base_cont.collect()) == key(shared_cont.collect())
+
+    base_bp = dedup.boilerplate_stats(corpus, shingle_n=3, min_docs=2)
+    shared_bp = dedup.boilerplate_stats(
+        corpus, shingle_n=3, min_docs=2, grams=grams,
+    )
+    assert key(base_bp.collect()) == key(shared_bp.collect())
+
+    words, dup_pos = dedup.span_islands(corpus, window=3, min_docs=2)
+    islands = (words, dup_pos.localCheckpoint(eager=True))
+    for fn in (dedup.duplicate_spans, dedup.strip_duplicate_spans):
+        base = fn(corpus, window=3, min_docs=2)
+        shared = fn(corpus, window=3, min_docs=2, islands=islands)
+        assert key(base.collect()) == key(shared.collect()), fn.__name__
