@@ -198,6 +198,7 @@ def main() -> None:
     canary_log: dict[str, list[float]] = dict(base.get("canary", {}))
     canary_bw_log: dict[str, list[float]] = dict(base.get("canary_bw", {}))
     canary_lat_log: dict[str, list[float]] = dict(base.get("canary_lat", {}))
+    canary_sched_log: dict[str, list[float]] = dict(base.get("canary_sched", {}))
     load_log: dict[str, list[float]] = dict(base.get("loadavg", {}))
     fit_secs_log: dict[str, float] = dict(base.get("fit_secs", {}))
     fit_secs_log.update(
@@ -266,6 +267,29 @@ def main() -> None:
         t0 = time.perf_counter()
         _lat_buf[0][_lat_buf[1]].sum()
         return round(time.perf_counter() - t0, 4)
+
+    # scheduler-jitter canary (round 11, OBSERVATIONAL — recorded per
+    # rep, never gates): a 25 ms single-threaded spin recording the
+    # worst gap between consecutive perf_counter() samples. Quiet host:
+    # 0.1-2 ms. The noise mode diagnosed 2026-08-17 — host-wide loadavg
+    # pulses with this container idle and ~2% steal — slowed
+    # micro-batch-commit-heavy rows (q_stream_dedup_replay 4.4 s quiet
+    # -> 16-84 s) while ALL THREE existing canaries read quiet, because
+    # compute/bandwidth/pointer-chase probes cannot see per-op
+    # scheduling latency; an involuntary-preemption gap can. Kept out of
+    # the wait-for-quiet gate until a full round of samples calibrates
+    # its quiet band.
+    def _canary_sched() -> float:
+        t_end = time.perf_counter() + 0.025
+        prev = time.perf_counter()
+        worst = 0.0
+        while prev < t_end:
+            now = time.perf_counter()
+            gap = now - prev
+            if gap > worst:
+                worst = gap
+            prev = now
+        return round(worst, 5)
 
     # canary GATE: (1) wait-for-quiet — before each rep, if the canary
     # exceeds max(1.5x the run's quiet floor, CANARY_*_ABS) the rep
@@ -336,12 +360,14 @@ def main() -> None:
         cans: list[float] = []
         bws: list[float] = []
         lats: list[float] = []
+        scheds: list[float] = []
         loads: list[float] = []
         for _ in range(n):
             c, b, l = _canary_gated()
             cans.append(c)
             bws.append(b)
             lats.append(l)
+            scheds.append(_canary_sched())
             loads.append(round(os.getloadavg()[0], 2))
             t0 = time.perf_counter()
             fn()
@@ -364,11 +390,13 @@ def main() -> None:
         cans.append(_resample(_canary, CANARY_QUIET_ABS))
         bws.append(_resample(_canary_bw, CANARY_BW_ABS))
         lats.append(_resample(_canary_lat, CANARY_LAT_ABS))
+        scheds.append(_canary_sched())
         timings[name] = min(reps)
         reps_log[name] = reps
         canary_log[name] = cans
         canary_bw_log[name] = bws
         canary_lat_log[name] = lats
+        canary_sched_log[name] = scheds
         load_log[name] = loads
 
     # -- phase 1: driver-side numpy metric, measured FIRST ----------------
@@ -677,6 +705,10 @@ def main() -> None:
                 "canary": canary_log,
                 "canary_bw": canary_bw_log,
                 "canary_lat": canary_lat_log,
+                # observational scheduler-jitter band (worst 25 ms spin
+                # gap, seconds) — diagnoses the preemption noise mode the
+                # three gating canaries cannot see; not part of the gate
+                "canary_sched": canary_sched_log,
                 "canary_ok": canary_ok,
                 "canary_ok_by_metric": canary_ok_by_metric,
                 "contaminated": contaminated,
