@@ -962,24 +962,30 @@ _ASOF_TOL_US = 86_400_000_000
 
 @q("asof_ops")
 def asof_ops(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     # time domain is MICROSECONDS: duckdb holds these timestamps at µs
     # precision, so the oracle can only see µs
     df = load(spark, sf_dir, "events")
     df = df.withColumn("ts_us", ts_us(df))
-    series = (
-        df.filter(F.col("event_type") == "signup")
-        .groupBy(F.col("ts_us").cast("double").alias("x"))
-        .agg(F.min("value").alias("y"))
-        .orderBy("x")
-        .toPandas()
-    )
-    interp = dfops.add_time_stamped_data(
-        df.withColumn("ts_d", F.col("ts_us").cast("double")),
-        series["x"].to_numpy(),
-        series["y"].to_numpy(),
-        dest_column="interp_v",
-        time_stamp_column="ts_d",
-    ).select("event_id", F.round("interp_v", 6).alias("interp_v"))
+
+    def build_interp():
+        series = (
+            df.filter(F.col("event_type") == "signup")
+            .groupBy(F.col("ts_us").cast("double").alias("x"))
+            .agg(F.min("value").alias("y"))
+            .orderBy("x")
+            .toPandas()
+        )
+        return dfops.add_time_stamped_data(
+            df.withColumn("ts_d", F.col("ts_us").cast("double")),
+            series["x"].to_numpy(),
+            series["y"].to_numpy(),
+            dest_column="interp_v",
+            time_stamp_column="ts_d",
+        ).select("event_id", F.round("interp_v", 6).alias("interp_v"))
 
     withts = df.withColumn("ts_d", F.col("ts_us").cast("double"))
     left = withts.select("event_id", "user_id", "ts_d")
@@ -1019,15 +1025,29 @@ def asof_ops(spark, sf_dir):
     # internally run backward + forward again). The nearest pick below
     # is literally the oracle's g_near CASE: backward wins when present
     # and at least as close (ties to backward, exact hits distance 0).
-    gb = dfops.asof_join(
-        left.select("event_id", "ts_d"), gright, on="ts_d",
-        matched_on="__b_on",
-    )
-    gf = dfops.asof_join(
-        left.select("event_id", "ts_d"),
-        gright.withColumnRenamed("gmark", "__f_gmark"),
-        on="ts_d", direction="forward", matched_on="__f_on",
-    )
+    # The three eager-build branches — the interp series collect and each
+    # keyless fill's min/max + boundary-carry jobs — are independent, so
+    # build them concurrently (guide §2.6 overlap independent jobs)
+    # instead of paying ~5 small driver jobs back to back.
+    def build_gb():
+        return dfops.asof_join(
+            left.select("event_id", "ts_d"), gright, on="ts_d",
+            matched_on="__b_on",
+        )
+
+    def build_gf():
+        return dfops.asof_join(
+            left.select("event_id", "ts_d"),
+            gright.withColumnRenamed("gmark", "__f_gmark"),
+            on="ts_d", direction="forward", matched_on="__f_on",
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(inheritable_thread_target(fn))
+            for fn in (build_interp, build_gb, build_gf)
+        ]
+        interp, gb, gf = (f.result() for f in futs)
     glob_near = gb.join(
         gf.select("event_id", "__f_gmark", "__f_on"), "event_id",
     ).select(
