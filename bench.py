@@ -199,6 +199,7 @@ def main() -> None:
     canary_bw_log: dict[str, list[float]] = dict(base.get("canary_bw", {}))
     canary_lat_log: dict[str, list[float]] = dict(base.get("canary_lat", {}))
     canary_sched_log: dict[str, list[float]] = dict(base.get("canary_sched", {}))
+    canary_jit_log: dict[str, list[float]] = dict(base.get("canary_jit", {}))
     load_log: dict[str, list[float]] = dict(base.get("loadavg", {}))
     fit_secs_log: dict[str, float] = dict(base.get("fit_secs", {}))
     fit_secs_log.update(
@@ -291,6 +292,37 @@ def main() -> None:
             prev = now
         return round(worst, 5)
 
+    # JIT-churn attribution (round 11, OBSERVATIONAL — recorded per rep,
+    # never gates): the driver JVM's cumulative HotSpot compilation time
+    # (CompilationMXBean) sampled before and after each rep; the record
+    # carries the per-rep DELTA in seconds. Diagnosed 2026-08-18:
+    # fresh-session best-of-2 reps of codegen-heavy queries
+    # (q_fingerprints) swung 1.4-26 s exec for the SAME plan with 30-64 s
+    # of compile-time delta on the slow reps and 5-8 s on the fast ones
+    # — GC and the janino generated-class cache both ruled out — so a
+    # slow rep with a large jit delta is C2 warm-up/recompile churn, not
+    # a plan regression or host noise. -1.0 = no JVM yet (phase 1) or
+    # the session's bean was unreadable.
+    _jit_sampler: list = [None]
+
+    def _bind_jit_sampler(sc) -> None:
+        try:
+            bean = (sc._jvm.java.lang.management.ManagementFactory
+                    .getCompilationMXBean())
+
+            def sample() -> float | None:
+                try:
+                    return float(bean.getTotalCompilationTime())
+                except Exception:
+                    return None
+
+            _jit_sampler[0] = sample
+        except Exception:
+            _jit_sampler[0] = None
+
+    def _jit_now() -> float | None:
+        return _jit_sampler[0]() if _jit_sampler[0] is not None else None
+
     # canary GATE: (1) wait-for-quiet — before each rep, if the canary
     # exceeds max(1.5x the run's quiet floor, CANARY_*_ABS) the rep
     # WAITS (5 s steps) until the host calms down or a bounded wall
@@ -361,6 +393,7 @@ def main() -> None:
         bws: list[float] = []
         lats: list[float] = []
         scheds: list[float] = []
+        jits: list[float] = []
         loads: list[float] = []
         for _ in range(n):
             c, b, l = _canary_gated()
@@ -369,9 +402,15 @@ def main() -> None:
             lats.append(l)
             scheds.append(_canary_sched())
             loads.append(round(os.getloadavg()[0], 2))
+            j0 = _jit_now()
             t0 = time.perf_counter()
             fn()
             reps.append(round(time.perf_counter() - t0, 4))
+            j1 = _jit_now()
+            jits.append(
+                round((j1 - j0) / 1000.0, 3)
+                if j0 is not None and j1 is not None else -1.0,
+            )
             if jvm is not None:
                 # release this rep's shuffle files between reps: drop the
                 # Python-side plan refs, then ask the driver JVM to GC so
@@ -397,6 +436,7 @@ def main() -> None:
         canary_bw_log[name] = bws
         canary_lat_log[name] = lats
         canary_sched_log[name] = scheds
+        canary_jit_log[name] = jits
         load_log[name] = loads
 
     # -- phase 1: driver-side numpy metric, measured FIRST ----------------
@@ -440,6 +480,7 @@ def main() -> None:
             shuffle_partitions=int(cpus) * 2,
             extra_conf=session_conf,
         )
+        _bind_jit_sampler(spark.sparkContext)
 
         # mirrors reference benchmark_sed.py:24-34: uniform X/Y/t/ADC, seeded
         ranges = {"X": (0.0, 2048.0), "Y": (0.0, 2048.0),
@@ -562,6 +603,7 @@ def main() -> None:
             shuffle_partitions=int(cpus) * 2,
             extra_conf=session_conf,
         )
+        _bind_jit_sampler(spark.sparkContext)
 
         def run_noop(df) -> None:
             df.write.mode("overwrite").format("noop").save()
@@ -709,6 +751,11 @@ def main() -> None:
                 # gap, seconds) — diagnoses the preemption noise mode the
                 # three gating canaries cannot see; not part of the gate
                 "canary_sched": canary_sched_log,
+                # observational per-rep HotSpot compile-time DELTA
+                # (seconds): a slow rep with a large delta is JVM C2
+                # warm-up/recompile churn, not a plan change or host
+                # noise; -1.0 = no JVM (phase 1). Not part of the gate.
+                "canary_jit": canary_jit_log,
                 "canary_ok": canary_ok,
                 "canary_ok_by_metric": canary_ok_by_metric,
                 "contaminated": contaminated,
