@@ -301,8 +301,12 @@ def main() -> None:
     # of compile-time delta on the slow reps and 5-8 s on the fast ones
     # — GC and the janino generated-class cache both ruled out — so a
     # slow rep with a large jit delta is C2 warm-up/recompile churn, not
-    # a plan regression or host noise. -1.0 = no JVM yet (phase 1) or
-    # the session's bean was unreadable.
+    # a plan regression or host noise. getTotalCompilationTime() SUMS
+    # across all HotSpot compiler threads, so a delta can legitimately
+    # exceed the rep's wall-clock (e.g. 40 s of summed C1+C2 thread time
+    # inside a 13.7 s rep) — it is a churn-magnitude signal, not a
+    # wall-time share. -1.0 = no JVM yet (phase 1) or the session's
+    # bean was unreadable.
     _jit_sampler: list = [None]
 
     def _bind_jit_sampler(sc) -> None:

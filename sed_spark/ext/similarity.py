@@ -80,13 +80,12 @@ _COL_CACHE_MAX = 4096
 
 
 def _col_cached(key, builder) -> Column:
-    col = _COL_CACHE.get(key)
-    if col is None:
-        if len(_COL_CACHE) >= _COL_CACHE_MAX:
-            _COL_CACHE.clear()
-        col = builder()
-        _COL_CACHE[key] = col
-    return col
+    # LRU eviction (round 12; was a wholesale clear()) — a mixed steady-
+    # state workload no longer hits a reconstruction-latency cliff when
+    # the cache fills
+    from sed_spark.ext import _lru_cached
+
+    return _lru_cached(_COL_CACHE, _COL_CACHE_MAX, key, builder)
 
 
 def _expr_cached(sql: str) -> Column:

@@ -956,6 +956,8 @@ def collocations(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_count: int = 5,
+    words: DataFrame | None = None,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-level collocation (phrase) mining: adjacent word pairs
     scored by their association ratio — the phrase-detection pass
@@ -981,20 +983,26 @@ def collocations(
     ``min_count`` prunes the bigram tail BEFORE the two word-count
     joins; ``N`` rides in as a broadcast one-row aggregate. No windows,
     no driver collects. Returns ``(w1, w2, n_pair, n_w1, n_w2, lift)``.
+
+    ``words`` / ``grams`` accept precomputed
+    :func:`~sed_spark.ext.vocab.exploded_words` / non-distinct
+    ``exploded_shingles(df, n=2)`` frames (shared tokenize-explodes).
     """
     from sed_spark.ext import scale_out
     from sed_spark.ext.vocab import bigram_counts
 
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
-    bg = bigram_counts(df, id_col, text_col).filter(
+    bg = bigram_counts(df, id_col, text_col, grams=grams).filter(
         F.col("cnt") >= min_count,
     )
-    words = (
-        scale_out(df)
+    word_src = (
+        words.select("word") if words is not None
+        else scale_out(df)
         .select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    words = word_src.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
     )
     total = words.agg(F.sum("tf").cast("double").alias("__N"))
     split = F.split(F.col("g"), " ")

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "char_pairs_expr",
+    "exploded_words",
     "word_doc_freq",
     "bpe_pair_counts",
     "vocab_doc_stats",
@@ -60,10 +61,30 @@ def char_pairs_expr(word: Column) -> Column:
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
 
 
+def exploded_words(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The shared ``(id, word)`` tokenize-explode every word-level vocab
+    operator consumes (one row per word OCCURRENCE, not distinct).
+    Callers running several such operators over the same corpus can build
+    this once (optionally persist it) and pass it via their ``words=``
+    parameters so the corpus is read and split a single time — the same
+    ``vocab=``/``grams=``/``islands=`` sharing pattern as rounds 9-11."""
+    from sed_spark.ext import scale_out
+
+    return scale_out(df).select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+
+
 def word_doc_freq(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus vocabulary table ``(word, tf, df)``: total occurrences and
     the number of distinct documents containing the word.
@@ -74,13 +95,11 @@ def word_doc_freq(
     (doc, word)-distinct rows IS the document frequency. No
     ``count(distinct ...)`` expand, and the second shuffle's input is
     already collapsed to one row per (doc, word).
-    """
-    from sed_spark.ext import scale_out
 
-    w = scale_out(df).select(
-        F.col(id_col),
-        F.explode(F.split(F.col(text_col), " ")).alias("word"),
-    )
+    ``words`` accepts a precomputed :func:`exploded_words` frame so the
+    corpus tokenize-explode is shared across operators.
+    """
+    w = words if words is not None else exploded_words(df, id_col, text_col)
     per_doc = w.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("__c"))
     return per_doc.groupBy("word").agg(
         F.sum("__c").cast("long").alias("tf"),
@@ -116,6 +135,7 @@ def vocab_doc_stats(
     vocab: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document corpus-rarity statistics against the vocabulary table:
     ``rarest_word_df`` (document frequency of the document's rarest word)
@@ -128,19 +148,16 @@ def vocab_doc_stats(
     against the vocabulary (dimension-sized relative to the corpus — AQE
     broadcasts it when it fits, otherwise both sides shuffle on the word
     key), then one document-keyed aggregate.
-    """
-    from sed_spark.ext import scale_out
 
+    ``words`` accepts a precomputed :func:`exploded_words` frame (shared
+    tokenize-explode).
+    """
     if vocab is None:
-        vocab = word_doc_freq(df, id_col, text_col)
+        vocab = word_doc_freq(df, id_col, text_col, words=words)
     dw = (
-        scale_out(df)
-        .select(
-            F.col(id_col),
-            F.explode(F.split(F.col(text_col), " ")).alias("word"),
-        )
-        .distinct()
-    )
+        words if words is not None
+        else exploded_words(df, id_col, text_col)
+    ).distinct()
     return (
         dw.join(vocab.select("word", "df"), "word")
         .groupBy(id_col)
@@ -155,6 +172,7 @@ def doc_top_pair(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Each document's most frequent adjacent character pair (over every
     word occurrence; ties broken lexicographically) — the document-local
@@ -163,15 +181,14 @@ def doc_top_pair(
 
     Returns ``(id_col, top_pair, top_pair_count)``; documents with no
     pair (all single-character words) get ``('', 0)``.
+
+    ``words`` accepts a precomputed :func:`exploded_words` frame (shared
+    tokenize-explode).
     """
     from pyspark.sql.window import Window
 
-    from sed_spark.ext import scale_out
-
-    pairs = scale_out(df).select(
-        F.col(id_col),
-        F.explode(F.split(F.col(text_col), " ")).alias("word"),
-    ).select(
+    w_src = words if words is not None else exploded_words(df, id_col, text_col)
+    pairs = w_src.select(
         F.col(id_col),
         F.explode(char_pairs_expr(F.col("word"))).alias("pair"),
     )
@@ -547,14 +564,20 @@ def bigram_counts(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus word-bigram counts ``(g, cnt)`` — the n-gram language-model
     table (the n=2 row of a count-based LM). One explode + one keyed
     aggregate with map-side partials; the result is vocabulary²-bounded,
-    in practice Zipf-truncated far below that."""
-    from sed_spark.ext.dedup import exploded_shingles
+    in practice Zipf-truncated far below that.
 
-    grams = exploded_shingles(df, id_col, text_col, n=2)
+    ``grams`` accepts a precomputed non-distinct ``exploded_shingles(df,
+    n=2)`` frame so the corpus bigram explode is shared across operators.
+    """
+    if grams is None:
+        from sed_spark.ext.dedup import exploded_shingles
+
+        grams = exploded_shingles(df, id_col, text_col, n=2)
     return grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
 
 
@@ -563,6 +586,7 @@ def lm_familiarity(
     lm: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Count-based n-gram LM familiarity — the integer-exact core of a
     CCNet-style perplexity gate (Wenzek et al., LREC 2020: score new data
@@ -581,10 +605,14 @@ def lm_familiarity(
     order-independent. Scale design: one explode, one equi-join on the
     gram key (the LM table is dimension-sized relative to the corpus —
     AQE broadcasts it when it fits), one document-keyed aggregate.
-    """
-    from sed_spark.ext.dedup import exploded_shingles
 
-    grams = exploded_shingles(df, id_col, text_col, n=2)
+    ``grams`` accepts a precomputed non-distinct ``exploded_shingles(df,
+    n=2)`` frame (shared bigram explode).
+    """
+    if grams is None:
+        from sed_spark.ext.dedup import exploded_shingles
+
+        grams = exploded_shingles(df, id_col, text_col, n=2)
     scored = grams.join(
         lm.select(F.col("g"), F.col("cnt").alias("__lm_cnt")), "g", "left",
     )

@@ -1305,7 +1305,8 @@ def sessionization(spark, sf_dir):
 
     Round 11: the two availableNow replays (session_window aggregate,
     stream-static enrich rollup) drain CONCURRENTLY and under
-    ``spark.sql.shuffle.partitions=8`` (restored afterwards) — the same
+    ``spark.sql.shuffle.partitions`` lowered to
+    :func:`state_store_partitions` (cores//4, restored afterwards) — the same
     state-store-per-partition reasoning measured on the
     ``stream_dedup_replay`` row; batch branches are unaffected (they
     plan at action time, after the conf is restored)."""
@@ -1315,6 +1316,7 @@ def sessionization(spark, sf_dir):
 
     from sed_spark.streaming import (
         run_available_now,
+        state_store_partitions,
         streaming_enrich,
         streaming_sessionize,
     )
@@ -1363,7 +1365,9 @@ def sessionization(spark, sf_dir):
         run_available_now(rollup, "stream_enrich_sink", output_mode="complete")
 
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(state_store_partitions(spark)),
+    )
     try:
         with ThreadPoolExecutor(max_workers=2) as pool:
             list(pool.map(

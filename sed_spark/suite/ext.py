@@ -271,12 +271,20 @@ def lsh_pairs(spark, sf_dir):
     carry the -1 sentinel — so the row pins candidate generation AND the
     verify decision in one hash."""
     docs = load(spark, sf_dir, "documents")
-    # NOTE(r11): the signature subtree appears 8x in this plan (the
+    # NOTE(r11/r12): the signature subtree appears 8x in this plan (the
     # even/odd filters push below the aggregate and defeat exchange
-    # reuse); checkpointing it once was tried and measured SLOWER at both
-    # local[32] and local[4] — the eager materialization serializes the
-    # build while the duplicate aggregates overlap as parallel stages.
-    # See OPTIMIZATION_r11.md "Negative results".
+    # reuse). BOTH dedup variants were tried and measured SLOWER at both
+    # local[32] and local[4]: an eager checkpoint (r11 — serializes a
+    # build job) AND a lazy persist (r12, VERDICT item 4 — 28 parquet
+    # scans → 19 + 20 InMemoryTableScan, plan 64 → 48 Exchange, but
+    # total_min 3.52 → 3.83 s at local[32] and 3.72 → 3.87 s at
+    # local[4]; the duplicated lazy aggregates overlap as concurrently
+    # scheduled stages inside the one noop job, while the cache adds
+    # stage boundaries and first-access population races). At 100 TB the
+    # 8x corpus scan is a §6 I/O cost the local bench can't see — a
+    # deployment at that scale should persist(MEMORY_AND_DISK) the
+    # signature table itself; the suite row keeps the measured-faster
+    # lazy shape. See OPTIMIZATION_r12.md "Negative results".
     sigs = dedup.minhash_signatures(docs, n_bands=4)
     pairs = dedup.lsh_candidate_pairs(sigs, n_bands=4)
     batch = dedup.verify_pairs_editdist(
@@ -2680,15 +2688,34 @@ _COLLOC_MIN = 5
 def repetition(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     rep = text.repetition_stats(docs)
-    # NOTE(r11): checkpointing v (used by vocab_doc_stats AND
+    # NOTE(r11): CHECKPOINTING v (used by vocab_doc_stats AND
     # bpe_pair_counts) was tried and measured slower at local[32] and
     # local[4] — same serialized-build effect as lsh_pairs; see
     # OPTIMIZATION_r11.md "Negative results".
-    v = vocab.word_doc_freq(docs)
-    vd = vocab.vocab_doc_stats(docs, v)
+    # Round 12 (VERDICT item 5): the row re-tokenized the corpus ~9x —
+    # one word explode each in word_doc_freq / vocab_doc_stats /
+    # doc_top_pair / collocations' word counts, one bigram explode each
+    # in the LM train half, lm_familiarity, collocations' bigram table
+    # and the per-doc collocation probe. The shared word explode (wx)
+    # and bigram explode (g2) are built once and LAZILY persisted (no
+    # eager build job — the r11 negative was the serialized checkpoint),
+    # so the plan's corpus scans collapse to ~3 and every consumer reads
+    # the cached explode. Row-identical by construction (the explodes
+    # are per-document, so even the even-half LM filter commutes); both
+    # caches are bounded per-call intermediates dropped with the result.
+    import weakref
+
+    from pyspark import StorageLevel
+
+    from sed_spark.ext.dedup import exploded_shingles
+
+    wx = vocab.exploded_words(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    g2 = exploded_shingles(docs, n=2).persist(StorageLevel.MEMORY_AND_DISK)
+    v = vocab.word_doc_freq(docs, words=wx)
+    vd = vocab.vocab_doc_stats(docs, v, words=wx)
     pc = vocab.bpe_pair_counts(docs, vocab=v)
     tp = (
-        vocab.doc_top_pair(docs)
+        vocab.doc_top_pair(docs, words=wx)
         .join(pc.withColumnRenamed("pair", "top_pair"), "top_pair", "left")
         .select(
             "doc_id", "top_pair", "top_pair_count",
@@ -2698,8 +2725,10 @@ def repetition(spark, sf_dir):
     )
     # CCNet-shape LM gate: bigram LM trained on the even half scores
     # EVERY document (odd docs can hit unseen bigrams) — integer-exact
-    lm = vocab.bigram_counts(docs.filter(F.col("doc_id") % 2 == 0))
-    fam = vocab.lm_familiarity(docs, lm).select(
+    lm = vocab.bigram_counts(
+        docs, grams=g2.filter(F.col("doc_id") % 2 == 0),
+    )
+    fam = vocab.lm_familiarity(docs, lm, grams=g2).select(
         "doc_id", "n_unseen", "seen_cnt_sum",
     )
     joined = rep.join(vd, "doc_id").join(tp, "doc_id").join(fam, "doc_id")
@@ -2709,12 +2738,12 @@ def repetition(spark, sf_dir):
     # per doc: each document's highest-lift qualifying bigram, ties by
     # bigram DESC via the max(struct) aggregate the oracle mirrors with
     # a row_number window
-    from sed_spark.ext.dedup import exploded_shingles
-
-    colloc = text.collocations(docs, min_count=_COLLOC_MIN).select(
+    colloc = text.collocations(
+        docs, min_count=_COLLOC_MIN, words=wx, grams=g2,
+    ).select(
         F.concat_ws(" ", "w1", "w2").alias("g"), "lift",
     )
-    dbg = exploded_shingles(docs, n=2).distinct()
+    dbg = g2.distinct()
     topc = (
         dbg.join(colloc, "g")
         .groupBy("doc_id")
@@ -2733,7 +2762,19 @@ def repetition(spark, sf_dir):
     # quality_gate (round 7): the rule-stack keep/drop decision with
     # first-failing-rule attribution, composed over the signals this row
     # already computes — pure projection, mirrored by CASE in the oracle
-    return text.quality_gate(joined, _GATE_RULES())
+    out = text.quality_gate(joined, _GATE_RULES())
+
+    # tie the shared-explode caches' lifetime to the returned DataFrame
+    # (the prefix_similarity_join pattern)
+    def _drop(frames=(wx, g2)):
+        for f in frames:
+            try:
+                f.unpersist()
+            except Exception:
+                pass  # session already stopped
+
+    weakref.finalize(out, _drop)
+    return out
 
 
 REPETITION_SQL = f"""
@@ -3522,8 +3563,9 @@ def stream_dedup_replay(spark, sf_dir):
       reuses the batch bin-index expressions rather than reimplementing
       them.
 
-    The seven replay queries run with ``spark.sql.shuffle.partitions=8``
-    (restored afterwards): every stateful operator allocates one state
+    The seven replay queries run with ``spark.sql.shuffle.partitions``
+    lowered to :func:`state_store_partitions` (cores//4, restored
+    afterwards): every stateful operator allocates one state
     store PER partition PER query, and the default 64 spent ~5x more
     wall time opening/committing near-empty stores than joining the
     sf0.1 data (19.3 s -> 3.5 s for the stream-stream join alone, same
@@ -3534,13 +3576,16 @@ def stream_dedup_replay(spark, sf_dir):
     """
     from sed_spark.streaming import (
         run_available_now,
+        state_store_partitions,
         streaming_exact_dedup,
         streaming_histogram,
         timed_table_stream,
     )
 
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(state_store_partitions(spark)),
+    )
     try:
         return _stream_dedup_replay_body(
             spark, sf_dir, run_available_now, streaming_exact_dedup,

@@ -2061,3 +2061,57 @@ def test_shared_grams_and_islands_row_identical(spark):
         base = fn(corpus, window=3, min_docs=2)
         shared = fn(corpus, window=3, min_docs=2, islands=islands)
         assert key(base.collect()) == key(shared.collect()), fn.__name__
+
+
+def test_shared_words_and_bigrams_row_identical(spark):
+    """The r12 sharing hooks must not change any row: passing a
+    precomputed word explode (``words=``) to word_doc_freq /
+    vocab_doc_stats / doc_top_pair / collocations, or a precomputed
+    bigram explode (``grams=``) to bigram_counts / lm_familiarity /
+    collocations, is plan reuse only — including the even-half LM
+    filter commuting through the per-document explode."""
+    from pyspark.sql import functions as F
+
+    from sed_spark.ext import text, vocab
+    from sed_spark.ext.dedup import exploded_shingles
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "aa bb aa cc dd aa bb"),
+            (1, "bb cc bb cc bb cc dd"),
+            (2, "zz yy xx ww vv uu tt ss"),
+            (3, ""),
+            (4, "aa bb aa bb aa bb aa bb"),
+            (5, "single"),
+        ],
+        ["doc_id", "text"],
+    )
+    wx = vocab.exploded_words(corpus)
+    g2 = exploded_shingles(corpus, n=2)
+    key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+
+    v_base = vocab.word_doc_freq(corpus)
+    v_shared = vocab.word_doc_freq(corpus, words=wx)
+    assert key(v_base.collect()) == key(v_shared.collect())
+
+    assert key(vocab.vocab_doc_stats(corpus, v_base).collect()) == key(
+        vocab.vocab_doc_stats(corpus, v_shared, words=wx).collect(),
+    )
+    assert key(vocab.doc_top_pair(corpus).collect()) == key(
+        vocab.doc_top_pair(corpus, words=wx).collect(),
+    )
+
+    even = corpus.filter(F.col("doc_id") % 2 == 0)
+    lm_base = vocab.bigram_counts(even)
+    lm_shared = vocab.bigram_counts(
+        corpus, grams=g2.filter(F.col("doc_id") % 2 == 0),
+    )
+    assert key(lm_base.collect()) == key(lm_shared.collect())
+
+    assert key(vocab.lm_familiarity(corpus, lm_base).collect()) == key(
+        vocab.lm_familiarity(corpus, lm_shared, grams=g2).collect(),
+    )
+
+    assert key(text.collocations(corpus, min_count=2).collect()) == key(
+        text.collocations(corpus, min_count=2, words=wx, grams=g2).collect(),
+    )
