@@ -346,10 +346,28 @@ def _groupby_sparse_agg(
             # still satisfies the aggregate's clustering requirement —
             # no second exchange (plan-asserted). Peaked data routes away
             # from this branch via occupancy_hint exactly as before.
+            #
+            # Out-of-range rows (the -1 sentinel) get a SPREAD block id
+            # (round 12, guide §2.5 single-giant-key skew): the bare
+            # repartition has no map-side partial aggregation, so every
+            # sentinel row shuffles, and with blk = idx/span they ALL
+            # hashed to one reducer — on the 1e8-row 4-D momentum
+            # workflow (26.5% out-of-range after the kx/ky/energy/delay
+            # range cuts) that one task fetched 26.5M extra rows while
+            # 511 idled, and the full path measured 11.9 s vs 6.0 s with
+            # the sentinel group spread by map-partition id (driver
+            # scatter drops idx < 0 regardless, so the result is
+            # bit-identical — verified). A pre-shuffle filter instead is
+            # NOT safe: predicate pushdown inlines the whole flat-index
+            # tree below the axis staging and the 4-D workflow measured
+            # 88 s interpreted (see plans/r12/).
             span = max(1, cube // (32 * want))
+            blk = F.when(
+                F.col("__idx") >= 0,
+                (F.col("__idx") / F.lit(span)).cast("int"),
+            ).otherwise(-(F.spark_partition_id() + 1))
             keyed = keyed.select(
-                "__idx",
-                (F.col("__idx") / F.lit(span)).cast("int").alias("__blk"),
+                "__idx", blk.alias("__blk"),
             ).repartition(want, "__blk")
             group_cols = ["__blk", "__idx"]
     return keyed.groupBy(*group_cols).agg(
