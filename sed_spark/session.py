@@ -42,7 +42,35 @@ def get_spark(
         shuffle_partitions = max(default_parallelism(), 32)
 
     builder = SparkSession.builder.appName(app_name).master(master)
+    # HotSpot's default 240 MB ReservedCodeCacheSize (116 MB 'profiled
+    # nmethods' segment) overflows on multi-query workloads: 16 suite
+    # queries measured 83/116 MB profiled-nmethods occupancy, and past
+    # the limit UseCodeCacheFlushing evicts warm methods which C2 then
+    # re-profiles and re-compiles — the continuous compile churn the
+    # bench's canary_jit field records (30-60 s summed compiler-thread
+    # time on single reps). Reserving more is virtual address space, not
+    # committed RAM, so the default is raised wherever this process
+    # launches the driver JVM (a cluster deployment sets the same flag in
+    # spark.driver/executor.extraJavaOptions). Parameterized via
+    # SPARK_GRAFT_CODE_CACHE; merged in front of any caller-supplied
+    # extraJavaOptions so an explicit caller flag still wins.
+    code_cache = os.environ.get("SPARK_GRAFT_CODE_CACHE", "512m")
+    jvm_opts = f"-XX:ReservedCodeCacheSize={code_cache}"
+    caller_opts = (extra_conf or {}).get("spark.driver.extraJavaOptions", "")
+    merged_opts = f"{jvm_opts} {caller_opts}".strip()
     conf = {
+        "spark.driver.extraJavaOptions": merged_opts,
+        # Spark's generated-class cache holds 100 entries by default;
+        # the engine's bigger plans exceed that PER QUERY (q_simhash
+        # measured 142 codegen units per execution — every rep
+        # re-janino-compiled all of them, and HotSpot re-JIT'd the
+        # fresh classes: 10-26 s of summed compiler time per rep,
+        # forever). At 5000 entries the janino recompiles collapse
+        # (426 -> ~20 bytecode compilations by rep 4) and compile churn
+        # decays instead of persisting. Static conf (applies at first
+        # session in the JVM); the cap bounds entries, not memory —
+        # usage equals the workload's distinct codegen units.
+        "spark.sql.codegen.cache.maxEntries": "5000",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -89,6 +117,10 @@ def get_spark(
             conf.setdefault("spark.local.dir", base)
     if extra_conf:
         conf.update(extra_conf)
+        # keep the code-cache flag when the caller also passes driver
+        # options (their flags follow, so an explicit caller
+        # ReservedCodeCacheSize still wins — last flag takes effect)
+        conf["spark.driver.extraJavaOptions"] = merged_opts
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
