@@ -1299,21 +1299,39 @@ def embedding_near_dup(spark, sf_dir):
     benchmark id and max rounded cosine — the semantic complement of the
     ``decontamination`` row's n-gram filter."""
     df = load(spark, sf_dir, "embeddings")
-    lsh = similarity.embedding_near_dup(
-        df,
-        planes=_NEARDUP_PLANES,
-        n_bands=_NEARDUP_BANDS,
-        threshold=0.4,
-    )
 
-    # both keep policies from ONE assignment + pair-join pass
-    # (semantic_dedup_multi — row-identical to per-policy
-    # semantic_dedup calls, with the pair cosine evaluated once per
-    # unordered pair instead of once per policy per dominance pair)
-    sems = similarity.semantic_dedup_multi(
-        df, _IVF_CENTROIDS, threshold=_SEMDEDUP_THRESHOLD,
-        keeps=("min_id", "far_from_centroid"),
-    )
+    # Round 12 (guide §2.6 overlap independent jobs): the two branch
+    # builds each run eager localCheckpoint jobs — the LSH bucket table
+    # (1 job) and semantic_dedup_multi's assignment + pair-fact tables
+    # (2 dependent jobs) — which serialized ~2.1 s of warm build. They
+    # are independent, so they build in a 2-thread pool (the
+    # dedup_clusters/asof_ops pattern); plans unchanged by design.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def build_lsh():
+        return similarity.embedding_near_dup(
+            df,
+            planes=_NEARDUP_PLANES,
+            n_bands=_NEARDUP_BANDS,
+            threshold=0.4,
+        )
+
+    def build_sems():
+        # both keep policies from ONE assignment + pair-join pass
+        # (semantic_dedup_multi — row-identical to per-policy
+        # semantic_dedup calls, with the pair cosine evaluated once per
+        # unordered pair instead of once per policy per dominance pair)
+        return similarity.semantic_dedup_multi(
+            df, _IVF_CENTROIDS, threshold=_SEMDEDUP_THRESHOLD,
+            keeps=("min_id", "far_from_centroid"),
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        lsh_f = pool.submit(inheritable_thread_target(build_lsh))
+        sems_f = pool.submit(inheritable_thread_target(build_sems))
+        lsh, sems = lsh_f.result(), sems_f.result()
 
     def sem_branch(tag: str, keep: str):
         return sems[keep].select(
